@@ -1,0 +1,213 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** The graft dataflow pipe: one method per Pig Latin operator, declared
+  * against the DataFrame API so Catalyst plans it (pushdown, pruning,
+  * AQE, broadcast, whole-stage codegen).
+  *
+  * The reference models a dataflow as a graph of `PigOperator`s connected
+  * by `Pipe`s (reference: src/main/scala/dbis/piglet/op/PigOperator.scala,
+  * op/Pipe.scala) and emits RDD code per operator. graft instead keeps the
+  * whole dataflow a single Catalyst logical plan.
+  */
+final case class Pipe(df: DataFrame) {
+  def spark = df.sparkSession
+  def schema: StructType = df.schema
+
+  // ---- FOREACH ... GENERATE (flat) --------------------------------------
+  /** reference: op/Foreach.scala (GeneratorList). Projection — pruned at scan. */
+  def generate(exprs: Column*): Pipe = Pipe(df.select(exprs: _*))
+  def generateNamed(exprs: (Column, String)*): Pipe =
+    Pipe(df.select(exprs.map { case (c, n) => c.as(n) }: _*))
+
+  // ---- FILTER ------------------------------------------------------------
+  /** reference: op/Filter.scala. Predicate — pushed to the scan by Catalyst. */
+  def where(cond: Column): Pipe = Pipe(df.filter(cond))
+
+  // ---- DISTINCT / LIMIT / SAMPLE / ORDER BY -------------------------------
+  /** reference: op/Distinct.scala — hash-shuffle dedup w/ map-side combine. */
+  def distinctRows: Pipe = Pipe(df.distinct())
+
+  /** reference: op/Limit.scala. Spark LocalLimit+GlobalLimit — no full collect. */
+  def limitTo(n: Int): Pipe = Pipe(df.limit(n))
+
+  /** reference: op/Sample.scala — bernoulli sample, no shuffle. */
+  def sampleRows(fraction: Double, seed: Long = 42L): Pipe =
+    Pipe(df.sample(withReplacement = false, fraction, seed))
+
+  /** reference: op/OrderBy.scala — range-partitioned total sort (scales:
+    * each partition sorts locally after the range exchange). */
+  def orderByCols(cols: Column*): Pipe = Pipe(df.orderBy(cols: _*))
+
+  // ---- UNION / CROSS / set ops -------------------------------------------
+  /** reference: op/Union.scala. ONSCHEMA semantics via unionByName. */
+  def unionWith(others: Pipe*): Pipe =
+    Pipe(others.foldLeft(df)((a, p) => a.unionByName(p.df)))
+
+  /** reference: op/Cross.scala. Catalyst broadcasts the small side. */
+  def crossWith(other: Pipe): Pipe = Pipe(df.crossJoin(other.df))
+
+  /** reference: op/Intersection.scala (set semantics). */
+  def intersectWith(other: Pipe): Pipe = Pipe(df.intersect(other.df))
+
+  /** reference: op/Difference.scala (set semantics). */
+  def differenceWith(other: Pipe): Pipe = Pipe(df.except(other.df))
+
+  // ---- JOIN ----------------------------------------------------------------
+  /** reference: op/Join.scala. Equi-join on same-named keys; Catalyst/AQE pick
+    * broadcast vs shuffle strategy, split skewed partitions at runtime. */
+  def joinWith(other: Pipe, keys: Seq[String], joinType: String = "inner"): Pipe =
+    Pipe(df.join(other.df, keys, joinType))
+
+  /** Join on an arbitrary condition (Pig: JOIN a BY f1, b BY f2). */
+  def joinOn(other: Pipe, cond: Column, joinType: String = "inner"): Pipe =
+    Pipe(df.join(other.df, cond, joinType))
+
+  /** Pig `JOIN ... USING 'replicated'` — force broadcast of the right side. */
+  def joinReplicated(other: Pipe, cond: Column): Pipe =
+    Pipe(df.join(broadcast(other.df), cond, "inner"))
+
+  // ---- GROUP / COGROUP ------------------------------------------------------
+  /** reference: op/Grouping.scala. Pig `GROUP a BY k` yields (group, bag).
+    * The bag is materialized ONLY here; aggregate-only consumers should use
+    * [[groupAgg]] which keeps the partial-aggregation (map-side combine) path. */
+  def groupByBag(bagName: String, keys: Column*): Pipe = {
+    val groupCol = if (keys.size == 1) keys.head.as("group")
+                   else struct(keys: _*).as("group")
+    val valueCols = struct(df.columns.map(col).toIndexedSeq: _*)
+    Pipe(df.groupBy(groupCol).agg(collect_list(valueCols).as(bagName)))
+  }
+
+  /** Pig `GROUP a ALL` + aggregate FOREACH, fused: a single global
+    * aggregation with map-side partials (also the ACCUMULATE fast path —
+    * reference: op/Accumulate.scala uses RDD.aggregate for this). */
+  def accumulate(aggs: Column*): Pipe = Pipe(df.agg(aggs.head, aggs.tail: _*))
+
+  /** GROUP BY + aggregate FOREACH, fused into a hash aggregate. */
+  def groupAgg(keys: Seq[Column], aggs: Seq[Column]): Pipe =
+    Pipe(df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
+
+  /** reference: op/Grouping.scala with >1 input (COGROUP). Bags per input,
+    * full-outer joined on the key; absent groups get empty bags. */
+  def cogroupWith(other: Pipe, leftKeys: Seq[Column], rightKeys: Seq[Column],
+                  leftBag: String = "l", rightBag: String = "r"): Pipe = {
+    val l = Pipe(df).groupByBag(leftBag, leftKeys: _*).df
+    val r = other.groupByBag(rightBag, rightKeys: _*).df
+      .withColumnRenamed("group", "group_r")
+    val joined = l.join(r, l("group") <=> r("group_r"), "full_outer")
+    Pipe(joined.select(
+      coalesce(l("group"), r("group_r")).as("group"),
+      coalesce(l(leftBag), array().cast(l.schema(leftBag).dataType)).as(leftBag),
+      coalesce(r(rightBag), array().cast(r.schema(rightBag).dataType)).as(rightBag)))
+  }
+
+  // ---- SPLIT INTO -------------------------------------------------------------
+  /** reference: op/SplitInto.scala. One pipe per predicate; the shared scan is
+    * read once per branch (Catalyst caches nothing implicitly — callers can
+    * `.materialize` the input if all branches are consumed). */
+  def splitInto(conds: Column*): Seq[Pipe] = conds.map(c => Pipe(df.filter(c)))
+
+  // ---- TOP / RANK ----------------------------------------------------------------
+  /** reference: op/Top.scala. Global top-n: Spark plans sort+limit as
+    * TakeOrderedAndProject — per-partition top-n, then merge; no total sort. */
+  def top(n: Int, ordering: Column*): Pipe = Pipe(df.orderBy(ordering: _*).limit(n))
+
+  /** Top-n per group via ranked window (shuffle on the group key only). */
+  def topPerGroup(n: Int, groupKeys: Seq[Column], ordering: Seq[Column]): Pipe = {
+    val w = Window.partitionBy(groupKeys: _*).orderBy(ordering: _*)
+    Pipe(df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
+           .drop("__rn"))
+  }
+
+  /** Pig `RANK a BY f` (ties share a rank). A naive global window would
+    * collapse to ONE partition; instead rank the (small) distinct key set
+    * with a window, then broadcast-join ranks back — scales to any row count. */
+  def rankBy(ordering: Column, rankName: String = "rank"): Pipe = {
+    val keyName = "__rank_key"
+    val keyed = df.withColumn(keyName, ordering)
+    val dist = keyed.groupBy(col(keyName)).agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col(keyName))
+    val ranks = dist.withColumn(
+      rankName,
+      (sum(col("__cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - col("__cnt") + lit(1)).cast(LongType))
+      .drop("__cnt")
+    Pipe(keyed.join(broadcast(ranks), Seq(keyName)).drop(keyName))
+  }
+
+  /** Pig `RANK a` (dense sequential ids in the given order): range-sort then
+    * per-partition offsets — the distributed zipWithIndex pattern. */
+  def zipWithIndex(ordering: Seq[Column], idxName: String = "index"): Pipe = {
+    val sorted = if (ordering.nonEmpty) df.orderBy(ordering: _*) else df
+    val out = StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(idxName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    Pipe(spark.createDataFrame(rdd, out))
+  }
+
+  // ---- STREAM THROUGH / user ops -----------------------------------------------
+  /** reference: op/StreamOp.scala (`STREAM a THROUGH fn`) — arbitrary user
+    * operator over the whole relation, composed into the plan. */
+  def through(f: DataFrame => DataFrame): Pipe = Pipe(f(df))
+
+  /** Per-partition imperative escape hatch (kept off the default path). */
+  def throughPartitions(f: Iterator[Row] => Iterator[Row], schema: StructType): Pipe =
+    Pipe(spark.createDataFrame(df.rdd.mapPartitions(f), schema))
+
+  // ---- MATERIALIZE / CACHE --------------------------------------------------------
+  /** reference: op/Materialize.scala + mm/MaterializationManager.scala —
+    * checkpoint the bag to storage; later runs resume from the file. */
+  def materialize(path: String): Pipe = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    Pipe(spark.read.parquet(path))
+  }
+
+  /** reference: op/Cache.scala. */
+  def cached: Pipe = Pipe(df.cache())
+
+  // ---- PARTITION ------------------------------------------------------------------
+  /** reference: op/Partition.scala — explicit repartitioning on keys so a
+    * downstream co-partitioned consumer avoids its shuffle. */
+  def partitionBy(numPartitions: Int, keys: Column*): Pipe =
+    Pipe(df.repartition(numPartitions, keys: _*))
+
+  // ---- misc (DUMP / DESCRIBE / EMPTY / TIMING) --------------------------------------
+  /** reference: op/Dump.scala / op/Display.scala. */
+  def dump(n: Int = 20): Unit = df.show(n, truncate = false)
+
+  /** reference: op/Describe.scala. */
+  def describe: String = df.schema.treeString
+
+  /** reference: op/Empty.scala. */
+  def isEmpty: Boolean = df.isEmpty
+
+  /** reference: op/TimingOp.scala — wall-clock an action over this pipe. */
+  def timed[A](action: DataFrame => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = action(df)
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  // ---- STORE ------------------------------------------------------------------------
+  /** reference: op/Store.scala + sparklib Storage.scala. */
+  def store(path: String, format: String = "parquet",
+            options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(SaveMode.Overwrite).options(options).format(format).save(path)
+}
+
+object Pipe {
+  /** LOAD — reference: op/Load.scala; formats per sparklib Storage.scala
+    * (PigStorage=csv, TextLoader=text, JsonStorage=json, BinStorage→parquet,
+    * JdbcStorage=jdbc). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+           format: String = "parquet", schema: Option[StructType] = None,
+           options: Map[String, String] = Map.empty): Pipe = {
+    val r0 = spark.read.format(format).options(options)
+    val r = schema.fold(r0)(r0.schema)
+    Pipe(r.load(path))
+  }
+}

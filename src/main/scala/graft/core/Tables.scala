@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test/benchmark table access over the driver-generated parquet dirs.
+  *
+  * The reference loads everything through `PigStorage`-style loaders
+  * (reference: sparklib/src/main/scala/dbis/piglet/backends/spark/Storage.scala);
+  * graft goes straight to Spark's vectorized parquet reader so column
+  * pruning and predicate pushdown reach the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view (for spark.sql / PigScript use). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** Session factory with scale-appropriate defaults (AQE on, shuffle
+  * partitions sized to cores — not the 200 default that would fragment
+  * local runs and under-provision a 1000-executor cluster, where the
+  * conf is expected to be overridden per deployment).
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,350 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Pipe, Tables}
+import graft.functions.PigFunctions._
+
+/** Relational-core coverage (SURVEY.md §2 rows 1–35): every Pig Latin batch
+  * operator as a graft `Pipe` dataflow, each with a DuckDB oracle.
+  *
+  * Determinism notes (the driver hash-compares values vs DuckDB):
+  *  - double SUMs are computed over `decimal` casts on BOTH sides (exact,
+  *    order-independent) and cast back to double;
+  *  - every computed column is aliased identically on both sides;
+  *  - unordered ops never rely on LIMIT without a total order.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Derived csv/json copies of small tables, for LOAD-format coverage. */
+  private def deriveDir = "/root/repo/target/graft-data"
+  private def ensureDerived(s: SparkSession, dir: String): Unit = synchronized {
+    val base = new java.io.File(s"$deriveDir/csv_region")
+    if (!base.exists()) {
+      t(s, dir, "region").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$deriveDir/csv_region")
+      t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+        .json(s"$deriveDir/json_nation")
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- LOAD (SURVEY §2 #1): csv (PigStorage analog) and json sources ------
+    "q_load_csv" -> ((s, dir) => {
+      ensureDerived(s, dir)
+      Pipe.load(s, s"$deriveDir/csv_region", "csv",
+          options = Map("header" -> "true", "inferSchema" -> "true"))
+        .generate(col("r_regionkey").cast("int").as("r_regionkey"),
+                  col("r_name")).df
+    }),
+    "q_load_json" -> ((s, dir) => {
+      ensureDerived(s, dir)
+      Pipe.load(s, s"$deriveDir/json_nation", "json")
+        .generate(col("n_nationkey").cast("int").as("n_nationkey"),
+                  col("n_name"), col("n_regionkey").cast("int").as("n_regionkey")).df
+    }),
+    // -- STORE roundtrip (#2) ------------------------------------------------
+    "q_store_roundtrip" -> ((s, dir) => {
+      val p = Pipe(t(s, dir, "supplier"))
+      p.store(s"$deriveDir/store_supplier")
+      Pipe.load(s, s"$deriveDir/store_supplier")
+        .generate(col("s_suppkey"), col("s_name"), col("s_acctbal")).df
+    }),
+    // -- FOREACH ... GENERATE (#5) --------------------------------------------
+    "q_foreach" -> ((s, dir) =>
+      Pipe(t(s, dir, "lineitem")).generate(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"),
+        (col("l_quantity") + lit(5)).as("qty5")).df),
+    // -- FILTER (#8) ------------------------------------------------------------
+    "q_filter" -> ((s, dir) =>
+      Pipe(t(s, dir, "lineitem"))
+        .where(col("l_quantity") > 45 &&
+               col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .generate(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).df),
+    // -- GROUP + aggregate FOREACH fused (#9, #31): TPC-H Q1 shape --------------
+    "q_agg" -> ((s, dir) =>
+      Pipe(t(s, dir, "lineitem"))
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupAgg(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(sum(col("l_quantity")).as("sum_qty"),
+              sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_base"),
+              sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+                .cast("decimal(18,6)")).cast("double").as("sum_disc"),
+              count(lit(1)).as("cnt"))).df),
+    // -- GROUP ALL → global agg (#9) --------------------------------------------
+    "q_group_all" -> ((s, dir) =>
+      Pipe(t(s, dir, "lineitem")).accumulate(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("l_orderkey")).as("n_orders")).df),
+    // -- GROUP with materialized bag (#9), bag rendered as sorted string --------
+    "q_group" -> ((s, dir) =>
+      Pipe(t(s, dir, "customer")).groupAgg(
+        Seq(col("c_nationkey")),
+        Seq(concat_ws(",", sort_array(collect_list(col("c_custkey")))).as("bag_str"))).df),
+    // -- COGROUP (#10) ------------------------------------------------------------
+    "q_cogroup" -> ((s, dir) => {
+      val c = Pipe(t(s, dir, "customer"))
+      val sup = Pipe(t(s, dir, "supplier"))
+      c.cogroupWith(sup, Seq(col("c_nationkey")), Seq(col("s_nationkey")),
+                    "cbag", "sbag")
+        .generate(col("group").cast("int").as("nationkey"),
+                  size(col("cbag")).cast("long").as("c_cnt"),
+                  size(col("sbag")).cast("long").as("s_cnt")).df
+    }),
+    // -- nested FOREACH: DISTINCT inside a group (#6, #32) ------------------------
+    "q_nested_foreach" -> ((s, dir) =>
+      Pipe(t(s, dir, "customer")).groupByBag("cust", col("c_nationkey"))
+        .generate(col("group").as("c_nationkey"),
+                  BAG_COUNT(BAG_DISTINCT(col("cust.c_mktsegment"))).as("uniq_cnt")).df),
+    // -- FLATTEN (#7) + TOKENIZE-ish split (#33): word count ------------------------
+    "q_flatten" -> ((s, dir) =>
+      Pipe(t(s, dir, "part"))
+        .generate(explode(split(col("p_name"), " ")).as("word"))
+        .groupAgg(Seq(col("word")), Seq(count(lit(1)).as("cnt"))).df),
+    // -- JOIN (#11) --------------------------------------------------------------------
+    "q_join" -> ((s, dir) =>
+      Pipe(t(s, dir, "lineitem"))
+        .joinOn(Pipe(t(s, dir, "orders")),
+                col("l_orderkey") === col("o_orderkey"))
+        .groupAgg(Seq(col("o_orderpriority")),
+                  Seq(count(lit(1)).as("cnt"),
+                      sum(col("l_quantity")).as("sum_qty"))).df),
+    // -- outer JOIN (#12) -----------------------------------------------------------------
+    "q_left_join" -> ((s, dir) =>
+      Pipe(t(s, dir, "customer"))
+        .joinOn(Pipe(t(s, dir, "orders")),
+                col("c_custkey") === col("o_custkey"), "left")
+        .generate(col("c_custkey"), col("o_orderkey")).df),
+    // -- multi-way JOIN (#11) + broadcast dims (replicated join) ---------------------------
+    "q_multijoin" -> ((s, dir) => {
+      val li = Pipe(t(s, dir, "lineitem"))
+      val o = Pipe(t(s, dir, "orders"))
+      val c = Pipe(t(s, dir, "customer"))
+      val n = Pipe(t(s, dir, "nation"))
+      li.joinOn(o, col("l_orderkey") === col("o_orderkey"))
+        .joinReplicated(c, col("o_custkey") === col("c_custkey"))
+        .joinReplicated(n, col("c_nationkey") === col("n_nationkey"))
+        .groupAgg(Seq(col("n_name")),
+          Seq(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+                .cast("decimal(18,6)")).cast("double").as("revenue"),
+              count(lit(1)).as("cnt"))).df
+    }),
+    // -- CROSS (#13) ---------------------------------------------------------------------------
+    "q_cross" -> ((s, dir) =>
+      Pipe(t(s, dir, "region")).crossWith(Pipe(t(s, dir, "nation")))
+        .generate(col("r_name"), col("n_name")).df),
+    // -- UNION, bag semantics = UNION ALL (#14) -------------------------------------------------
+    "q_union" -> ((s, dir) => {
+      val o = Pipe(t(s, dir, "orders"))
+      o.where(col("o_orderstatus") === "O").generate(col("o_orderkey"))
+        .unionWith(o.where(col("o_totalprice") > 100000).generate(col("o_orderkey"))).df
+    }),
+    // -- DISTINCT (#15) --------------------------------------------------------------------------
+    "q_distinct" -> ((s, dir) =>
+      Pipe(t(s, dir, "lineitem"))
+        .generate(col("l_returnflag"), col("l_linestatus")).distinctRows.df),
+    // -- LIMIT with total order (#16) --------------------------------------------------------------
+    "q_limit" -> ((s, dir) =>
+      Pipe(t(s, dir, "orders")).orderByCols(col("o_orderkey")).limitTo(10)
+        .generate(col("o_orderkey"), col("o_totalprice")).df),
+    // -- ORDER BY (#17) ------------------------------------------------------------------------------
+    "q_order" -> ((s, dir) =>
+      Pipe(t(s, dir, "supplier"))
+        .orderByCols(col("s_acctbal").desc, col("s_suppkey"))
+        .generate(col("s_suppkey"), col("s_name"), col("s_acctbal")).df),
+    // -- SAMPLE (#18; rows-only — seeded sampling differs across engines) ----------------------------
+    "q_sample" -> ((s, dir) =>
+      Pipe(t(s, dir, "lineitem")).sampleRows(0.1)
+        .generate(col("l_orderkey"), col("l_linenumber")).df),
+    // -- SPLIT INTO (#19) ------------------------------------------------------------------------------
+    "q_split" -> ((s, dir) => {
+      val branches = Pipe(t(s, dir, "orders")).splitInto(
+        col("o_orderstatus") === "O", col("o_orderstatus") =!= "O")
+      branches.head.generate(col("o_orderkey")).df
+    }),
+    // -- TOP n (#20) -------------------------------------------------------------------------------------
+    "q_top" -> ((s, dir) =>
+      Pipe(t(s, dir, "orders"))
+        .top(10, col("o_totalprice").desc, col("o_orderkey"))
+        .generate(col("o_orderkey"), col("o_totalprice")).df),
+    "q_top_per_group" -> ((s, dir) =>
+      Pipe(t(s, dir, "orders"))
+        .topPerGroup(3, Seq(col("o_orderpriority")),
+                     Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .generate(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")).df),
+    // -- INTERSECTION / DIFFERENCE (#21, #22) -----------------------------------------------------------------
+    "q_intersect" -> ((s, dir) =>
+      Pipe(t(s, dir, "customer")).generate(col("c_nationkey").as("nationkey"))
+        .intersectWith(
+          Pipe(t(s, dir, "supplier")).generate(col("s_nationkey").as("nationkey"))).df),
+    "q_difference" -> ((s, dir) =>
+      Pipe(t(s, dir, "customer")).generate(col("c_custkey").as("custkey"))
+        .differenceWith(
+          Pipe(t(s, dir, "orders")).generate(col("o_custkey").as("custkey"))).df),
+    // -- ZIP/RANK (#23, #30) --------------------------------------------------------------------------------------
+    "q_zip_index" -> ((s, dir) =>
+      Pipe(t(s, dir, "region")).zipWithIndex(Seq(col("r_regionkey")), "idx")
+        .generate(col("r_regionkey"), col("r_name"), col("idx")).df),
+    "q_rank" -> ((s, dir) =>
+      Pipe(t(s, dir, "customer")).rankBy(col("c_mktsegment"), "rnk")
+        .generate(col("c_custkey"), col("c_mktsegment"), col("rnk")).df),
+    // -- ACCUMULATE (#24) --------------------------------------------------------------------------------------------
+    "q_accumulate" -> ((s, dir) =>
+      Pipe(t(s, dir, "lineitem")).accumulate(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty")).df),
+    // -- MEDIAN (#31) -----------------------------------------------------------------------------------------------------
+    "q_median" -> ((s, dir) =>
+      Pipe(t(s, dir, "lineitem")).groupAgg(
+        Seq(col("l_returnflag")),
+        Seq(MEDIAN(col("l_quantity")).as("med_qty"))).df),
+    // -- STREAM THROUGH (#25): per-partition user operator ------------------------------------------------------------------
+    "q_stream_through" -> ((s, dir) => {
+      import s.implicits._
+      val ds = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .as[(Long, Int, Double)]
+      ds.mapPartitions(_.map { case (k, ln, q) => (k, ln, q * 2) })
+        .toDF("l_orderkey", "l_linenumber", "qty2")
+    }),
+    // -- MATERIALIZE (#26) --------------------------------------------------------------------------------------------------------
+    "q_materialize" -> ((s, dir) =>
+      Pipe(t(s, dir, "lineitem")).where(col("l_quantity") >= 49)
+        .materialize(s"$deriveDir/mat_lineitem")
+        .generate(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).df),
+    // -- string function battery (#33, #34) ---------------------------------------------------------------------------------------------
+    "q_strings" -> ((s, dir) =>
+      Pipe(t(s, dir, "customer")).generate(
+        col("c_custkey"),
+        UPPER(col("c_name")).as("up"),
+        LOWER(col("c_mktsegment")).as("lo"),
+        STRLEN(col("c_name")).cast("long").as("len"),
+        SUBSTRING(col("c_name"), 0, 8).as("sub"),
+        CONCAT(col("c_mktsegment"), lit("!")).as("cc"),
+        TRIM(col("c_mktsegment")).as("tr"),
+        STRCONTAINS(col("c_name"), lit("1")).as("has1"),
+        TODOUBLE(col("c_custkey")).as("dkey")).df),
+    // -- math (#35) ---------------------------------------------------------------------------------------------------------------------
+    "q_math" -> ((s, dir) =>
+      Pipe(t(s, dir, "orders")).generate(
+        col("o_orderkey"),
+        SQRT(col("o_totalprice")).as("sq"),
+        POW((col("o_orderkey") % 10).cast("double"), lit(2.0)).as("p2")).df)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_load_csv" -> "SELECT r_regionkey, r_name FROM region",
+    "q_load_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_store_roundtrip" -> "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    "q_foreach" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS disc_price,
+         l_quantity + 5 AS qty5 FROM lineitem""",
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1996-01-01'""",
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+         COUNT(*) AS cnt
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_group_all" ->
+      "SELECT COUNT(*) AS cnt, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    "q_group" ->
+      """SELECT c_nationkey,
+         string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS bag_str
+         FROM customer GROUP BY c_nationkey""",
+    "q_cogroup" ->
+      """SELECT CAST(COALESCE(c.k, su.k) AS INTEGER) AS nationkey,
+         COALESCE(c.cnt, 0) AS c_cnt, COALESCE(su.cnt, 0) AS s_cnt
+         FROM (SELECT c_nationkey AS k, COUNT(*) AS cnt FROM customer GROUP BY 1) c
+         FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS cnt FROM supplier GROUP BY 1) su
+         ON c.k = su.k""",
+    "q_nested_foreach" ->
+      """SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS uniq_cnt
+         FROM customer GROUP BY c_nationkey""",
+    "q_flatten" ->
+      """SELECT word, COUNT(*) AS cnt FROM
+         (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+         GROUP BY word""",
+    "q_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+    "q_left_join" ->
+      """SELECT c_custkey, o_orderkey
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey""",
+    "q_multijoin" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q_cross" -> "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_union" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+         UNION ALL
+         SELECT o_orderkey FROM orders WHERE o_totalprice > 100000""",
+    "q_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
+    "q_order" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         ORDER BY s_acctbal DESC, s_suppkey""",
+    "q_split" -> "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'",
+    "q_top" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_top_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+         QUALIFY row_number() OVER
+           (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) <= 3""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey AS nationkey FROM supplier""",
+    "q_difference" ->
+      """SELECT c_custkey AS custkey FROM customer
+         EXCEPT SELECT o_custkey AS custkey FROM orders""",
+    "q_zip_index" ->
+      """SELECT r_regionkey, r_name,
+         row_number() OVER (ORDER BY r_regionkey) - 1 AS idx FROM region""",
+    "q_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+         RANK() OVER (ORDER BY c_mktsegment) AS rnk FROM customer""",
+    "q_accumulate" ->
+      """SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt,
+         SUM(l_quantity) / COUNT(*) AS avg_qty FROM lineitem""",
+    "q_median" ->
+      """SELECT l_returnflag, MEDIAN(l_quantity) AS med_qty
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_stream_through" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty2 FROM lineitem""",
+    "q_materialize" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity >= 49""",
+    "q_strings" ->
+      """SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+         LENGTH(c_name) AS len, substr(c_name, 1, 8) AS sub,
+         c_mktsegment || '!' AS cc, TRIM(c_mktsegment) AS tr,
+         contains(c_name, '1') AS has1,
+         CAST(c_custkey AS DOUBLE) AS dkey FROM customer""",
+    "q_math" ->
+      """SELECT o_orderkey, SQRT(o_totalprice) AS sq,
+         POW(CAST(o_orderkey % 10 AS DOUBLE), 2.0) AS p2 FROM orders"""
+  )
+}
