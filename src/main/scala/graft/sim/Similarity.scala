@@ -1,0 +1,105 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (SURVEY.md §2 rows 62–63).
+  *
+  * Embeddings are `array<float>` columns; all math is `zip_with` +
+  * `aggregate` higher-order functions (codegen'd, no UDF). The brute-force
+  * path broadcasts the (small) query set against the corpus; the LSH path
+  * buckets both sides so candidate generation is an equi-join — the shape
+  * that survives a 1000-executor scale-up.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential sum — the same
+    * accumulation order a single-threaded oracle uses). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Embedding dimensionality, probed from the first row (driver-side,
+    * one-row action). */
+  def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. Driver-side
+    * literals — tiny (planes×dim doubles), inlined into codegen. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit j = sign(v · plane_j). Vectors within a small
+    * angle land in the same bucket with high probability. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, j)) =>
+      acc.bitwiseOR(
+        when(dot(v, typedLit(p)) >= 0.0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    }
+
+  /** Exact top-k nearest neighbours by cosine for each query vector.
+    *
+    * The query set is broadcast (dims: a handful of rows); scoring is a
+    * narrow map over the corpus; only the scored (query × corpus) rows
+    * shuffle — partitioned by query — for the per-query top-k window.
+    *
+    * @param corpus  (id, vec) DataFrame — the searchable set
+    * @param queries (qid, vec) DataFrame — must be broadcast-small
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "id", qidCol: String = "qid",
+                     vecCol: String = "vec"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
+    val q = queries.select(col(qidCol).as("qid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), cosine(col("cv"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: multiple independent band signatures;
+    * a candidate is any corpus vector sharing ≥1 band bucket with the
+    * query (OR-amplification). Candidate generation is an equi-join on
+    * (band, bucket) — no cross join anywhere — then exact cosine + top-k
+    * on the (much smaller) candidate set. Recall tunes with bands/bits. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bands: Int = 8, bitsPerBand: Int = 8,
+              idCol: String = "id", qidCol: String = "qid",
+              vecCol: String = "vec", seed: Long = 42L): DataFrame = {
+    val dim = dimOf(corpus, vecCol)
+    val planeSets = (0 until bands).map(b =>
+      hyperplanes(bitsPerBand, dim, seed + b))
+    def banded(df: DataFrame, id: String, out: String) =
+      df.select(col(id).as(out),
+          col(vecCol).cast(ArrayType(DoubleType)).as(s"${out}_v"))
+        .select(col(out), col(s"${out}_v"),
+          posexplode(array(planeSets.map(p =>
+            lshBucket(col(s"${out}_v"), p)): _*)).as(Seq("band", "bucket")))
+    val cb = banded(corpus, idCol, "id")
+    val qb = banded(queries, qidCol, "qid")
+    val cands = cb.join(qb, Seq("band", "bucket"))
+      .select(col("qid"), col("id"), col("qid_v"), col("id_v"))
+      .groupBy(col("qid"), col("id"))
+      .agg(first(col("qid_v")).as("qv"), first(col("id_v")).as("cv"))
+    val scored = cands.select(col("qid"), col("id"),
+      cosine(col("cv"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

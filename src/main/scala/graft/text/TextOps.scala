@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale corpus pipelines (SURVEY.md §2
+  * rows 64–67). All pure `Column` compositions — they stay inside
+  * whole-stage codegen, no UDF/closure serialization, and scale linearly
+  * with no shuffle (per-row narrow transforms).
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (leading/trailing-space safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish sub-word tokens: word pieces + isolated punctuation, the
+    * pre-tokenization regex most BPE vocabularies assume. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast(LongType)
+
+  // --- language ID (n-gram/stopword heuristic) -----------------------------
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+      "on", "with", "as", "at", "by", "this", "have", "from", "or", "not"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+      "auf", "für", "von", "dem", "den", "des", "im", "sich", "auch", "als", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "dans",
+      "pour", "que", "qui", "avec", "sur", "pas", "au", "ce", "il", "ne"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "en",
+      "que", "por", "con", "para", "no", "se", "su", "al", "lo", "como"))
+
+  /** Heuristic language ID: CJK script detection, else stopword-profile
+    * argmax (deterministic tie-break by profile order, 'und' if no hits).
+    * A real system would use char-trigram profiles; the shape (per-row
+    * narrow map over a token array) is the same. */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), lower _)
+    val scores = stopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => array_contains(lit(words.toArray), t)))
+    }
+    val best = scores.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }._1
+    when(text.rlike("[\\p{IsHan}]"), lit("zh"))
+      .when(text.rlike("[\\p{IsHiragana}\\p{IsKatakana}]"), lit("ja"))
+      .when(text.rlike("[\\p{IsHangul}]"), lit("ko"))
+      .otherwise(best)
+  }
+
+  // --- quality scoring ------------------------------------------------------
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, """[^\.\!\?\,\;\:]""", ""))
+
+  /** Ratio of tokens that are common-English stopwords (model-quality
+    * heuristic: natural prose has ~0.3–0.6; keyword spam has ~0). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopwords.head._2
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(lit(en.toArray), lower(t))))
+        .cast(DoubleType) / size(toks).cast(DoubleType))
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast(DoubleType) / n.cast(DoubleType))
+  }
+
+  /** Composite document-quality score in [0,1]: stopword naturalness +
+    * plausible word lengths + low punctuation density. Deterministic; the
+    * identical formula is expressible in ANSI SQL for the oracle, and the
+    * raw double is kept un-rounded — identical IEEE op order on both sides
+    * yields bit-equal values, whereas engine `round()` implementations
+    * disagree at half boundaries. */
+  def qualityScore(text: Column): Column = {
+    val punctRatio = when(length(text) === 0, lit(0.0))
+      .otherwise(punctCount(text).cast(DoubleType) / length(text).cast(DoubleType))
+    stopwordRatio(text) * 0.4 +
+      least(meanTokenLen(text) / 10.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - punctRatio) * 0.3
+  }
+
+  // --- fingerprinting -------------------------------------------------------
+  /** Canonical content fingerprint: md5 of whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Winnowing-style rolling fingerprint: min hash over word w-grams —
+    * robust to local edits, one 64-bit value per doc, no shuffle. */
+  def rollingFingerprint(text: Column, w: Int = 5): Column = {
+    val toks = tokens(text)
+    val grams = when(size(toks) < w, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+    array_min(transform(grams, g => xxhash64(g)))
+  }
+}
