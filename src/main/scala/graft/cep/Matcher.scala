@@ -1,0 +1,125 @@
+package graft.cep
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable.{ArrayBuffer, Queue}
+
+/** Complex-event processing: MATCH_EVENT SEQ/AND/OR/NEG + WITHIN
+  * (reference: src/main/scala/dbis/piglet/op/Matcher.scala, Language.md
+  * §CEP), re-expressed as a distributed secondary-sort scan.
+  *
+  * Scale shape: `repartition(key)` + `sortWithinPartitions(key, ts, id)`
+  * + one streaming `mapPartitions` pass — the classic secondary-sort
+  * pattern. No per-group materialization (a key's events never collect
+  * into one array), no driver involvement; open partial matches are
+  * bounded by the WITHIN window so state stays O(active window), exactly
+  * what a 100 TB event log needs.
+  */
+object Matcher {
+
+  /** One pattern step over the normalized event view. */
+  sealed trait Step extends Serializable
+  /** Event must match `pred` (SEQ advance). AND/OR compose inside `pred`:
+    * `e => p(e) && q(e)` / `e => p(e) || q(e)`. */
+  final case class Pos(pred: Event => Boolean) extends Step
+  /** NEG guard between two Pos steps: if a matching event occurs while the
+    * partial waits for the NEXT Pos step, the partial dies. */
+  final case class Neg(pred: Event => Boolean) extends Step
+
+  final case class Event(key: Long, tsMicros: Long, etype: String,
+                         id: Long, value: Double)
+
+  final case class MatchResult(key: Long, ids: Seq[Long],
+                               startMicros: Long, endMicros: Long)
+
+  def typeIs(t: String): Event => Boolean = _.etype == t
+
+  /** Match a SEQ pattern per key over an event DataFrame.
+    *
+    * Semantics: skip-till-next-match — every event satisfying step 0 opens
+    * a partial match; each partial independently takes the EARLIEST later
+    * event (by ts, id) satisfying its next Pos step (events are shared
+    * between partials, so two starts can complete on the same closing
+    * event); all matched events lie within `withinMicros` of the start.
+    * Equivalent, for a 2-step pattern, to the SQL
+    * "first b after a within w" self-join — the oracle form.
+    */
+  def matchSeq(events: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, idCol: String, valueCol: String,
+               pattern: Seq[Step], withinMicros: Long): DataFrame = {
+    require(pattern.nonEmpty && pattern.head.isInstanceOf[Pos],
+      "pattern must start with a Pos step")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val nPos = pattern.count(_.isInstanceOf[Pos])
+    def nextPosIdx(from: Int): Int = {
+      var i = from
+      while (i < pattern.length && !pattern(i).isInstanceOf[Pos]) i += 1
+      i
+    }
+
+    val prepared = events.select(
+        col(keyCol).cast(LongType).as("key"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("tsMicros"),
+        col(typeCol).cast(StringType).as("etype"),
+        col(idCol).cast(LongType).as("id"),
+        col(valueCol).cast(DoubleType).as("value"))
+      .as[Event]
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsMicros"), col("id"))
+
+    val results = prepared.mapPartitions { it =>
+      new Iterator[MatchResult] {
+        final class Partial(var next: Int, val ids: ArrayBuffer[Long],
+                            val start: Long, var last: Long)
+        private var curKey = Long.MinValue
+        private val open = ArrayBuffer.empty[Partial]
+        private val out = Queue.empty[MatchResult]
+
+        private def feed(e: Event): Unit = {
+          if (e.key != curKey) { curKey = e.key; open.clear() }
+          // expire partials whose WITHIN window has closed
+          open.filterInPlace(p => e.tsMicros - p.start <= withinMicros)
+          // NEG guards preceding each partial's next Pos step
+          open.filterInPlace { p =>
+            var i = p.next - 1
+            var alive = true
+            while (i >= 0 && pattern(i).isInstanceOf[Neg]) {
+              if (pattern(i).asInstanceOf[Neg].pred(e)) alive = false
+              i -= 1
+            }
+            alive
+          }
+          // every open partial advances on its earliest matching event
+          open.foreach { p =>
+            if (pattern(p.next).asInstanceOf[Pos].pred(e) && e.tsMicros > p.last) {
+              p.ids += e.id
+              p.last = e.tsMicros
+              p.next = nextPosIdx(p.next + 1)
+              if (p.ids.length == nPos)
+                out.enqueue(MatchResult(e.key, p.ids.toSeq, p.start, e.tsMicros))
+            }
+          }
+          open.filterInPlace(p => p.ids.length < nPos)
+          // step 0 opens a new partial (overlapping starts allowed)
+          if (pattern.head.asInstanceOf[Pos].pred(e)) {
+            if (nPos == 1)
+              out.enqueue(MatchResult(e.key, Seq(e.id), e.tsMicros, e.tsMicros))
+            else
+              open += new Partial(nextPosIdx(1), ArrayBuffer(e.id),
+                e.tsMicros, e.tsMicros)
+          }
+        }
+
+        def hasNext: Boolean = {
+          while (out.isEmpty && it.hasNext) feed(it.next())
+          out.nonEmpty
+        }
+        def next(): MatchResult = out.dequeue()
+      }
+    }
+    results.toDF()
+  }
+}

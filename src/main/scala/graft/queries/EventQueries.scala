@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.cep.Matcher
+
+/** Event-time windowing + CEP coverage (SURVEY.md §2 rows 41–44) over the
+  * `events` table. Window starts are emitted as epoch seconds so the
+  * DuckDB comparison is timezone-free.
+  */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- tumbling window (#43): 1-hour buckets, count+sum per type ----------
+    "q_window_tumbling" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+                col("cnt"), col("sum_value"))),
+    // -- sliding window (#44): 1 hour every 30 min ---------------------------
+    "q_window_sliding" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("cnt"),
+                col("sum_value"))),
+    // -- session window (#44): 30-min inactivity gap per user ----------------
+    "q_window_session" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+                col("cnt"))),
+    // -- CEP SEQ (#41): signup → purchase within 1 hour per user -------------
+    "q_cep_seq" -> ((s, dir) => {
+      val m = Matcher.matchSeq(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", "value",
+        Seq(Matcher.Pos(Matcher.typeIs("signup")),
+            Matcher.Pos(Matcher.typeIs("purchase"))),
+        withinMicros = 3600L * 1000000L)
+      m.select(col("key").as("user_id"),
+               element_at(col("ids"), 1).as("start_id"),
+               element_at(col("ids"), 2).as("next_id"))
+    }),
+    // -- CEP SEQ+NEG (#41): signup → purchase with no intervening error ------
+    "q_cep_neg" -> ((s, dir) => {
+      val m = Matcher.matchSeq(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", "value",
+        Seq(Matcher.Pos(Matcher.typeIs("signup")),
+            Matcher.Neg(Matcher.typeIs("error")),
+            Matcher.Pos(Matcher.typeIs("purchase"))),
+        withinMicros = 3600L * 1000000L)
+      m.select(col("key").as("user_id"),
+               element_at(col("ids"), 1).as("start_id"),
+               element_at(col("ids"), 2).as("next_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+         event_type, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q_window_sliding" ->
+      """WITH e AS (
+           SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS ws, value FROM events
+           UNION ALL
+           SELECT CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) AS ws, value FROM events)
+         SELECT ws, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM e GROUP BY 1""",
+    "q_window_session" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                COUNT(*) AS cnt
+         FROM s GROUP BY user_id, sid""",
+    "q_cep_seq" ->
+      """WITH cand AS (
+           SELECT a.user_id, a.event_id AS start_id, b.event_id AS next_id,
+             row_number() OVER (PARTITION BY a.event_id
+               ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id AND b.ts > a.ts
+            AND epoch(b.ts) - epoch(a.ts) <= 3600
+           WHERE a.event_type = 'signup' AND b.event_type = 'purchase')
+         SELECT user_id, start_id, next_id FROM cand WHERE rn = 1""",
+    "q_cep_neg" ->
+      """WITH cand AS (
+           SELECT a.user_id, a.event_id AS start_id, b.event_id AS next_id,
+             row_number() OVER (PARTITION BY a.event_id
+               ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id AND b.ts > a.ts
+            AND epoch(b.ts) - epoch(a.ts) <= 3600
+           WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+             AND NOT EXISTS (
+               SELECT 1 FROM events n
+               WHERE n.user_id = a.user_id AND n.event_type = 'error'
+                 AND n.ts > a.ts AND n.ts < b.ts))
+         SELECT user_id, start_id, next_id FROM cand WHERE rn = 1"""
+  )
+}

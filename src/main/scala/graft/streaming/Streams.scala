@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming equivalents of the reference's stream operators
+  * (reference: op/Window.scala, op/SocketRead.scala, op/SocketWrite.scala,
+  * sparklib SparkStream / FileStreamReader).
+  *
+  * piglet compiles stream scripts to DStream code; graft declares the same
+  * dataflow on Structured Streaming so the engine gets incremental
+  * planning, watermark-based state eviction and exactly-once sinks —
+  * the properties a long-running 1000-executor pipeline needs.
+  */
+object Streams {
+
+  // ---- sources (reference: op/SocketRead.scala, FileStreamReader) ---------
+  /** SOCKET_READ 'host:port' — plain text socket source. */
+  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** Rate source — the deterministic load-generator analog of piglet's
+    * simulated streams. */
+  def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** STREAM file load: new files under `dir` become micro-batches. */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(dir)
+
+  // ---- windows (reference: op/Window.scala) --------------------------------
+  /** Tumbling/sliding event-time window aggregation with a watermark so
+    * window state is evicted once event time passes (bounded state). */
+  def windowedAgg(events: DataFrame, tsCol: String, windowDur: String,
+                  slideDur: Option[String], watermarkDelay: String,
+                  groupCols: Seq[String], aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val withWm = events.withWatermark(tsCol, watermarkDelay)
+    val w = slideDur.fold(window(col(tsCol), windowDur))(s =>
+      window(col(tsCol), windowDur, s))
+    withWm.groupBy((w +: groupCols.map(col)): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---- sinks (reference: op/SocketWrite.scala, op/Store on streams) --------
+  /** SOCKET_WRITE analog: each micro-batch is pushed through a writer
+    * callback (foreachBatch — the exactly-once escape hatch Spark offers
+    * for arbitrary sinks like sockets/ZMQ). */
+  def foreachBatchSink(df: DataFrame, name: String)
+                      (write: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream.queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch(write)
+      .start()
+
+  /** In-memory sink for tests/interactive inspection. */
+  def memorySink(df: DataFrame, name: String,
+                 mode: OutputMode = OutputMode.Complete()): StreamingQuery =
+    df.writeStream.queryName(name).outputMode(mode).format("memory").start()
+
+  /** File sink (append-only, checkpointed — the streaming STORE). */
+  def fileSink(df: DataFrame, path: String, checkpoint: String,
+               format: String = "parquet"): StreamingQuery =
+    df.writeStream.format(format)
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append()).start()
+
+  // ---- streaming CEP (reference: op/Matcher.scala on DStreams) -------------
+  /** 2-step SEQ pattern (A then B within `withinMicros`) on a stream,
+    * via flatMapGroupsWithState: per-key open-starts state, timeout-based
+    * eviction. Emits (key, startId, endId) on completion. */
+  case class SeqState(starts: List[(Long, Long)]) // (startId, startMicros)
+  case class SeqMatch(key: Long, startId: Long, endId: Long)
+
+  def streamMatchSeq(events: Dataset[graft.cep.Matcher.Event],
+                     startType: String, endType: String,
+                     withinMicros: Long): Dataset[SeqMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[SeqState, SeqMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[SeqState]) =>
+          var starts = state.getOption.map(_.starts).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SeqMatch]
+          // micro-batch events are not ordering-guaranteed; sort locally
+          it.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+            starts = starts.filter { case (_, ts) => e.tsMicros - ts <= withinMicros }
+            if (e.etype == endType) {
+              starts.foreach { case (sid, _) => out += SeqMatch(key, sid, e.id) }
+              starts = Nil // each start matches its first B only
+            }
+            if (e.etype == startType) starts ::= (e.id, e.tsMicros)
+          }
+          state.update(SeqState(starts))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.cep.Matcher
+import graft.streaming.Streams
+
+class CepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(rows: (Long, Long, String, Long)*) =
+    rows.toDF("user_id", "ts_s", "event_type", "event_id")
+      .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
+        col("event_type"), col("event_id"), lit(0.0).as("value"))
+
+  private def run(df: org.apache.spark.sql.DataFrame, steps: Seq[Matcher.Step],
+                  withinSec: Long) =
+    Matcher.matchSeq(df, "user_id", "ts", "event_type", "event_id", "value",
+        steps, withinSec * 1000000L)
+      .select("key", "ids").as[(Long, Seq[Long])].collect().toSet
+
+  test("SEQ matches first B after each A, shared closings allowed") {
+    val df = mkEvents(
+      (1L, 10L, "a", 1L), (1L, 20L, "a", 2L), (1L, 30L, "b", 3L),
+      (2L, 10L, "a", 4L), (2L, 5000L, "b", 5L)) // outside window
+    val got = run(df, Seq(Matcher.Pos(Matcher.typeIs("a")),
+      Matcher.Pos(Matcher.typeIs("b"))), withinSec = 100)
+    assert(got == Set((1L, Seq(1L, 3L)), (1L, Seq(2L, 3L))))
+  }
+
+  test("NEG kills partials on intervening event") {
+    val df = mkEvents(
+      (1L, 10L, "a", 1L), (1L, 15L, "x", 2L), (1L, 20L, "b", 3L),
+      (1L, 30L, "a", 4L), (1L, 40L, "b", 5L))
+    val got = run(df, Seq(Matcher.Pos(Matcher.typeIs("a")),
+      Matcher.Neg(Matcher.typeIs("x")),
+      Matcher.Pos(Matcher.typeIs("b"))), withinSec = 100)
+    assert(got == Set((1L, Seq(4L, 5L))))
+  }
+
+  test("three-step SEQ with AND/OR predicate composition") {
+    val df = mkEvents(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "c", 3L),
+      (1L, 40L, "d", 4L))
+    val bOrC: Matcher.Event => Boolean = e => e.etype == "b" || e.etype == "c"
+    val got = run(df, Seq(Matcher.Pos(Matcher.typeIs("a")),
+      Matcher.Pos(bOrC), Matcher.Pos(Matcher.typeIs("d"))), withinSec = 100)
+    assert(got == Set((1L, Seq(1L, 2L, 4L))))
+  }
+
+  test("WITHIN bound is inclusive and per-start") {
+    val df = mkEvents((1L, 0L, "a", 1L), (1L, 100L, "b", 2L))
+    assert(run(df, Seq(Matcher.Pos(Matcher.typeIs("a")),
+      Matcher.Pos(Matcher.typeIs("b"))), withinSec = 100) ==
+      Set((1L, Seq(1L, 2L))))
+    assert(run(df, Seq(Matcher.Pos(Matcher.typeIs("a")),
+      Matcher.Pos(Matcher.typeIs("b"))), withinSec = 99).isEmpty)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed aggregation over a memory stream emits per-window counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "etype")
+    val agg = Streams.windowedAgg(df, "ts", "10 seconds", None, "0 seconds",
+      Seq("etype"), Seq(count(lit(1)).as("cnt")))
+      .select(col("window.start").as("ws"), col("etype"), col("cnt"))
+    val q = Streams.memorySink(agg, "win_counts", OutputMode.Complete())
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    input.addData((ts(1), "x"), (ts(3), "x"), (ts(11), "y"))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select(unix_timestamp(col("ws")).as("w"), col("etype"), col("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((0L, "x", 2L), (10L, "y", 1L)))
+  }
+
+  test("streaming CEP via flatMapGroupsWithState matches across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Matcher.Event]
+    val matches = Streams.streamMatchSeq(input.toDS(), "signup", "purchase",
+      withinMicros = 100L * 1000000L)
+    val q = Streams.memorySink(matches.toDF(), "cep_out", OutputMode.Append())
+    // batch 1: signup only; batch 2: purchase — state must carry over
+    input.addData(Matcher.Event(7L, 1000000L, "signup", 1L, 0.0))
+    q.processAllAvailable()
+    input.addData(Matcher.Event(7L, 5000000L, "purchase", 2L, 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("cep_out").as[Streams.SeqMatch].collect().toSet
+    q.stop()
+    assert(rows == Set(Streams.SeqMatch(7L, 1L, 2L)))
+  }
+
+  test("file stream sink round-trips micro-batches (streaming STORE)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.fileSink(input.toDF().toDF("id", "v"),
+      s"$dir/out", s"$dir/ckpt")
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 2)
+  }
+}
