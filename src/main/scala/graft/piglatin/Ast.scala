@@ -1,0 +1,82 @@
+package graft.piglatin
+
+/** Pig Latin AST (reference grammar: src/main/scala/dbis/piglet/parser/
+  * PigParser.scala — re-derived from the language surface, not the
+  * implementation; graft compiles statements to Catalyst plans instead of
+  * emitting RDD source code). */
+object Ast {
+
+  // ---- expressions ---------------------------------------------------------
+  sealed trait Expr
+  /** Dotted reference: field, alias::field suffix, or bag.field projection. */
+  final case class FieldRef(path: Seq[String]) extends Expr
+  /** Positional reference $0, $1, ... */
+  final case class PosRef(i: Int) extends Expr
+  final case class Lit(v: Any) extends Expr
+  final case class BinOp(op: String, l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class Neg(e: Expr) extends Expr
+  final case class FuncCall(name: String, args: Seq[Expr]) extends Expr
+  final case class Flatten(e: Expr) extends Expr
+  case object Star extends Expr
+  final case class CastExpr(typeName: String, e: Expr) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+
+  final case class GenItem(expr: Expr, as: Option[String])
+
+  // ---- schema --------------------------------------------------------------
+  final case class FieldSchema(name: String, typeName: String)
+
+  // ---- nested FOREACH ------------------------------------------------------
+  sealed trait NestedOp
+  /** x = bag.field (bag projection) */
+  final case class NProj(source: Seq[String]) extends NestedOp
+  final case class NDistinct(ref: String) extends NestedOp
+  final case class NFilter(ref: String, cond: Expr) extends NestedOp
+  final case class NOrder(ref: String, desc: Boolean) extends NestedOp
+  final case class NLimit(ref: String, n: Int) extends NestedOp
+
+  // ---- statements ----------------------------------------------------------
+  sealed trait Stmt
+  final case class Load(alias: String, path: String,
+                        loader: Option[(String, Seq[String])],
+                        schema: Option[Seq[FieldSchema]]) extends Stmt
+  final case class Store(alias: String, path: String,
+                         loader: Option[(String, Seq[String])]) extends Stmt
+  final case class Dump(alias: String) extends Stmt
+  final case class Describe(alias: String) extends Stmt
+  final case class Filter(alias: String, in: String, cond: Expr) extends Stmt
+  final case class Foreach(alias: String, in: String,
+                           items: Seq[GenItem]) extends Stmt
+  final case class ForeachNested(alias: String, in: String,
+                                 assigns: Seq[(String, NestedOp)],
+                                 items: Seq[GenItem]) extends Stmt
+  final case class Group(alias: String, in: String, keys: Seq[Expr],
+                         all: Boolean) extends Stmt
+  final case class CoGroup(alias: String,
+                           ins: Seq[(String, Seq[Expr])]) extends Stmt
+  final case class Join(alias: String, ins: Seq[(String, Seq[Expr])],
+                        joinType: String) extends Stmt
+  final case class Cross(alias: String, ins: Seq[String]) extends Stmt
+  final case class Union(alias: String, ins: Seq[String]) extends Stmt
+  final case class DistinctStmt(alias: String, in: String) extends Stmt
+  final case class LimitStmt(alias: String, in: String, n: Int) extends Stmt
+  final case class OrderBy(alias: String, in: String,
+                           keys: Seq[(Expr, Boolean)]) extends Stmt
+  final case class SampleStmt(alias: String, in: String,
+                              fraction: Double) extends Stmt
+  final case class SplitInto(in: String,
+                             branches: Seq[(String, Expr)]) extends Stmt
+  final case class RankStmt(alias: String, in: String,
+                            keys: Seq[(Expr, Boolean)]) extends Stmt
+  final case class Accumulate(alias: String, in: String,
+                              items: Seq[GenItem]) extends Stmt
+  final case class IntersectStmt(alias: String, l: String, r: String) extends Stmt
+  final case class DifferenceStmt(alias: String, l: String, r: String) extends Stmt
+  final case class StreamThrough(alias: String, in: String,
+                                 opName: String) extends Stmt
+  final case class Materialize(alias: String) extends Stmt
+  final case class SetCmd(key: String, value: String) extends Stmt
+  final case class Register(path: String) extends Stmt
+  final case class DefineAlias(name: String, target: String) extends Stmt
+}

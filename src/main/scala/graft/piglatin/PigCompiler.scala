@@ -1,0 +1,556 @@
+package graft.piglatin
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Ast._
+
+/** Compiles Pig Latin statements to Catalyst plans.
+  *
+  * The reference emits Scala-RDD source per operator at compile time
+  * (reference: src/main/scala/dbis/piglet/codegen); graft instead folds
+  * each statement into a single lazy DataFrame plan, so Catalyst sees the
+  * WHOLE script at once — filters written after joins still push below
+  * them, projections prune the load, and AQE re-plans the physical joins.
+  *
+  * Key rewrite (the Catalyst-native version of the reference's textual
+  * `plan/rewriting/Rules.scala`): `GROUP` produces a *lazy* grouped
+  * relation; a `FOREACH` consuming only `group` + aggregates compiles to
+  * `groupBy().agg()` — partial aggregation, no bag ever materializes.
+  * Only a FOREACH/STORE that truly consumes the bag triggers
+  * `collect_list`.
+  */
+class PigCompiler(spark: SparkSession) {
+
+  /** A named relation: the materialized plan, plus (if produced by GROUP)
+    * the lazy grouped form that aggregate-consumers fuse into. */
+  final case class Rel(df: () => DataFrame,
+                       grouped: Option[GroupedRel] = None)
+  final case class GroupedRel(input: DataFrame, keys: Seq[Column],
+                              keyIsStruct: Boolean, bagName: String)
+
+  private val env = scala.collection.mutable.LinkedHashMap.empty[String, Rel]
+  /** side-effect outputs of STORE statements: path → df */
+  val stored = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+  /** registered Scala table functions for STREAM THROUGH */
+  val udos = scala.collection.mutable.Map.empty[String, DataFrame => DataFrame]
+
+  def relation(alias: String): DataFrame =
+    env.getOrElse(alias, sys.error(s"unknown alias $alias")).df()
+
+  def defineRelation(alias: String, df: DataFrame): Unit =
+    env(alias) = Rel(() => df)
+
+  def registerUdo(name: String, f: DataFrame => DataFrame): Unit =
+    udos(name.toUpperCase) = f
+
+  // ---- type mapping --------------------------------------------------------
+  private def sparkType(t: String): DataType = t match {
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "chararray" => StringType
+    case "bytearray" => BinaryType
+    case "boolean" => BooleanType
+    case "datetime" => TimestampType
+    case "map" => MapType(StringType, StringType)
+    case _ => StringType
+  }
+
+  // ---- column resolution ---------------------------------------------------
+  /** Resolve a dotted path against a schema: exact column; unique
+    * `alias::name` suffix; struct field access; bag (array<struct>)
+    * projection via transform. */
+  private def resolve(df: DataFrame, path: Seq[String]): Column = {
+    val cols = df.columns
+    def colNamed(n: String): Option[String] =
+      cols.find(_ == n).orElse {
+        val suffix = cols.filter(c => c.endsWith(s"::${n}"))
+        if (suffix.length == 1) Some(suffix.head) else None
+      }
+    // longest prefix of the path that names a column (handles a::b refs
+    // arriving as FieldRef(Seq(a, b)))
+    val joined = path.mkString("::")
+    colNamed(joined) match {
+      case Some(c) => col(s"`$c`")
+      case None =>
+        colNamed(path.head) match {
+          case Some(head) =>
+            val base = col(s"`$head`")
+            val dt = df.schema(head).dataType
+            dt match {
+              case ArrayType(_: StructType, _) if path.length > 1 =>
+                // bag projection: daily.symbol → array of field values
+                path.tail.foldLeft(base)((c, f) => transform(c, _.getField(f)))
+              case _ => path.tail.foldLeft(base)(_.getField(_))
+            }
+          case None => sys.error(
+            s"cannot resolve field ${path.mkString(".")} among ${cols.mkString(",")}")
+        }
+    }
+  }
+
+  private val aggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "COUNT_STAR")
+
+  // ---- expression compilation (row context) --------------------------------
+  def compileExpr(df: DataFrame, e: Expr): Column = e match {
+    case FieldRef(p) => resolve(df, p)
+    case PosRef(i) => col(s"`${df.columns(i)}`")
+    case Lit(null) => lit(null)
+    case Lit(v) => lit(v)
+    case Neg(x) => -compileExpr(df, x)
+    case Not(x) => !compileExpr(df, x)
+    case IsNull(x, false) => compileExpr(df, x).isNull
+    case IsNull(x, true) => compileExpr(df, x).isNotNull
+    case CastExpr(t, x) => compileExpr(df, x).cast(sparkType(t))
+    case Star => struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+    case Flatten(x) => compileExpr(df, x) // handled structurally in FOREACH
+    case BinOp(op, l, r) =>
+      val (a, b) = (compileExpr(df, l), compileExpr(df, r))
+      op match {
+        case "and" => a && b
+        case "or" => a || b
+        case "==" => a === b
+        case "!=" => a =!= b
+        case "<" => a < b
+        case "<=" => a <= b
+        case ">" => a > b
+        case ">=" => a >= b
+        case "matches" => a.rlike(r.asInstanceOf[Lit].v.toString)
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+      }
+    case FuncCall(name, args) => compileFunc(df, name, args)
+  }
+
+  private def compileFunc(df: DataFrame, name: String, args: Seq[Expr]): Column = {
+    import graft.functions.PigFunctions
+    def a0 = compileExpr(df, args.head)
+    name match {
+      // scalar builtins (reference: sparklib PigFuncs.scala, udf/UDF.scala)
+      case "TOKENIZE" => PigFunctions.TOKENIZE(a0)
+      case "STRSPLIT" => split(a0, args(1).asInstanceOf[Lit].v.toString)
+      case "LOWER" | "LCFIRST" => lower(a0)
+      case "UPPER" | "UCFIRST" => upper(a0)
+      case "TRIM" => trim(a0)
+      case "CONCAT" => concat(args.map(compileExpr(df, _)): _*)
+      case "STRLEN" | "SIZE" => length(a0)
+      case "SUBSTRING" =>
+        val s = args(1).asInstanceOf[Lit].v.toString.toInt
+        val e = args(2).asInstanceOf[Lit].v.toString.toInt
+        PigFunctions.SUBSTRING(a0, s, e)
+      case "STARTSWITH" => a0.startsWith(compileExpr(df, args(1)))
+      case "ENDSWITH" => a0.endsWith(compileExpr(df, args(1)))
+      case "STRCONTAINS" => a0.contains(compileExpr(df, args(1)))
+      case "INDEXOF" => instr(a0, args(1).asInstanceOf[Lit].v.toString) - 1
+      case "REPLACE" => regexp_replace(a0,
+        args(1).asInstanceOf[Lit].v.toString, args(2).asInstanceOf[Lit].v.toString)
+      case "ABS" => abs(a0)
+      case "ROUND" => round(a0)
+      case "CEIL" => ceil(a0)
+      case "FLOOR" => floor(a0)
+      case "SQRT" => sqrt(a0)
+      case "EXP" => exp(a0)
+      case "LOG" => log(a0)
+      case "LOG10" => log10(a0)
+      case "POW" => pow(a0, compileExpr(df, args(1)))
+      case "RANDOM" => rand(42L)
+      case "TODOUBLE" => a0.cast(DoubleType)
+      case "TOINT" => a0.cast(IntegerType)
+      case "TOLONG" => a0.cast(LongType)
+      case "TOSTRING" => a0.cast(StringType)
+      case "TOMAP" => map(args.map(compileExpr(df, _)): _*)
+      case "ISEMPTY" => size(a0) === 0
+      case "NONEMPTY" => size(a0) > 0
+      // aggregate names appearing in ROW context = bag functions on arrays
+      case "COUNT" => size(a0).cast(LongType)
+      case "SUM" => aggregate(a0, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+      case "AVG" => aggregate(a0, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(a0)
+      case "MIN" => array_min(a0)
+      case "MAX" => array_max(a0)
+      case "DISTINCT" => array_distinct(a0)
+      case other => sys.error(s"unknown function $other")
+    }
+  }
+
+  /** Aggregate-context compilation: FOREACH over a lazily-grouped input.
+    * `bagName` refs route to input columns; COUNT(bag) → count(*). */
+  private def compileAgg(g: GroupedRel, e: Expr, as: Option[String]): Column = {
+    val in = g.input
+    def inner(x: Expr): Column = x match {
+      case FuncCall(fn, Seq(FieldRef(Seq(b)))) if b == g.bagName && fn == "COUNT" =>
+        count(lit(1))
+      case FuncCall("COUNT", Seq(FuncCall("DISTINCT", Seq(FieldRef(p)))))
+          if p.headOption.contains(g.bagName) =>
+        countDistinct(resolve(in, p.tail))
+      case FuncCall(fn, Seq(FieldRef(p))) if p.headOption.contains(g.bagName) =>
+        val c = resolve(in, p.tail)
+        fn match {
+          case "COUNT" => count(c)
+          case "SUM" => sum(c)
+          case "AVG" => avg(c)
+          case "MIN" => min(c)
+          case "MAX" => max(c)
+          case "MEDIAN" => percentile(c, lit(0.5))
+        }
+      case FuncCall(fn, Seq(Star)) if fn == "COUNT" || fn == "COUNT_STAR" =>
+        count(lit(1))
+      case BinOp(op, l, r) =>
+        val (a, b) = (inner(l), inner(r))
+        op match {
+          case "+" => a + b; case "-" => a - b
+          case "*" => a * b; case "/" => a / b; case "%" => a % b
+        }
+      case Lit(v) => lit(v)
+      case other => sys.error(s"unsupported aggregate expr $other")
+    }
+    inner(e).as(as.getOrElse(exprName(e)))
+  }
+
+  private def exprName(e: Expr): String = e match {
+    case FieldRef(p) => p.last
+    case PosRef(i) => s"f$i"
+    case FuncCall(n, args) =>
+      (n +: args.map(exprName)).mkString("_").toLowerCase
+    case Flatten(x) => exprName(x)
+    case CastExpr(_, x) => exprName(x)
+    case Star => "all"
+    case BinOp(_, l, _) => exprName(l)
+    case _ => "expr"
+  }
+
+  /** Is this FOREACH a pure aggregate over a grouped relation? */
+  private def isAggForeach(g: GroupedRel, items: Seq[GenItem]): Boolean = {
+    def exprOk(e: Expr): Boolean = e match {
+      case FieldRef(Seq("group")) => true
+      case FieldRef(p) if p.head == "group" => true
+      case FuncCall(fn, _) if aggFns(fn) => true
+      case BinOp(_, l, r) => exprOk(l) && exprOk(r)
+      case Lit(_) => true
+      case _ => false
+    }
+    items.forall(i => exprOk(i.expr))
+  }
+
+  /** Materialize a grouped relation into (group, bag) form. */
+  private def materializeGroup(g: GroupedRel): DataFrame = {
+    val in = g.input
+    val rowStruct = struct(in.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+    val keyCol = if (g.keyIsStruct) struct(g.keys: _*).as("group")
+                 else g.keys.head.as("group")
+    if (g.keys.isEmpty)
+      in.groupBy(lit("all").as("group")).agg(collect_list(rowStruct).as(g.bagName))
+    else
+      in.groupBy(keyCol).agg(collect_list(rowStruct).as(g.bagName))
+  }
+
+  // ---- statement execution -------------------------------------------------
+  def run(stmts: Seq[Stmt]): Unit = stmts.foreach(exec)
+
+  private def exec(s: Stmt): Unit = s match {
+    case Load(a, path, loader, schema) =>
+      env(a) = Rel(() => load(path, loader, schema))
+
+    case Store(a, path, loader) =>
+      val df = relation(a)
+      val (fmt, opts) = storeFormat(loader)
+      df.write.mode("overwrite").options(opts).format(fmt).save(path)
+      stored(path) = df
+
+    case Dump(a) => relation(a).show(20, truncate = false)
+    case Describe(a) => println(relation(a).schema.treeString)
+
+    case Filter(a, in, cond) =>
+      val df = relation(in)
+      env(a) = Rel(() => df.filter(compileExpr(df, cond)))
+
+    case Foreach(a, in, items) =>
+      val rel = env(in)
+      rel.grouped match {
+        case Some(g) if isAggForeach(g, items) =>
+          // THE fusion: aggregate consumer → groupBy().agg(), no bag
+          val aggs = items.filterNot(i => isGroupRef(i.expr))
+            .map(i => compileAgg(g, i.expr, i.as))
+          val keyItems = items.filter(i => isGroupRef(i.expr))
+          val out =
+            if (g.keys.isEmpty) g.input.agg(aggs.head, aggs.tail: _*)
+            else {
+              val keyed = g.input.groupBy(
+                (if (g.keyIsStruct) struct(g.keys: _*) else g.keys.head).as("group"))
+              keyed.agg(aggs.head, aggs.tail: _*)
+            }
+          // order columns as written; rename group if aliased
+          val proj = items.map { i =>
+            if (isGroupRef(i.expr)) {
+              val c = i.expr match {
+                case FieldRef(Seq("group")) => col("group")
+                case FieldRef(p) => p.tail.foldLeft(col("group"))(_.getField(_))
+                case _ => col("group")
+              }
+              c.as(i.as.getOrElse(if (keyItems.size <= 1) "group" else exprName(i.expr)))
+            } else col(i.as.getOrElse(exprName(i.expr)))
+          }
+          env(a) = Rel(() => out.select(proj: _*))
+        case _ =>
+          val df = rel.df()
+          env(a) = Rel(() => compileForeach(df, items))
+      }
+
+    case ForeachNested(a, in, assigns, items) =>
+      val rel = env(in)
+      val base = rel.grouped.map(materializeGroup).getOrElse(rel.df())
+      env(a) = Rel(() => {
+        // derived bags as temp array columns, then generate
+        val withBags = assigns.foldLeft(base) { case (d, (name, op)) =>
+          val c = op match {
+            case NProj(p) => resolve(d, p)
+            case NDistinct(r) => array_distinct(col(s"`$r`"))
+            case NFilter(r, cond) =>
+              // element-wise filter: field refs resolve on the element
+              filter(col(s"`$r`"), x => compileElemPred(x, cond))
+            case NOrder(r, desc) => sort_array(col(s"`$r`"), asc = !desc)
+            case NLimit(r, n) => slice(col(s"`$r`"), 1, n)
+          }
+          d.withColumn(name, c)
+        }
+        compileForeach(withBags, items)
+      })
+
+    case Group(a, in, keys, all) =>
+      val rel = env(in)
+      val input = rel.df()
+      val keyCols = keys.map(k => compileExpr(input, k))
+      val g = GroupedRel(input, keyCols, keyIsStruct = keys.length > 1,
+        bagName = in)
+      env(a) = Rel(() => materializeGroup(g), grouped = Some(g))
+
+    case CoGroup(a, ins) =>
+      val parts = ins.map { case (in, keys) =>
+        val df = relation(in)
+        val keyCols = keys.map(k => compileExpr(df, k))
+        val g = GroupedRel(df, keyCols, keyIsStruct = keys.length > 1, in)
+        materializeGroup(g)
+      }
+      env(a) = Rel(() => parts.reduceLeft { (l, r) =>
+        val rr = r.withColumnRenamed("group", "group__r")
+        l.join(rr, l("group") <=> rr("group__r"), "full_outer")
+          .withColumn("group", coalesce(l("group"), rr("group__r")))
+          .drop("group__r")
+      })
+
+    case Join(a, ins, joinType) =>
+      val prefixed = ins.map { case (in, keys) =>
+        val df = relation(in)
+        val renamed = df.columns.foldLeft(df)((d, c) =>
+          d.withColumnRenamed(c, s"$in::$c"))
+        val keyCols = keys.map(k => compileExpr(renamed, k match {
+          case FieldRef(p) => FieldRef(p); case x => x }))
+        (renamed, keyCols)
+      }
+      env(a) = Rel(() => prefixed.reduceLeft[(DataFrame, Seq[Column])] {
+        case ((l, lk), (r, rk)) =>
+          val cond = lk.zip(rk).map { case (x, y) => x === y }.reduce(_ && _)
+          (l.join(r, cond, joinType), rk)
+      }._1)
+
+    case Cross(a, ins) =>
+      env(a) = Rel(() => ins.map(relation).reduceLeft(_.crossJoin(_)))
+
+    case Union(a, ins) =>
+      env(a) = Rel(() => ins.map(relation)
+        .reduceLeft(_.unionByName(_, allowMissingColumns = true)))
+
+    case DistinctStmt(a, in) =>
+      env(a) = Rel(() => relation(in).distinct())
+
+    case LimitStmt(a, in, n) =>
+      env(a) = Rel(() => relation(in).limit(n))
+
+    case OrderBy(a, in, keys) =>
+      val df = relation(in)
+      val cols = keys.map { case (e, desc) =>
+        val c = compileExpr(df, e); if (desc) c.desc else c.asc }
+      env(a) = Rel(() => df.orderBy(cols: _*))
+
+    case SampleStmt(a, in, f) =>
+      env(a) = Rel(() => relation(in).sample(withReplacement = false, f, 42L))
+
+    case SplitInto(in, branches) =>
+      val df = relation(in)
+      branches.foreach { case (name, cond) =>
+        env(name) = Rel(() => df.filter(compileExpr(df, cond)))
+      }
+
+    case RankStmt(a, in, keys) =>
+      val df = relation(in)
+      env(a) = Rel(() =>
+        if (keys.isEmpty)
+          graft.core.Pipe(df).zipWithIndex(Nil, "rank").df
+        else {
+          val ordering = keys.map { case (e, desc) =>
+            val c = compileExpr(df, e); if (desc) c.desc else c.asc }
+          // ties share ranks — scalable rank via broadcast of distinct keys
+          graft.core.Pipe(df).rankBy(
+            struct(keys.map(k => compileExpr(df, k._1)): _*), "rank").df
+        })
+
+    case Accumulate(a, in, items) =>
+      val df = relation(in)
+      // global aggregation without GROUP ALL (reference: op/Accumulate.scala)
+      val g = GroupedRel(df, Nil, keyIsStruct = false, bagName = in)
+      val aggs = items.map { i =>
+        val rewritten = i.expr match {
+          // accumulate refers to bare fields: min(f1) ≡ min(in.f1)
+          case FuncCall(fn, Seq(FieldRef(p))) if !p.headOption.contains(in) =>
+            FuncCall(fn, Seq(FieldRef(in +: p)))
+          case other => other
+        }
+        compileAgg(g, rewritten, i.as)
+      }
+      env(a) = Rel(() => df.agg(aggs.head, aggs.tail: _*))
+
+    case IntersectStmt(a, l, r) =>
+      env(a) = Rel(() => relation(l).intersect(relation(r)))
+    case DifferenceStmt(a, l, r) =>
+      env(a) = Rel(() => relation(l).except(relation(r)))
+
+    case StreamThrough(a, in, op) =>
+      val f = udos.getOrElse(op.toUpperCase,
+        sys.error(s"unregistered stream operator $op"))
+      env(a) = Rel(() => f(relation(in)))
+
+    case Materialize(a) =>
+      val df = relation(a).cache()
+      env(a) = Rel(() => df)
+
+    case SetCmd(k, v) => spark.conf.set(k, v)
+    case Register(_) => () // jars are on the classpath in graft
+    case DefineAlias(n, t) =>
+      udos.get(t.toUpperCase).foreach(f => udos(n.toUpperCase) = f)
+  }
+
+  private def isGroupRef(e: Expr): Boolean = e match {
+    case FieldRef(p) => p.head == "group"
+    case _ => false
+  }
+
+  /** Element predicate for nested FILTER: refs resolve against the array
+    * element (struct field or the element itself for scalar bags). */
+  private def compileElemPred(x: Column, cond: Expr): Column = cond match {
+    case BinOp(op, l, r) =>
+      def side(e: Expr): Column = e match {
+        case FieldRef(p) => p.foldLeft(x)((c, f) => c.getField(f))
+        case PosRef(_) => x
+        case Lit(v) => lit(v)
+        case other => sys.error(s"unsupported nested filter expr $other")
+      }
+      val (a, b) = (side(l), side(r))
+      op match {
+        case "==" => a === b; case "!=" => a =!= b
+        case "<" => a < b; case "<=" => a <= b
+        case ">" => a > b; case ">=" => a >= b
+        case "and" => compileElemPred(x, l) && compileElemPred(x, r)
+        case "or" => compileElemPred(x, l) || compileElemPred(x, r)
+      }
+    case other => sys.error(s"unsupported nested filter $other")
+  }
+
+  /** FOREACH ... GENERATE with FLATTEN support (non-grouped row context). */
+  private def compileForeach(df: DataFrame, items: Seq[GenItem]): DataFrame = {
+    val hasFlatten = items.exists(i => containsFlatten(i.expr))
+    if (!hasFlatten) {
+      df.select(items.map(i =>
+        compileExpr(df, i.expr).as(i.as.getOrElse(exprName(i.expr)))): _*)
+    } else {
+      // explode each FLATTEN left-to-right (cross of bags, Pig semantics)
+      var cur = df
+      val outCols = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+      items.zipWithIndex.foreach { case (i, idx) =>
+        i.expr match {
+          case Flatten(inner) =>
+            val c = compileExpr(cur, inner)
+            val tmp = s"__fl$idx"
+            cur = cur.withColumn(tmp, explode(c))
+            val elemType = cur.schema(tmp).dataType
+            elemType match {
+              case st: StructType if i.as.isEmpty =>
+                st.fieldNames.foreach(f =>
+                  outCols += ((f, col(tmp).getField(f))))
+              case _ =>
+                outCols += ((i.as.getOrElse(exprName(inner)), col(tmp)))
+            }
+          case e =>
+            outCols += ((i.as.getOrElse(exprName(e)), compileExpr(cur, e)))
+        }
+      }
+      cur.select(outCols.map { case (n, c) => c.as(n) }.toIndexedSeq: _*)
+    }
+  }
+
+  private def containsFlatten(e: Expr): Boolean = e match {
+    case Flatten(_) => true
+    case _ => false
+  }
+
+  // ---- LOAD / STORE --------------------------------------------------------
+  private def load(path: String, loader: Option[(String, Seq[String])],
+                   schema: Option[Seq[FieldSchema]]): DataFrame = {
+    val (name, args) = loader.getOrElse(("PigStorage", Seq("\t")))
+    val raw = name match {
+      case "PigStorage" =>
+        spark.read.option("delimiter", args.headOption.getOrElse("\t"))
+          .option("header", "false").csv(path)
+      case "TextLoader" => spark.read.text(path)
+      case "JsonStorage" => spark.read.json(path)
+      case "BinStorage" | "ParquetStorage" => spark.read.parquet(path)
+      case "RDFFileStorage" => graft.rdf.Rdf.loadNTriples(spark, path)
+      case other => spark.read.format(other.toLowerCase).load(path)
+    }
+    schema.fold(raw) { fs =>
+      val renamed = raw.toDF(fs.map(_.name): _*)
+      renamed.select(fs.map(f =>
+        col(f.name).cast(sparkType(f.typeName)).as(f.name)): _*)
+    }
+  }
+
+  private def storeFormat(loader: Option[(String, Seq[String])])
+      : (String, Map[String, String]) =
+    loader match {
+      case Some(("PigStorage", args)) =>
+        ("csv", Map("delimiter" -> args.headOption.getOrElse("\t")))
+      case Some(("JsonStorage", _)) => ("json", Map.empty)
+      case Some(("BinStorage", _)) | Some(("ParquetStorage", _)) =>
+        ("parquet", Map.empty)
+      case None => ("csv", Map("delimiter" -> "\t"))
+      case Some((other, _)) => (other.toLowerCase, Map.empty)
+    }
+}
+
+/** Public entry: run Pig Latin scripts against Spark (the piglet
+  * interpreter analog — reference: PigletInterpreterAPI / spark backend). */
+object PigScript {
+  /** Substitute `$param`s, parse, and execute; returns the compiler holding
+    * every alias for inspection. */
+  def run(spark: SparkSession, script: String,
+          params: Map[String, String] = Map.empty,
+          tables: Map[String, DataFrame] = Map.empty,
+          udos: Map[String, DataFrame => DataFrame] = Map.empty): PigCompiler = {
+    val substituted = params.foldLeft(script) { case (s, (k, v)) =>
+      s.replace(s"$$$k", v) }
+    val compiler = new PigCompiler(spark)
+    tables.foreach { case (n, df) => compiler.defineRelation(n, df) }
+    udos.foreach { case (n, f) => compiler.registerUdo(n, f) }
+    compiler.run(PigParser.parseScript(substituted))
+    compiler
+  }
+
+  /** Convenience: run and return one alias as a DataFrame. */
+  def query(spark: SparkSession, script: String, alias: String,
+            params: Map[String, String] = Map.empty,
+            tables: Map[String, DataFrame] = Map.empty): DataFrame =
+    run(spark, script, params, tables).relation(alias)
+}

@@ -1,0 +1,278 @@
+package graft.piglatin
+
+import scala.util.parsing.combinator.RegexParsers
+import Ast._
+
+/** Pig Latin parser (combinator-based). Grammar coverage mirrors the
+  * reference dialect (reference: src/main/scala/dbis/piglet/parser/
+  * PigParser.scala): the standard Pig batch statements plus the reference
+  * extensions graft supports natively (ACCUMULATE, MATERIALIZE,
+  * INTERSECTION, DIFFERENCE). Keywords are case-insensitive; aliases are
+  * case-sensitive. `--` and C-style comments are whitespace.
+  */
+object PigParser extends RegexParsers {
+
+  override protected val whiteSpace =
+    """(\s|--.*|/\*(?s:.*?)\*/)+""".r
+
+  private def kw(w: String): Parser[String] = s"(?i)\\b$w\\b".r ^^ (_ => w)
+
+  private val ident: Parser[String] = """[A-Za-z_][A-Za-z0-9_]*""".r
+  private val number: Parser[String] = """-?\d+(\.\d+)?([eE]-?\d+)?[LlFf]?""".r
+  private val quoted: Parser[String] = "'" ~> """[^']*""".r <~ "'"
+
+  // ---- expressions ---------------------------------------------------------
+  def expr: Parser[Expr] = orExpr
+
+  private def orExpr: Parser[Expr] =
+    andExpr ~ rep(kw("or") ~> andExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => BinOp("or", a, b)) }
+
+  private def andExpr: Parser[Expr] =
+    notExpr ~ rep(kw("and") ~> notExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => BinOp("and", a, b)) }
+
+  private def notExpr: Parser[Expr] =
+    kw("not") ~> notExpr ^^ Not.apply | comparison
+
+  private def comparison: Parser[Expr] =
+    additive ~ opt(
+      (kw("is") ~> kw("not") ~> kw("null") ^^ (_ => ("isnotnull", Lit(null))) |
+       kw("is") ~> kw("null") ^^ (_ => ("isnull", Lit(null))) |
+       kw("matches") ~ additive ^^ { case _ ~ r => ("matches", r) } |
+       ("==" | "!=" | "<=" | ">=" | "<" | ">") ~ additive ^^ {
+         case op ~ r => (op, r) })) ^^ {
+      case l ~ None => l
+      case l ~ Some(("isnull", _)) => IsNull(l, negated = false)
+      case l ~ Some(("isnotnull", _)) => IsNull(l, negated = true)
+      case l ~ Some((op, r)) => BinOp(op, l, r)
+    }
+
+  private def additive: Parser[Expr] =
+    multiplicative ~ rep(("+" | "-") ~ multiplicative) ^^ {
+      case h ~ t => t.foldLeft(h) { case (a, op ~ b) => BinOp(op, a, b) } }
+
+  private def multiplicative: Parser[Expr] =
+    unary ~ rep(("*" | "/" | "%") ~ unary) ^^ {
+      case h ~ t => t.foldLeft(h) { case (a, op ~ b) => BinOp(op, a, b) } }
+
+  private def unary: Parser[Expr] =
+    "-" ~> unary ^^ Neg.apply | atom
+
+  private val typeNames = Seq("int", "long", "float", "double", "chararray",
+    "bytearray", "boolean", "datetime")
+  private def typeName: Parser[String] =
+    typeNames.map(kw).reduce(_ | _)
+
+  private def atom: Parser[Expr] =
+    castExpr |
+    kw("flatten") ~> "(" ~> expr <~ ")" ^^ Flatten.apply |
+    kw("null") ^^ (_ => Lit(null)) |
+    kw("true") ^^ (_ => Lit(true)) |
+    kw("false") ^^ (_ => Lit(false)) |
+    funcCall |
+    fieldRef |
+    posRef |
+    literal |
+    "*" ^^ (_ => Star) |
+    "(" ~> expr <~ ")"
+
+  private def castExpr: Parser[Expr] =
+    ("(" ~> typeName <~ ")") ~ atom ^^ { case t ~ e => CastExpr(t, e) }
+
+  private def funcCall: Parser[Expr] =
+    ident ~ ("(" ~> repsep(expr | "*" ^^ (_ => Star), ",") <~ ")") ^^ {
+      case n ~ args => FuncCall(n.toUpperCase, args) }
+
+  private def fieldRef: Parser[Expr] =
+    ident ~ rep(("." | "::") ~> ident) ^^ { case h ~ t => FieldRef(h +: t) }
+
+  private def posRef: Parser[Expr] =
+    "$" ~> """\d+""".r ^^ (s => PosRef(s.toInt))
+
+  private def literal: Parser[Expr] =
+    quoted ^^ (s => Lit(s)) |
+    number ^^ { s =>
+      val clean = s.stripSuffix("L").stripSuffix("l")
+        .stripSuffix("F").stripSuffix("f")
+      if (clean.contains('.') || clean.toLowerCase.contains('e'))
+        Lit(clean.toDouble)
+      else Lit(clean.toLong)
+    }
+
+  // ---- schema --------------------------------------------------------------
+  private def fieldSchema: Parser[FieldSchema] =
+    ident ~ opt(":" ~> (typeName |
+      kw("map") <~ opt("[" ~ "]") |
+      kw("bag") <~ opt(bagShape) |
+      kw("tuple") <~ opt(tupleShape))) ^^ {
+      case n ~ t => FieldSchema(n, t.getOrElse("bytearray")) }
+
+  private def tupleShape: Parser[Any] = "(" ~ repsep(fieldSchema, ",") ~ ")"
+  private def bagShape: Parser[Any] =
+    "{" ~ opt(ident ~ ":") ~ kw("tuple") ~ tupleShape ~ "}"
+
+  private def schemaSpec: Parser[Seq[FieldSchema]] =
+    "(" ~> repsep(fieldSchema, ",") <~ ")"
+
+  // ---- statements ----------------------------------------------------------
+  private def usingClause: Parser[(String, Seq[String])] =
+    kw("using") ~> ident ~ opt("(" ~> repsep(quoted, ",") <~ ")") ^^ {
+      case n ~ args => (n, args.getOrElse(Nil)) }
+
+  private def load: Parser[Stmt] =
+    (ident <~ "=" <~ kw("load")) ~ quoted ~ opt(usingClause) ~
+      opt(kw("as") ~> schemaSpec) ^^ {
+      case a ~ p ~ u ~ s => Load(a, p, u, s) }
+
+  private def store: Parser[Stmt] =
+    kw("store") ~> ident ~ (kw("into") ~> quoted) ~ opt(usingClause) ^^ {
+      case a ~ p ~ u => Store(a, p, u) }
+
+  private def dump: Parser[Stmt] = kw("dump") ~> ident ^^ Dump.apply
+  private def describe: Parser[Stmt] = kw("describe") ~> ident ^^ Describe.apply
+
+  private def filter: Parser[Stmt] =
+    (ident <~ "=" <~ kw("filter")) ~ ident ~ (kw("by") ~> expr) ^^ {
+      case a ~ in ~ c => Filter(a, in, c) }
+
+  private def genItem: Parser[GenItem] =
+    expr ~ opt(kw("as") ~> (ident <~ opt(":" ~> typeName) |
+      "(" ~> ident <~ opt(":" ~> typeName) <~ ")")) ^^ {
+      case e ~ n => GenItem(e, n) }
+
+  private def nestedAssign: Parser[(String, NestedOp)] =
+    (ident <~ "=") ~ (
+      kw("distinct") ~> ident ^^ NDistinct.apply |
+      kw("filter") ~> ident ~ (kw("by") ~> expr) ^^ {
+        case r ~ c => NFilter(r, c) } |
+      kw("order") ~> ident ~ (kw("by") ~> opt("$0" | ident) ~
+        opt(kw("desc") | kw("asc"))) ^^ {
+        case r ~ (_ ~ d) => NOrder(r, d.contains("desc")) } |
+      kw("limit") ~> ident ~ number ^^ { case r ~ n => NLimit(r, n.toInt) } |
+      fieldRef ^^ { case FieldRef(p) => NProj(p) }
+    ) <~ ";" ^^ { case n ~ op => (n, op) }
+
+  private def foreach: Parser[Stmt] =
+    (ident <~ "=" <~ kw("foreach")) ~ ident ~ (
+      kw("generate") ~> repsep(genItem, ",") ^^ (Left(_)) |
+      ("{" ~> rep(nestedAssign) ~ (kw("generate") ~> repsep(genItem, ",")) <~
+        opt(";") <~ "}") ^^ (Right(_))) ^^ {
+      case a ~ in ~ Left(items) => Foreach(a, in, items)
+      case a ~ in ~ Right(assigns ~ items) => ForeachNested(a, in, assigns, items)
+    }
+
+  private def keyList: Parser[Seq[Expr]] =
+    "(" ~> rep1sep(expr, ",") <~ ")" | expr ^^ (Seq(_))
+
+  private def group: Parser[Stmt] =
+    (ident <~ "=" <~ (kw("group") | kw("cogroup"))) ~ rep1sep(
+      ident ~ (kw("all") ^^ (_ => Left(())) | kw("by") ~> keyList ^^ (Right(_))),
+      ",") ^^ {
+      case a ~ List(in ~ Left(_)) => Group(a, in, Nil, all = true)
+      case a ~ List(in ~ Right(ks)) => Group(a, in, ks, all = false)
+      case a ~ ins => CoGroup(a, ins.map {
+        case in ~ Right(ks) => (in, ks)
+        case in ~ Left(_) => (in, Nil) })
+    }
+
+  private def join: Parser[Stmt] =
+    (ident <~ "=" <~ kw("join")) ~
+      rep1sep(ident ~ (kw("by") ~> keyList) ~
+        opt((kw("left") | kw("right") | kw("full")) <~ opt(kw("outer"))), ",") ^^ {
+      case a ~ parts =>
+        val ins = parts.map { case in ~ ks ~ _ => (in, ks) }
+        val jt = parts.flatMap { case _ ~ _ ~ t => t }.headOption
+          .map { case "left" => "left"; case "right" => "right"; case _ => "full" }
+          .getOrElse("inner")
+        Join(a, ins, jt)
+    }
+
+  private def cross: Parser[Stmt] =
+    (ident <~ "=" <~ kw("cross")) ~ rep1sep(ident, ",") ^^ {
+      case a ~ ins => Cross(a, ins) }
+
+  private def union: Parser[Stmt] =
+    (ident <~ "=" <~ kw("union")) ~ opt(kw("onschema")) ~ rep1sep(ident, ",") ^^ {
+      case a ~ _ ~ ins => Union(a, ins) }
+
+  private def distinctS: Parser[Stmt] =
+    (ident <~ "=" <~ kw("distinct")) ~ ident ^^ {
+      case a ~ in => DistinctStmt(a, in) }
+
+  private def limit: Parser[Stmt] =
+    (ident <~ "=" <~ kw("limit")) ~ ident ~ number ^^ {
+      case a ~ in ~ n => LimitStmt(a, in, n.toInt) }
+
+  private def orderKey: Parser[(Expr, Boolean)] =
+    (fieldRef | posRef) ~ opt(kw("desc") | kw("asc")) ^^ {
+      case e ~ d => (e, d.contains("desc")) }
+
+  private def orderBy: Parser[Stmt] =
+    (ident <~ "=" <~ kw("order")) ~ ident ~ (kw("by") ~> rep1sep(orderKey, ",")) ^^ {
+      case a ~ in ~ ks => OrderBy(a, in, ks) }
+
+  private def sample: Parser[Stmt] =
+    (ident <~ "=" <~ kw("sample")) ~ ident ~ number ^^ {
+      case a ~ in ~ f => SampleStmt(a, in, f.toDouble) }
+
+  private def split: Parser[Stmt] =
+    kw("split") ~> ident ~ (kw("into") ~> rep1sep(
+      ident ~ (kw("if") ~> expr) ^^ { case n ~ c => (n, c) } |
+      ident ~ kw("otherwise") ^^ { case n ~ _ => (n, Lit(true)) }, ",")) ^^ {
+      case in ~ bs => SplitInto(in, bs) }
+
+  private def rank: Parser[Stmt] =
+    (ident <~ "=" <~ kw("rank")) ~ ident ~ opt(kw("by") ~> rep1sep(orderKey, ",")) ^^ {
+      case a ~ in ~ ks => RankStmt(a, in, ks.getOrElse(Nil)) }
+
+  private def accumulate: Parser[Stmt] =
+    (ident <~ "=" <~ kw("accumulate")) ~ ident ~
+      (kw("generate") ~> repsep(genItem, ",")) ^^ {
+      case a ~ in ~ items => Accumulate(a, in, items) }
+
+  private def intersection: Parser[Stmt] =
+    (ident <~ "=" <~ kw("intersect")) ~ ident ~ ("," ~> ident) ^^ {
+      case a ~ l ~ r => IntersectStmt(a, l, r) }
+
+  private def difference: Parser[Stmt] =
+    (ident <~ "=" <~ kw("difference")) ~ ident ~ ("," ~> ident) ^^ {
+      case a ~ l ~ r => DifferenceStmt(a, l, r) }
+
+  private def streamThrough: Parser[Stmt] =
+    (ident <~ "=" <~ kw("stream")) ~ ident ~ (kw("through") ~> ident) ^^ {
+      case a ~ in ~ op => StreamThrough(a, in, op) }
+
+  private def materialize: Parser[Stmt] =
+    kw("materialize") ~> ident ^^ Materialize.apply
+
+  private def setCmd: Parser[Stmt] =
+    kw("set") ~> """[A-Za-z0-9_.]+""".r ~ (quoted | """\S+""".r) ^^ {
+      case k ~ v => SetCmd(k, v) }
+
+  private def register: Parser[Stmt] =
+    kw("register") ~> (quoted | """\S+""".r) ^^ Register.apply
+
+  private def defineAlias: Parser[Stmt] =
+    kw("define") ~> ident ~ ident ^^ { case n ~ t => DefineAlias(n, t) }
+
+  private def stmt: Parser[Stmt] =
+    (load | store | dump | describe | filter | foreach | group | join |
+     cross | union | distinctS | limit | orderBy | sample | split | rank |
+     accumulate | intersection | difference | streamThrough | materialize |
+     setCmd | register | defineAlias) <~ ";"
+
+  def script: Parser[Seq[Stmt]] = rep(stmt)
+
+  /** Parse a full script; throws IllegalArgumentException with position
+    * info on failure. */
+  def parseScript(text: String): Seq[Stmt] =
+    parseAll(script, text) match {
+      case Success(stmts, _) => stmts
+      case NoSuccess(msg, rest) =>
+        throw new IllegalArgumentException(
+          s"Pig parse error at line ${rest.pos.line}, col ${rest.pos.column}: $msg")
+      case other =>
+        throw new IllegalArgumentException(s"Pig parse error: $other")
+    }
+}

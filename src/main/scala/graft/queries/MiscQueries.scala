@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.piglatin.PigScript
+import graft.rdf.Rdf
+import graft.spatial.Spatial
+import graft.matrix.MatrixOps
+
+/** Coverage for the Pig Latin front-end, RDF/BGP, spatial and matrix
+  * layers (SURVEY.md §2 rows 28, 36–40, 48–51). Spatial coordinates and
+  * matrix cells derive from integer columns so cross-engine comparisons
+  * stay exact.
+  */
+object MiscQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def deriveDir = "/root/repo/target/graft-data"
+  /** Headerless csv for PigStorage LOAD coverage. */
+  private def ensurePigCsv(s: SparkSession, dir: String): Unit = synchronized {
+    val f = new java.io.File(s"$deriveDir/pig_region")
+    if (!f.exists()) {
+      t(s, dir, "region").coalesce(1).write.mode("overwrite")
+        .option("header", "false").csv(s"$deriveDir/pig_region")
+    }
+  }
+
+  /** Deterministic integer-grid points for spatial queries. */
+  private def custPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"),
+      Spatial.point((col("c_custkey") % 97).cast("double"),
+                    ((col("c_nationkey") * 7) % 89).cast("double")).as("pt"))
+  private def suppPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").select(col("s_suppkey"),
+      Spatial.point((col("s_suppkey") % 97).cast("double"),
+                    ((col("s_nationkey") * 11) % 89).cast("double")).as("pt"))
+
+  private def nationTriples(s: SparkSession, dir: String): DataFrame =
+    Rdf.fromColumns(
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey")),
+      "n_nationkey", "urn:nation")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Pig Latin scripts end-to-end (#1–30 via the front-end) ---------------
+    "q_pig_load" -> ((s, dir) => {
+      ensurePigCsv(s, dir)
+      PigScript.query(s,
+        s"""a = LOAD '$deriveDir/pig_region' USING PigStorage(',')
+              AS (r_regionkey:int, r_name:chararray);
+            b = FILTER a BY r_regionkey > 1;
+            c = FOREACH b GENERATE r_regionkey, UPPER(r_name) AS un;""", "c")
+    }),
+    "q_pig_agg" -> ((s, dir) =>
+      PigScript.query(s,
+        """g = GROUP orders BY o_orderpriority;
+           r = FOREACH g GENERATE group AS prio, COUNT(orders) AS cnt,
+                 MAX(orders.o_totalprice) AS mx, MIN(orders.o_custkey) AS mn;""",
+        "r", tables = Map("orders" -> t(s, dir, "orders")))),
+    "q_pig_join" -> ((s, dir) =>
+      PigScript.query(s,
+        """j = JOIN lineitem BY l_orderkey, orders BY o_orderkey;
+           f = FILTER j BY l_quantity > 45;
+           r = FOREACH f GENERATE o_orderkey, l_linenumber, l_quantity,
+                 o_orderpriority;""",
+        "r", tables = Map(
+          "lineitem" -> t(s, dir, "lineitem"),
+          "orders" -> t(s, dir, "orders")))),
+    "q_pig_nested" -> ((s, dir) =>
+      PigScript.query(s,
+        """g = GROUP customer BY c_nationkey;
+           r = FOREACH g {
+             seg = customer.c_mktsegment;
+             useg = DISTINCT seg;
+             GENERATE group AS nk, COUNT(useg) AS uniq_cnt;
+           };""",
+        "r", tables = Map("customer" -> t(s, dir, "customer")))),
+    "q_pig_wordcount" -> ((s, dir) =>
+      PigScript.query(s,
+        """words = FOREACH part GENERATE FLATTEN(TOKENIZE(p_name)) AS word;
+           grpd = GROUP words BY word;
+           cnts = FOREACH grpd GENERATE group AS word, COUNT(words) AS cnt;""",
+        "cnts", tables = Map("part" -> t(s, dir, "part")))),
+
+    // -- RDF (#38–40) ----------------------------------------------------------
+    "q_rdf_load" -> ((s, dir) =>
+      nationTriples(s, dir).select("s", "p", "o")),
+    "q_tuplify" -> ((s, dir) =>
+      Rdf.tuplify(nationTriples(s, dir))
+        .select(col("s"), size(map_keys(col("po"))).as("n_preds"))),
+    "q_bgp_star" -> ((s, dir) =>
+      Rdf.bgpFilter(nationTriples(s, dir), Seq(
+        Rdf.Pattern("?x", "urn:nation#n_regionkey", "1"),
+        Rdf.Pattern("?x", "urn:nation#n_name", "?name")))
+        .select(col("x"), col("name"))),
+
+    // -- spatial (#48–50) ------------------------------------------------------
+    "q_spatial_filter" -> ((s, dir) =>
+      custPoints(s, dir)
+        .where(Spatial.inBox(col("pt"), 10, 10, 60, 60))
+        .select(col("c_custkey"), col("pt.x").as("x"), col("pt.y").as("y"))),
+    "q_spatial_join" -> ((s, dir) =>
+      Spatial.distanceJoin(custPoints(s, dir), suppPoints(s, dir),
+          "pt", "pt", radius = 5.0)
+        .select(col("c_custkey"), col("s_suppkey"))),
+
+    // -- matrix (#36–37) -------------------------------------------------------
+    "q_matrix" -> ((s, dir) => {
+      val m = MatrixOps.matrix(lit(2), lit(2), array(
+        (col("o_orderkey") % 5).cast("double"), (col("o_custkey") % 7).cast("double"),
+        (col("o_orderkey") % 3).cast("double"), lit(1.0)))
+      val sq = MatrixOps.mmul(m, m)
+      t(s, dir, "orders").select(col("o_orderkey"),
+        MatrixOps.mcell(sq, lit(0), lit(0)).as("c00"),
+        MatrixOps.mcell(sq, lit(0), lit(1)).as("c01"),
+        MatrixOps.mcell(sq, lit(1), lit(0)).as("c10"),
+        MatrixOps.mcell(sq, lit(1), lit(1)).as("c11"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pig_load" ->
+      "SELECT r_regionkey, UPPER(r_name) AS un FROM region WHERE r_regionkey > 1",
+    "q_pig_agg" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS cnt,
+         MAX(o_totalprice) AS mx, MIN(o_custkey) AS mn
+         FROM orders GROUP BY 1""",
+    "q_pig_join" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity, o_orderpriority
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_quantity > 45""",
+    "q_pig_nested" ->
+      """SELECT c_nationkey AS nk, COUNT(DISTINCT c_mktsegment) AS uniq_cnt
+         FROM customer GROUP BY 1""",
+    "q_pig_wordcount" ->
+      """SELECT word, COUNT(*) AS cnt FROM
+         (SELECT unnest(string_split_regex(p_name, '[, "]')) AS word FROM part)
+         WHERE word <> '' GROUP BY word""",
+    "q_rdf_load" ->
+      """SELECT 'urn:nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+                'urn:nation#n_name' AS p, n_name AS o FROM nation
+         UNION ALL
+         SELECT 'urn:nation/' || CAST(n_nationkey AS VARCHAR),
+                'urn:nation#n_regionkey', CAST(n_regionkey AS VARCHAR)
+         FROM nation""",
+    "q_tuplify" ->
+      """SELECT 'urn:nation/' || CAST(n_nationkey AS VARCHAR) AS s, 2 AS n_preds
+         FROM nation""",
+    "q_bgp_star" ->
+      """SELECT 'urn:nation/' || CAST(n_nationkey AS VARCHAR) AS x,
+                n_name AS name
+         FROM nation WHERE n_regionkey = 1""",
+    "q_spatial_filter" ->
+      """SELECT c_custkey,
+         CAST(c_custkey % 97 AS DOUBLE) AS x,
+         CAST((c_nationkey * 7) % 89 AS DOUBLE) AS y
+         FROM customer
+         WHERE c_custkey % 97 BETWEEN 10 AND 60
+           AND (c_nationkey * 7) % 89 BETWEEN 10 AND 60""",
+    "q_spatial_join" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer CROSS JOIN supplier
+         WHERE sqrt(power(CAST(c_custkey % 97 AS DOUBLE) - (s_suppkey % 97), 2)
+                  + power(CAST((c_nationkey * 7) % 89 AS DOUBLE) - ((s_nationkey * 11) % 89), 2)) <= 5.0""",
+    "q_matrix" ->
+      """WITH m AS (SELECT o_orderkey,
+           CAST(o_orderkey % 5 AS DOUBLE) AS a,
+           CAST(o_custkey % 7 AS DOUBLE) AS b,
+           CAST(o_orderkey % 3 AS DOUBLE) AS c,
+           CAST(1.0 AS DOUBLE) AS d
+           FROM orders)
+         SELECT o_orderkey,
+           a * a + b * c AS c00, a * b + b * d AS c01,
+           c * a + d * c AS c10, c * b + d * d AS c11
+         FROM m"""
+  )
+}

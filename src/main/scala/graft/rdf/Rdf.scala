@@ -1,0 +1,86 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RDF / SPARQL-BGP support (reference: src/main/scala/dbis/piglet/op/
+  * RDFLoad.scala, BGPFilter.scala, Tuplify.scala; mm grouping by subject).
+  *
+  * Triples live as a plain (s, p, o) DataFrame, so every SPARQL basic
+  * graph pattern compiles to equi-joins Catalyst can reorder/broadcast;
+  * predicate-constant filters push into the scan.
+  */
+object Rdf {
+
+  /** RDFLOAD: parse an N-Triples text file into (s, p, o). The line
+    * grammar (`<iri>|_:blank  <iri>  <iri>|literal .`) is a pure regex —
+    * a narrow, codegen'd map over the text scan. */
+  def loadNTriples(spark: SparkSession, path: String): DataFrame = {
+    val line = spark.read.text(path)
+    val pat = """^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s*\.\s*$"""
+    line.select(
+        regexp_extract(col("value"), pat, 1).as("s"),
+        regexp_extract(col("value"), pat, 2).as("p"),
+        regexp_extract(col("value"), pat, 3).as("o"))
+      .where(col("s") =!= "" && col("p") =!= "")
+      .select(strip(col("s")).as("s"), strip(col("p")).as("p"),
+        strip(col("o")).as("o"))
+  }
+
+  private def strip(c: Column): Column =
+    when(c.startsWith("<") && c.endsWith(">"), c.substr(lit(2), length(c) - 2))
+      .otherwise(regexp_replace(c, "^\"|\"$", ""))
+
+  /** TUPLIFY: group triples by subject into a predicate→object map
+    * (reference: op/Tuplify.scala). One shuffle on subject. */
+  def tuplify(triples: DataFrame): DataFrame =
+    triples.groupBy(col("s"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("p"), col("o")))))
+        .as("po"))
+
+  /** One triple pattern of a BGP: each position is either a variable name
+    * (starts with '?') or a constant. */
+  final case class Pattern(s: String, p: String, o: String)
+
+  private def isVar(x: String) = x.startsWith("?")
+
+  /** BGP_FILTER: match a conjunctive basic graph pattern against the
+    * triple store; returns one column per distinct variable.
+    *
+    * Compilation: each pattern is a constant-filtered scan of the triples
+    * relation; shared variables become equi-join keys. Star-joins (shared
+    * subject) and path-joins (o→s chains) both reduce to joins Catalyst
+    * reorders; constant filters prune at the parquet scan.
+    */
+  def bgpFilter(triples: DataFrame, patterns: Seq[Pattern]): DataFrame = {
+    val scans = patterns.zipWithIndex.map { case (pat, i) =>
+      var scan = triples
+      if (!isVar(pat.s)) scan = scan.where(col("s") === pat.s)
+      if (!isVar(pat.p)) scan = scan.where(col("p") === pat.p)
+      if (!isVar(pat.o)) scan = scan.where(col("o") === pat.o)
+      val varCols = Seq(
+        (if (isVar(pat.s)) Some(col("s").as(pat.s.drop(1))) else None),
+        (if (isVar(pat.p)) Some(col("p").as(pat.p.drop(1))) else None),
+        (if (isVar(pat.o)) Some(col("o").as(pat.o.drop(1))) else None)).flatten
+      scan.select(varCols: _*)
+    }
+    scans.reduceLeft { (l, r) =>
+      val shared = l.columns.intersect(r.columns).toSeq
+      if (shared.nonEmpty) l.join(r, shared) else l.crossJoin(r)
+    }
+  }
+
+  /** Derive a deterministic triple set from relational rows — the test
+    * stand-in for an N-Triples corpus (subject = entity iri, one triple
+    * per column). */
+  def fromColumns(df: DataFrame, idCol: String, prefix: String): DataFrame = {
+    val cols = df.columns.filterNot(_ == idCol)
+    val triples = cols.map { c =>
+      df.select(
+        concat(lit(s"$prefix/"), col(idCol).cast("string")).as("s"),
+        lit(s"$prefix#$c").as("p"),
+        col(c).cast("string").as("o"))
+    }
+    triples.reduce(_.unionByName(_))
+  }
+}

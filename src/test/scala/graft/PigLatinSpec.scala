@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.piglatin.{PigParser, PigScript}
+import graft.rdf.Rdf
+import graft.spatial.Spatial
+import graft.matrix.MatrixOps
+import breeze.linalg.DenseMatrix
+
+/** Front-end specs: scripts shaped like the reference's integration suite
+  * (reference: src/it/resources *.pig files) run against local data. */
+class PigLatinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parser handles the reference aggregate.pig shape") {
+    val stmts = PigParser.parseScript(
+      """a = load 'in.csv' using PigStorage(',') as (x:int, y:int);
+        |b = group a by x ;
+        |c = foreach b generate group, COUNT(a.y), SUM(a.y), AVG(a.y);
+        |store c into 'out';""".stripMargin)
+    assert(stmts.length == 4)
+  }
+
+  test("comments and case-insensitive keywords parse") {
+    val stmts = PigParser.parseScript(
+      """-- line comment
+        |A = LOAD 'f' AS (line: chararray); /* block
+        |comment */
+        |b = FILTER A by line matches '.*x.*';""".stripMargin)
+    assert(stmts.length == 2)
+  }
+
+  test("group + aggregate FOREACH fuses to groupBy().agg() — no bag in plan") {
+    val df = Seq((1, 10), (1, 20), (2, 30)).toDF("x", "y")
+    val c = PigScript.run(spark,
+      """b = group a by x;
+        |c = foreach b generate group as x, COUNT(a) as cnt, SUM(a.y) as s;
+        |""".stripMargin, tables = Map("a" -> df))
+    val out = c.relation("c")
+    val rows = out.as[(Int, Long, Double)].collect().toSet
+    assert(rows == Set((1, 2L, 30.0), (2, 1L, 30.0)))
+    // the fused plan must not contain collect_list
+    assert(!out.queryExecution.optimizedPlan.toString.contains("collect_list"))
+  }
+
+  test("bag-consuming FOREACH materializes the bag") {
+    val df = Seq((1, 10), (1, 20)).toDF("x", "y")
+    val out = PigScript.query(spark,
+      """b = group a by x;
+        |c = foreach b generate group, COUNT(DISTINCT(a.y)) as u;
+        |""".stripMargin, "c", tables = Map("a" -> df))
+    assert(out.select("u").as[Long].head() == 2L)
+  }
+
+  test("two-joins script (reference two_joins.pig shape)") {
+    val a = Seq((1, 2, 3), (4, 5, 1)).toDF("a1", "a2", "a3")
+    val b = Seq((1, 2, 3), (4, 5, 1)).toDF("b1", "b2", "b3")
+    val out = PigScript.query(spark,
+      """BF1 = FILTER B BY b1 == 4;
+        |BF2 = FILTER B BY b3 == 1;
+        |X = JOIN A BY a1, BF1 BY b1;
+        |X2 = JOIN A BY a1, BF2 BY b1;
+        |x0 = FOREACH X GENERATE a1, b1;
+        |x1 = FOREACH X2 GENERATE a1, b1;
+        |u = UNION x0, x1;""".stripMargin, "u",
+      tables = Map("A" -> a, "B" -> b))
+    assert(out.count() == 2)
+  }
+
+  test("nested foreach with distinct (reference nforeach.pig shape)") {
+    val daily = Seq(("nyse", "ibm"), ("nyse", "ibm"), ("nyse", "aapl"),
+      ("nasdaq", "msft")).toDF("exchange", "symbol")
+    val out = PigScript.query(spark,
+      """grpd = group daily by exchange;
+        |uniqcnt = foreach grpd {
+        |  sym = daily.symbol;
+        |  uniq_sym = distinct sym;
+        |  generate group, COUNT(uniq_sym) as cnt;
+        |};""".stripMargin, "uniqcnt", tables = Map("daily" -> daily))
+    val rows = out.as[(String, Long)].collect().toMap
+    assert(rows == Map("nyse" -> 2L, "nasdaq" -> 1L))
+  }
+
+  test("split, order, limit, distinct, sample, accumulate") {
+    val df = Seq(1, 2, 3, 4, 5, 5).toDF("v")
+    val c = PigScript.run(spark,
+      """split a into small if v <= 2, big if v > 2;
+        |d = distinct big;
+        |o = order d by v desc;
+        |l = limit o 2;
+        |acc = accumulate a generate min(v) as mn, max(v) as mx, count(v) as c;
+        |""".stripMargin, tables = Map("a" -> df))
+    assert(c.relation("l").as[Int].collect().toSeq == Seq(5, 4))
+    assert(c.relation("acc").as[(Int, Int, Long)].head() == ((1, 5, 6L)))
+  }
+
+  test("param substitution and SET") {
+    val df = Seq((1, "x")).toDF("k", "v")
+    val c = PigScript.run(spark,
+      """set spark.graft.test '42';
+        |f = filter t by k == $kval;""".stripMargin,
+      params = Map("kval" -> "1"), tables = Map("t" -> df))
+    assert(c.relation("f").count() == 1)
+    assert(spark.conf.get("spark.graft.test") == "42")
+  }
+
+  test("stream through runs a registered table operator") {
+    val df = Seq(1, 2).toDF("v")
+    val c = PigScript.run(spark, "b = stream a through double_it;",
+      tables = Map("a" -> df),
+      udos = Map("double_it" -> ((d: org.apache.spark.sql.DataFrame) =>
+        d.select((col("v") * 2).as("v")))))
+    assert(c.relation("b").as[Int].collect().toSet == Set(2, 4))
+  }
+}
+
+class RdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("N-Triples lines parse into stripped (s,p,o)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.nt"),
+      """<urn:a> <urn:p> <urn:b> .
+        |<urn:a> <urn:name> "Alice" .
+        |_:blank <urn:p> <urn:c> .
+        |""".stripMargin)
+    val t = Rdf.loadNTriples(spark, s"$dir/t.nt")
+    val rows = t.as[(String, String, String)].collect().toSet
+    assert(rows == Set(("urn:a", "urn:p", "urn:b"),
+      ("urn:a", "urn:name", "Alice"), ("_:blank", "urn:p", "urn:c")))
+  }
+
+  test("BGP path pattern chains o→s joins") {
+    val triples = Seq(("a", "knows", "b"), ("b", "knows", "c"),
+      ("c", "knows", "d")).toDF("s", "p", "o")
+    val out = Rdf.bgpFilter(triples, Seq(
+      Rdf.Pattern("?x", "knows", "?y"), Rdf.Pattern("?y", "knows", "?z")))
+    val rows = out.select("x", "y", "z").as[(String, String, String)]
+      .collect().toSet
+    assert(rows == Set(("a", "b", "c"), ("b", "c", "d")))
+  }
+}
+
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WKT POINT parses, box and polygon predicates work") {
+    val df = Seq("POINT (1.5 2.0)", "POINT (10 10)").toDF("wkt")
+      .select(Spatial.wktPoint(col("wkt")).as("pt"))
+    assert(df.where(Spatial.inBox(col("pt"), 0, 0, 5, 5)).count() == 1)
+    val tri = Seq((0.0, 0.0), (4.0, 0.0), (0.0, 4.0))
+    assert(df.where(Spatial.inPolygon(col("pt"), tri)).count() == 1)
+  }
+
+  test("distance join equals the naive cross-join result") {
+    val l = Seq((1L, 0.0, 0.0), (2L, 50.0, 50.0)).toDF("lid", "x", "y")
+      .select(col("lid"), Spatial.point(col("x"), col("y")).as("pt"))
+    val r = Seq((10L, 3.0, 4.0), (20L, 53.0, 54.0), (30L, 80.0, 80.0))
+      .toDF("rid", "x", "y")
+      .select(col("rid"), Spatial.point(col("x"), col("y")).as("pt"))
+    val got = Spatial.distanceJoin(l, r, "pt", "pt", 5.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 20L))) // dist exactly 5 both — inclusive
+  }
+}
+
+class MatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-cell ops and multiply match Breeze") {
+    val a = DenseMatrix((1.0, 2.0), (3.0, 4.0))
+    val b = DenseMatrix((5.0, 6.0), (7.0, 8.0))
+    val df = Seq(1).toDF("one").select(
+      MatrixOps.mmul(MatrixOps.fromLiteral(a), MatrixOps.fromLiteral(b)).as("m"))
+    val vals = df.select(col("m.values")).as[Seq[Double]].head()
+    val expected = (a * b) // Breeze reference result
+    assert(vals == Seq(expected(0, 0), expected(0, 1), expected(1, 0), expected(1, 1)))
+  }
+
+  test("block multiply reduces over the contraction index") {
+    // 2x2 of 1x1 blocks == plain 2x2 multiply
+    val a = Seq((0, 0, Seq(1.0)), (0, 1, Seq(2.0)), (1, 0, Seq(3.0)), (1, 1, Seq(4.0)))
+      .toDF("bi", "bj", "block")
+    val b = Seq((0, 0, Seq(5.0)), (0, 1, Seq(6.0)), (1, 0, Seq(7.0)), (1, 1, Seq(8.0)))
+      .toDF("bi", "bj", "block")
+    val out = MatrixOps.blockMultiply(a, b, 1)
+      .select("bi", "bj", "block").as[(Int, Int, Seq[Double])]
+      .collect().map { case (i, j, v) => ((i, j), v.head) }.toMap
+    assert(out == Map((0, 0) -> 19.0, (0, 1) -> 22.0, (1, 0) -> 43.0, (1, 1) -> 50.0))
+  }
+}
