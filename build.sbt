@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 60+ queries of whole-stage-codegen classes overflow the default
+  // 240MB code cache, after which the JIT disables and everything runs
+  // interpreted (~4x slowdowns late in a run)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -14,6 +14,15 @@ import graft.text.TextOps
   */
 object Dedup {
 
+  /** Ensure enough partitions for the CPU-heavy narrow stages (shingling,
+    * signatures). A small-file scan yields 1–2 partitions, serializing the
+    * whole pipeline onto as many cores; at real scale scans are already
+    * wide and this is a no-op. */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ---- exact dedup (hash groupBy) -----------------------------------------
   /** Exact dedup on normalized content: one shuffle on the md5 key, keeps
     * the smallest id per group (deterministic winner). */
@@ -39,13 +48,60 @@ object Dedup {
       size(array_intersect(a, b)).cast(DoubleType) /
         size(array_union(a, b)).cast(DoubleType))
 
+  /** Shingle sets as distinct 64-bit hashes (array<long>): every
+    * downstream op — minhash permutations, LSH bands, inverted indexes,
+    * Jaccard refines — works on longs, so shuffles carry 8-byte keys
+    * instead of ~100-char strings and string hashing happens once. */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** (id, sh) with sh = hashed shingle set, built in STAGED projections.
+    *
+    * The staging is load-bearing: `slice(toks, i, n)` inside a `transform`
+    * lambda re-evaluates its array operand PER OUTPUT ELEMENT, so an
+    * inline `toks = filter(split(text))` makes shingling O(|doc|²) regex
+    * work (measured 24µs/shingle). Materializing tokens as a projection
+    * first makes the lambda read an attribute — Catalyst's CollapseProject
+    * keeps non-cheap multiply-referenced aliases in their own projection,
+    * so the split runs once per row. */
+  def hashedShingleDF(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    // empty-doc filter on the RAW column: pushes to the scan. A filter on
+    // size(sh) would be pushed below the projections with the whole
+    // shingle expression inlined — evaluating the pipeline twice per row.
+    val toks = widen(df.where(length(trim(col(textCol))) > 0))
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+    val grams = toks.select(col("id"),
+      when(size(col("toks")) < n, array(xxhash64(concat_ws(" ", col("toks")))))
+        .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+        .as("grams"))
+    grams.select(col("id"), array_distinct(col("grams")).as("sh"))
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
-  /** k-permutation MinHash signature as an array<long>: sig[i] =
-    * min over shingles of hash_i(shingle). One pass over the shingle array
-    * per permutation, all inside codegen — no UDF, no shuffle. */
-  def minhashSignature(shingleCol: Column, k: Int = 32): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
+  /** k-permutation MinHash signature as an array<long>.
+    *
+    * Each shingle string is hashed ONCE (xxhash64); the k permutations are
+    * seeded xorshift64 mixes of the base hash — XOR/shift bijections on
+    * longs, so they wrap under ANSI mode (multiplication would throw
+    * ARITHMETIC_OVERFLOW) and cost ~nothing vs k string hashes. All inside
+    * codegen — no UDF, no shuffle. */
+  def minhashSignature(hashedShingleCol: Column, k: Int = 32): Column = {
+    val rnd = new scala.util.Random(42L)
+    val seeds = Seq.fill(k)(rnd.nextLong())
+    // single fold with a k-wide accumulator (not k × array_min passes):
+    // one small lambda keeps the generated code compact — the k-branch
+    // form took seconds of janino compile per stage that derives it
+    aggregate(hashedShingleCol,
+      typedLit(Seq.fill(k)(Long.MaxValue)),
+      (acc, h) => zip_with(acc, typedLit(seeds), (a, c) => {
+        val x1 = h.bitwiseXOR(c)
+        val x2 = x1.bitwiseXOR(shiftleft(x1, 13))
+        val x3 = x2.bitwiseXOR(shiftrightunsigned(x2, 7))
+        least(a, x3.bitwiseXOR(shiftleft(x3, 17)))
+      }))
+  }
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -59,39 +115,50 @@ object Dedup {
                  numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sh = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
+    // sh feeds three plan branches (both band-join sides + the refine);
+    // persist it — a few bytes per shingle — or every branch re-tokenizes
+    // the corpus and re-compiles the signature codegen
+    val sh = hashedShingleDF(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // band hash = hash of the signature slice; explode to (id, band, bh)
-    val banded = sig.select(col("id"), col("sh"),
+    // band hash per signature slice; the band join is METADATA-ONLY —
+    // (id, band, bh) rows, never the shingle arrays (8× array replication
+    // through the exchange otherwise; same late-fetch rule as multimodal)
+    val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bh")))
-    val l = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band"), col("bh"))
-    val r = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band"), col("bh"))
-    l.join(r, Seq("band", "bh"))
-      .where(col("id_a") < col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // alias self-join over the persisted bands: each side reads the cache
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()                                  // dedupe multi-band hits
+    // late fetch: re-attach shingle sets only for surviving candidates
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))          // dedupe multi-band hits
-      .agg(max(col("jaccard")).as("jaccard"))
   }
 
   // ---- SimHash -------------------------------------------------------------
   /** 64-bit SimHash per doc: per-token 64-bit hashes vote ±1 per bit
-    * position; the sign vector packs back into one long. Pure aggregation
-    * (map-side combinable), no UDF. */
+    * position; the sign vector packs back into one long.
+    *
+    * Entirely NARROW: token hashes live in a per-row array and each bit's
+    * vote is an `aggregate` fold over it — no explode, no shuffle of
+    * (doc, token) rows (an explode+groupBy shape would exchange |tokens|
+    * rows; this shape exchanges nothing). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitAggs = (0 until 64).map(i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val voted = tok.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val hs = widen(df).select(col(idCol).as("id"),
+      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+    val votes = (0 until 64).map(i =>
+      aggregate(col("hs"), lit(0), (acc, h) =>
+        acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$i"))
+    val voted = hs.select((col("id") +: votes): _*)
     val packed = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
       acc.bitwiseOR(when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
     }
@@ -109,13 +176,11 @@ object Dedup {
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("simhash"), c * width)
           .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("chunk", "cv")))
-    val l = banded.select(col("id").as("id_a"), col("simhash").as("sh_a"),
-      col("chunk"), col("cv"))
-    val r = banded.select(col("id").as("id_b"), col("simhash").as("sh_b"),
-      col("chunk"), col("cv"))
-    l.join(r, Seq("chunk", "cv")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    banded.as("l").join(banded.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
   }
@@ -128,15 +193,17 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.6,
                    maxDocFreq: Int = 100): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .where(size(col("sh")) > 0)
+    val sh = hashedShingleDF(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("id"), explode(col("sh")).as("g"))
     val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq && col("df") >= 2)
     val filtered = inv.join(rare.select("g"), Seq("g"))
-    val cands = filtered.select(col("g"), col("id").as("id_a"))
-      .join(filtered.select(col("g"), col("id").as("id_b")), Seq("g"))
-      .where(col("id_a") < col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = filtered.as("l").join(filtered.as("r"),
+        col("l.g") === col("r.g"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -156,16 +223,14 @@ object Dedup {
     import graft.sim.Similarity
     val dim = Similarity.dimOf(df, vecCol)
     val hp = Similarity.hyperplanes(planes, dim, seed)
-    val sig = df.select(col(idCol).as("id"),
+    val sig = widen(df).select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("bucket", Similarity.lshBucket(col("v"), hp))
-    val l = sig.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
-    val r = sig.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
-    l.join(r, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+    sig.as("l").join(sig.as("r"), col("l.bucket") === col("r.bucket"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
       .where(col("cosine") >= threshold)
-      .groupBy(col("id_a"), col("id_b")).agg(max(col("cosine")).as("cosine"))
   }
 
   // ---- connected components (cluster the pair graph) -----------------------

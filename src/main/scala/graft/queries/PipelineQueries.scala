@@ -84,8 +84,11 @@ object PipelineQueries {
       Dedup.simhashPairs(sims, maxDist = 3)
     }),
     "q_dedup_jaccard" -> ((s, dir) =>
+      // 5-gram shingles: near-unique on this corpus (median df = 1), so
+      // the inverted index generates candidates ~linearly; 3-grams on a
+      // ~30-word vocabulary explode quadratically
       Dedup.ngramJaccard(plantedDocs(t(s, dir, "documents")),
-        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 500)),
+        "doc_id", "text", n = 5, threshold = 0.5, maxDocFreq = 50)),
     "q_dedup_cosine" -> ((s, dir) =>
       Dedup.embeddingCosine(plantedVecs(t(s, dir, "embeddings")),
         "vec_id", "embedding", threshold = 0.999, planes = 10)),

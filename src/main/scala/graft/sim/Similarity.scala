@@ -57,10 +57,17 @@ object Similarity {
     * @param corpus  (id, vec) DataFrame — the searchable set
     * @param queries (qid, vec) DataFrame — must be broadcast-small
     */
+  /** Widen under-partitioned inputs so scoring parallelizes (small-file
+    * scans yield 1–2 partitions; no-op on already-wide scans). */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "id", qidCol: String = "qid",
                      vecCol: String = "vec"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"),
+    val c = widen(corpus).select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
     val q = queries.select(col(qidCol).as("qid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
@@ -84,8 +91,8 @@ object Similarity {
     val dim = dimOf(corpus, vecCol)
     val planeSets = (0 until bands).map(b =>
       hyperplanes(bitsPerBand, dim, seed + b))
-    def banded(df: DataFrame, id: String, out: String) =
-      df.select(col(id).as(out),
+    def banded(df0: DataFrame, id: String, out: String) =
+      widen(df0).select(col(id).as(out),
           col(vecCol).cast(ArrayType(DoubleType)).as(s"${out}_v"))
         .select(col(out), col(s"${out}_v"),
           posexplode(array(planeSets.map(p =>
