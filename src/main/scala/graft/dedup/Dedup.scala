@@ -65,19 +65,15 @@ object Dedup {
     * keeps non-cheap multiply-referenced aliases in their own projection,
     * so the split runs once per row. */
   def hashedShingleDF(df: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame = {
-    // empty-doc filter on the RAW column: pushes to the scan. A filter on
-    // size(sh) would be pushed below the projections with the whole
-    // shingle expression inlined — evaluating the pipeline twice per row.
-    val toks = widen(df.where(length(trim(col(textCol))) > 0))
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-    val grams = toks.select(col("id"),
-      when(size(col("toks")) < n, array(xxhash64(concat_ws(" ", col("toks")))))
-        .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
-          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
-        .as("grams"))
-    grams.select(col("id"), array_distinct(col("grams")).as("sh"))
-  }
+                      n: Int): DataFrame =
+    // empty-doc filter on the RAW column so it pushes to the scan; the
+    // native expression runs the tokenize→n-gram→hash→distinct loop as
+    // one compiled call per row (the HOF formulation paid interpreted
+    // per-element lambda dispatch — the measured dominant cost)
+    widen(df.where(length(trim(col(textCol))) > 0))
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleExpressions
+          .hashedShingles(col(textCol), n).as("sh"))
 
   // ---- MinHash + LSH -------------------------------------------------------
   /** k-permutation MinHash signature as an array<long>.
@@ -87,21 +83,8 @@ object Dedup {
     * longs, so they wrap under ANSI mode (multiplication would throw
     * ARITHMETIC_OVERFLOW) and cost ~nothing vs k string hashes. All inside
     * codegen — no UDF, no shuffle. */
-  def minhashSignature(hashedShingleCol: Column, k: Int = 32): Column = {
-    val rnd = new scala.util.Random(42L)
-    val seeds = Seq.fill(k)(rnd.nextLong())
-    // single fold with a k-wide accumulator (not k × array_min passes):
-    // one small lambda keeps the generated code compact — the k-branch
-    // form took seconds of janino compile per stage that derives it
-    aggregate(hashedShingleCol,
-      typedLit(Seq.fill(k)(Long.MaxValue)),
-      (acc, h) => zip_with(acc, typedLit(seeds), (a, c) => {
-        val x1 = h.bitwiseXOR(c)
-        val x2 = x1.bitwiseXOR(shiftleft(x1, 13))
-        val x3 = x2.bitwiseXOR(shiftrightunsigned(x2, 7))
-        least(a, x3.bitwiseXOR(shiftleft(x3, 17)))
-      }))
-  }
+  def minhashSignature(hashedShingleCol: Column, k: Int = 32): Column =
+    graft.functions.ShingleExpressions.minhash(hashedShingleCol, k)
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -151,19 +134,9 @@ object Dedup {
     * vote is an `aggregate` fold over it — no explode, no shuffle of
     * (doc, token) rows (an explode+groupBy shape would exchange |tokens|
     * rows; this shape exchanges nothing). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hs = widen(df).select(col(idCol).as("id"),
-      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
-    val votes = (0 until 64).map(i =>
-      aggregate(col("hs"), lit(0), (acc, h) =>
-        acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"b$i"))
-    val voted = hs.select((col("id") +: votes): _*)
-    val packed = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-    }
-    voted.select(col("id"), packed.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    widen(df).select(col(idCol).as("id"),
+      graft.functions.ShingleExpressions.simhash(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs within `maxDist` Hamming bits. Pigeonhole LSH:
     * split 64 bits into (maxDist+1) chunks — any pair within maxDist must
@@ -229,7 +202,8 @@ object Dedup {
     sig.as("l").join(sig.as("r"), col("l.bucket") === col("r.bucket"))
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
+        graft.functions.GraftFunctions.cosine(df.sparkSession,
+          col("l.v"), col("r.v")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

@@ -72,7 +72,9 @@ object Similarity {
     val q = queries.select(col(qidCol).as("qid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
-      .select(col("qid"), col("id"), cosine(col("cv"), col("qv")).as("cosine"))
+      .select(col("qid"), col("id"),
+        graft.functions.GraftFunctions.cosine(corpus.sparkSession,
+          col("cv"), col("qv")).as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -104,7 +106,8 @@ object Similarity {
       .groupBy(col("qid"), col("id"))
       .agg(first(col("qid_v")).as("qv"), first(col("id_v")).as("cv"))
     val scored = cands.select(col("qid"), col("id"),
-      cosine(col("cv"), col("qv")).as("cosine"))
+      graft.functions.GraftFunctions.cosine(corpus.sparkSession,
+        col("cv"), col("qv")).as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -136,6 +136,15 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(0) - 1.0) < 1e-12 && math.abs(got(1)) < 1e-12)
   }
 
+  test("native cosine Expression matches the HOF formulation bit-exactly") {
+    val df = emb.select(col("embedding").cast("array<double>").as("v"),
+      reverse(col("embedding").cast("array<double>")).as("w"))
+    val both = df.select(
+      Similarity.cosine(col("v"), col("w")).as("hof"),
+      graft.functions.GraftFunctions.cosine(spark, col("v"), col("w")).as("nat"))
+    assert(both.where(col("hof") =!= col("nat")).count() == 0)
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val queries = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("vec"))
