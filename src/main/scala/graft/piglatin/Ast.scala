@@ -79,4 +79,46 @@ object Ast {
   final case class SetCmd(key: String, value: String) extends Stmt
   final case class Register(path: String) extends Stmt
   final case class DefineAlias(name: String, target: String) extends Stmt
+
+  // ---- reference extensions: CEP / streaming / RDF / spatial ---------------
+  sealed trait Pat
+  final case class PSimple(name: String) extends Pat
+  final case class PSeq(items: Seq[Pat]) extends Pat
+  final case class PAnd(items: Seq[Pat]) extends Pat
+  final case class POr(items: Seq[Pat]) extends Pat
+  final case class PNeg(item: Pat) extends Pat
+
+  /** MATCH_EVENT in PATTERN p WITH (A: expr, ...) [MODE m] [WITHIN n unit] */
+  final case class MatchEvent(alias: String, in: String, pattern: Pat,
+                              defs: Seq[(String, Expr)], mode: String,
+                              withinSeconds: Long) extends Stmt
+
+  /** WINDOW in RANGE n unit SLIDE RANGE m unit | ROWS n SLIDE ROWS m */
+  final case class WindowStmt(alias: String, in: String,
+                              rows: Boolean, size: Long, sizeUnit: String,
+                              slide: Long, slideUnit: String) extends Stmt
+
+  final case class SocketRead(alias: String, address: String, mode: String,
+                              loader: Option[(String, Seq[String])],
+                              schema: Option[Seq[FieldSchema]]) extends Stmt
+  final case class SocketWrite(in: String, address: String,
+                               mode: String) extends Stmt
+
+  final case class RdfLoad(alias: String, uri: String) extends Stmt
+  final case class TuplifyStmt(alias: String, in: String, on: Expr) extends Stmt
+  /** Triple pattern term: Left(varName) for ?v / $n, Right(const). */
+  final case class TriplePat(s: Either[String, String],
+                             p: Either[String, String],
+                             o: Either[String, String])
+  final case class BgpFilter(alias: String, in: String,
+                             patterns: Seq[TriplePat]) extends Stmt
+
+  /** SPATIAL_FILTER in BY pred(...) — pred ∈ {containedby(pt, box(...)),
+    * dwithin(pt, point(x, y), r)}. */
+  final case class SpatialFilterStmt(alias: String, in: String,
+                                     pred: FuncCall) extends Stmt
+  /** SPATIAL_JOIN l, r ON dwithin(g1, g2, radius) */
+  final case class SpatialJoinStmt(alias: String, left: String, right: String,
+                                   leftGeom: String, rightGeom: String,
+                                   radius: Double) extends Stmt
 }

@@ -431,6 +431,146 @@ class PigCompiler(spark: SparkSession) {
     case Register(_) => () // jars are on the classpath in graft
     case DefineAlias(n, t) =>
       udos.get(t.toUpperCase).foreach(f => udos(n.toUpperCase) = f)
+
+    // ---- CEP (reference: op/Matcher.scala) ---------------------------------
+    case MatchEvent(a, in, pattern, defs, _, withinSec) =>
+      import graft.cep.Matcher
+      val df = relation(in)
+      // label each row with the FIRST event definition it satisfies
+      val etype = defs.foldRight(lit(null).cast(StringType)) {
+        case ((n, e), acc) => when(compileExpr(df, e), lit(n)).otherwise(acc) }
+      val tsCol = df.schema.fields
+        .find(_.dataType == TimestampType).map(_.name)
+        .getOrElse(df.columns.head)
+      val prepared = df.withColumn("__etype", etype)
+        .withColumn("__key", lit(0L))
+        .withColumn("__val", lit(0.0))
+        .withColumn("__id", xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))
+      def steps(p: Pat): Seq[Matcher.Step] = p match {
+        case PSimple(n) => Seq(Matcher.Pos(Matcher.typeIs(n)))
+        case PNeg(PSimple(n)) => Seq(Matcher.Neg(Matcher.typeIs(n)))
+        case PNeg(other) => sys.error(s"NEG over composite pattern: $other")
+        case POr(items) =>
+          val names = items.collect { case PSimple(n) => n }.toSet
+          Seq(Matcher.Pos(e => names(e.etype)))
+        case PSeq(items) => items.flatMap(steps)
+        case PAnd(_) => sys.error("top-level AND handled separately")
+      }
+      def run(p: Pat) = Matcher.matchSeq(prepared, "__key", tsCol,
+        "__etype", "__id", "__val", steps(p), withinSec * 1000000L)
+        .select(col("ids"), col("startMicros"), col("endMicros"))
+      val out = pattern match {
+        // AND(A,B): both occur in either order within the window
+        case PAnd(items) =>
+          items.permutations.map(perm => run(PSeq(perm))).reduce(_.unionByName(_))
+        case p => run(p)
+      }
+      env(a) = Rel(() => out)
+
+    // ---- WINDOW (reference: op/Window.scala) -------------------------------
+    case WindowStmt(a, in, rows, size, unit, slide, slideUnit) =>
+      val df = relation(in)
+      if (!rows) {
+        val tsCol = df.schema.fields
+          .find(_.dataType == TimestampType).map(_.name)
+          .getOrElse(sys.error("WINDOW RANGE needs a timestamp column"))
+        // Spark's TimeWindowing rule expands this projection (exploding
+        // rows into overlapping windows for sliding specs)
+        val w = window(col(tsCol), s"$size $unit", s"$slide $slideUnit")
+        env(a) = Rel(() => df.select((col("*") +: Seq(
+          w.getField("start").as("w_start"),
+          w.getField("end").as("w_end"))): _*))
+      } else {
+        require(slide == size, "ROWS windows support tumbling (slide == size)")
+        val orderCol = df.schema.fields
+          .find(_.dataType == TimestampType).map(f => col(f.name))
+          .getOrElse(col(df.columns.head))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
+        env(a) = Rel(() => df.withColumn("w_id",
+          floor((row_number().over(w) - 1) / size.toInt)))
+      }
+
+    // ---- sockets (reference: op/SocketRead/Write.scala) --------------------
+    case SocketRead(a, addr, _, loader, schema) =>
+      val Array(host, port) = addr.split(":")
+      val raw = graft.streaming.Streams.socketSource(spark, host, port.toInt)
+      val df = schema.fold(raw) { fs =>
+        val delim = loader.flatMap(_._2.headOption).getOrElse(",")
+        val parts = split(col("value"), java.util.regex.Pattern.quote(delim))
+        raw.select(fs.zipWithIndex.map { case (f, i) =>
+          element_at(parts, i + 1).cast(sparkType(f.typeName)).as(f.name)
+        }: _*)
+      }
+      env(a) = Rel(() => df)
+
+    case SocketWrite(in, addr, _) =>
+      val df = relation(in)
+      val Array(host, port) = addr.split(":")
+      def push(batch: DataFrame): Unit = {
+        val sock = new java.net.Socket(host, port.toInt)
+        try {
+          val out = new java.io.PrintWriter(sock.getOutputStream, true)
+          batch.toJSON.collect().foreach(out.println)
+        } finally sock.close()
+      }
+      if (df.isStreaming)
+        graft.streaming.Streams.foreachBatchSink(df, s"socket_$in") {
+          (batch, _) => push(batch) }
+      else push(df)
+
+    // ---- RDF (reference: op/RDFLoad/Tuplify/BGPFilter.scala) ---------------
+    case RdfLoad(a, uri) =>
+      env(a) = Rel(() => graft.rdf.Rdf.loadNTriples(spark, uri)
+        .toDF("subject", "predicate", "object"))
+
+    case TuplifyStmt(a, in, on) =>
+      val df = relation(in)
+      val subj = compileExpr(df, on)
+      env(a) = Rel(() => graft.rdf.Rdf.tuplify(
+        df.select(subj.as("s"), col(df.columns(1)).as("p"),
+          col(df.columns(2)).as("o"))))
+
+    case BgpFilter(a, in, pats) =>
+      val df = relation(in)
+      val triples = df.select(col(df.columns(0)).as("s"),
+        col(df.columns(1)).as("p"), col(df.columns(2)).as("o"))
+      val patterns = pats.map { tp =>
+        def term(t: Either[String, String]) = t match {
+          case Left(v) => s"?$v"
+          case Right(c) => c
+        }
+        graft.rdf.Rdf.Pattern(term(tp.s), term(tp.p), term(tp.o))
+      }
+      env(a) = Rel(() => graft.rdf.Rdf.bgpFilter(triples, patterns))
+
+    // ---- spatial (reference: op/SpatialFilter/SpatialJoin.scala) -----------
+    case SpatialFilterStmt(a, in, FuncCall(name, args)) =>
+      import graft.spatial.Spatial
+      val df = relation(in)
+      def num(e: Expr): Double = e match {
+        case Lit(v: Long) => v.toDouble
+        case Lit(v: Double) => v
+        case Neg(inner) => -num(inner)
+        case other => sys.error(s"expected numeric literal, got $other")
+      }
+      val cond = name match {
+        case "CONTAINEDBY" =>
+          val FuncCall("BOX", box) = args(1): @unchecked
+          Spatial.inBox(compileExpr(df, args.head),
+            num(box(0)), num(box(1)), num(box(2)), num(box(3)))
+        case "DWITHIN" =>
+          val FuncCall("POINT", pt) = args(1): @unchecked
+          Spatial.dist(compileExpr(df, args.head),
+            Spatial.point(lit(num(pt(0))), lit(num(pt(1))))) <= num(args(2))
+        case other => sys.error(s"unsupported spatial predicate $other")
+      }
+      env(a) = Rel(() => df.filter(cond))
+
+    case SpatialJoinStmt(a, l, r, lg, rg, radius) =>
+      val ld = relation(l)
+      val rd = relation(r)
+      env(a) = Rel(() =>
+        graft.spatial.Spatial.distanceJoin(ld, rd, lg, rg, radius))
   }
 
   private def isGroupRef(e: Expr): Boolean = e match {

@@ -256,10 +256,99 @@ object PigParser extends RegexParsers {
   private def defineAlias: Parser[Stmt] =
     kw("define") ~> ident ~ ident ^^ { case n ~ t => DefineAlias(n, t) }
 
+  // ---- reference extensions (CEP / streaming / RDF / spatial) --------------
+  private def pat: Parser[Pat] =
+    kw("seq") ~> "(" ~> rep1sep(pat, ",") <~ ")" ^^ PSeq.apply |
+    kw("and") ~> "(" ~> rep1sep(pat, ",") <~ ")" ^^ PAnd.apply |
+    kw("or") ~> "(" ~> rep1sep(pat, ",") <~ ")" ^^ POr.apply |
+    kw("neg") ~> "(" ~> pat <~ ")" ^^ PNeg.apply |
+    ident ^^ PSimple.apply
+
+  private def timeUnit: Parser[String] =
+    "(?i)\\b(seconds?|minutes?|hours?|days?)\\b".r ^^ (_.toLowerCase)
+
+  private def matchEvent: Parser[Stmt] =
+    (ident <~ "=" <~ kw("match_event")) ~ ident ~ (kw("pattern") ~> pat) ~
+      (kw("with") ~> "(" ~> rep1sep((ident <~ ":") ~ expr ^^ {
+        case n ~ e => (n, e) }, ",") <~ ")") ~
+      opt(kw("mode") ~> ident) ~
+      opt(kw("within") ~> number ~ timeUnit) ^^ {
+      case a ~ in ~ p ~ defs ~ mode ~ within =>
+        val secs = within.map { case n ~ u =>
+          val mult = u.stripSuffix("s") match {
+            case "second" => 1L; case "minute" => 60L
+            case "hour" => 3600L; case _ => 86400L
+          }
+          n.toLong * mult
+        }.getOrElse(Long.MaxValue / 2000000L)
+        MatchEvent(a, in, p, defs, mode.getOrElse("skip_till_next_match"), secs)
+    }
+
+  private def windowSpec: Parser[(Boolean, Long, String)] =
+    kw("range") ~> number ~ timeUnit ^^ { case n ~ u => (false, n.toLong, u) } |
+    kw("rows") ~> number ^^ (n => (true, n.toLong, ""))
+
+  private def windowStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("window")) ~ ident ~ windowSpec ~
+      opt(kw("slide") ~> windowSpec) ^^ {
+      case a ~ in ~ ((rows, size, unit)) ~ slide =>
+        val (_, ss, su) = slide.getOrElse((rows, size, unit))
+        WindowStmt(a, in, rows, size, unit, ss, su)
+    }
+
+  private def socketRead: Parser[Stmt] =
+    (ident <~ "=" <~ kw("socket_read")) ~ quoted ~
+      opt(kw("mode") ~> ident) ~ opt(usingClause) ~
+      opt(kw("as") ~> schemaSpec) ^^ {
+      case a ~ addr ~ mode ~ u ~ s =>
+        SocketRead(a, addr, mode.getOrElse("plain"), u, s)
+    }
+
+  private def socketWrite: Parser[Stmt] =
+    kw("socket_write") ~> ident ~ (kw("to") ~> quoted) ~
+      opt(kw("mode") ~> ident) ^^ {
+      case in ~ addr ~ mode => SocketWrite(in, addr, mode.getOrElse("plain"))
+    }
+
+  private def rdfLoad: Parser[Stmt] =
+    (ident <~ "=" <~ kw("rdfload")) ~ ("(" ~> quoted <~ ")") ^^ {
+      case a ~ uri => RdfLoad(a, uri) }
+
+  private def tuplify: Parser[Stmt] =
+    (ident <~ "=" <~ kw("tuplify")) ~ ident ~ (kw("on") ~> (fieldRef | posRef)) ^^ {
+      case a ~ in ~ on => TuplifyStmt(a, in, on) }
+
+  private def tripleTerm: Parser[Either[String, String]] =
+    "?" ~> ident ^^ (v => Left(v)) |
+    "$" ~> """\d+""".r ^^ (n => Left(s"v$n")) |
+    "\"" ~> """[^"]*""".r <~ "\"" ^^ (c => Right(c)) |
+    "<" ~> """[^>]*""".r <~ ">" ^^ (c => Right(c))
+
+  private def bgpFilter: Parser[Stmt] =
+    (ident <~ "=" <~ kw("bgp_filter")) ~ ident ~
+      (kw("by") ~> "{" ~> rep1sep(
+        tripleTerm ~ tripleTerm ~ tripleTerm ^^ {
+          case s ~ p ~ o => TriplePat(s, p, o) }, ".") <~ "}") ^^ {
+      case a ~ in ~ pats => BgpFilter(a, in, pats) }
+
+  private def spatialFilter: Parser[Stmt] =
+    (ident <~ "=" <~ kw("spatial_filter")) ~ ident ~ (kw("by") ~> funcCall) ^^ {
+      case a ~ in ~ (f: FuncCall) => SpatialFilterStmt(a, in, f) }
+
+  private def spatialJoin: Parser[Stmt] =
+    (ident <~ "=" <~ kw("spatial_join")) ~ ident ~ ("," ~> ident) ~
+      (kw("on") ~> kw("dwithin") ~> "(" ~> fieldRef ~ ("," ~> fieldRef) ~
+        ("," ~> number) <~ ")") ^^ {
+      case a ~ l ~ r ~ (FieldRef(lg) ~ FieldRef(rg) ~ rad) =>
+        SpatialJoinStmt(a, l, r, lg.mkString("."), rg.mkString("."), rad.toDouble)
+    }
+
   private def stmt: Parser[Stmt] =
     (load | store | dump | describe | filter | foreach | group | join |
      cross | union | distinctS | limit | orderBy | sample | split | rank |
      accumulate | intersection | difference | streamThrough | materialize |
+     matchEvent | windowStmt | socketRead | socketWrite | rdfLoad | tuplify |
+     bgpFilter | spatialFilter | spatialJoin |
      setCmd | register | defineAlias) <~ ";"
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

@@ -104,6 +104,73 @@ class PigLatinSpec extends SparkSpec {
     assert(spark.conf.get("spark.graft.test") == "42")
   }
 
+  test("MATCH_EVENT statement compiles the reference CEP syntax") {
+    val events = Seq(
+      (1000L, "login", 7L), (1005L, "buy", 7L),
+      (2000L, "login", 8L), (9000L, "buy", 8L)) // outside WITHIN
+      .toDF("ts_s", "kind", "uid")
+      .select(timestamp_seconds(col("ts_s")).as("ts"), col("kind"), col("uid"))
+    val out = PigScript.query(spark,
+      """m = MATCH_EVENT ev PATTERN seq(A, B)
+        |      WITH (A: kind == 'login', B: kind == 'buy')
+        |      WITHIN 30 seconds;""".stripMargin, "m",
+      tables = Map("ev" -> events))
+    assert(out.count() == 1) // only the 7L pair is within 30s
+  }
+
+  test("MATCH_EVENT with OR and NEG composite patterns") {
+    val events = Seq((1L, "a"), (2L, "x"), (3L, "c"), (11L, "b"), (12L, "c"))
+      .toDF("ts_s", "kind")
+      .select(timestamp_seconds(col("ts_s")).as("ts"), col("kind"))
+    val out = PigScript.query(spark,
+      """m = MATCH_EVENT ev PATTERN seq(or(A, B), neg(X), C)
+        |      WITH (A: kind == 'a', B: kind == 'b', X: kind == 'x',
+        |            C: kind == 'c')
+        |      WITHIN 100 seconds;""".stripMargin, "m",
+      tables = Map("ev" -> events))
+    // 'a' start is killed by the intervening 'x'; 'b' start completes
+    assert(out.count() == 1)
+  }
+
+  test("WINDOW RANGE statement attaches (exploding) event-time windows") {
+    val events = Seq(1L, 5L, 11L).toDF("ts_s")
+      .select(timestamp_seconds(col("ts_s")).as("ts"))
+    val out = PigScript.query(spark,
+      "w = WINDOW ev RANGE 10 seconds SLIDE RANGE 5 seconds;", "w",
+      tables = Map("ev" -> events))
+    // sliding 10s/5s: every event lands in 2 windows
+    assert(out.count() == 6)
+    assert(out.columns.contains("w_start") && out.columns.contains("w_end"))
+  }
+
+  test("RDFLOAD + TUPLIFY + BGP_FILTER statements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pig_nt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/d.nt"),
+      """<urn:p1> <urn:name> "Ann" .
+        |<urn:p1> <urn:age> "30" .
+        |<urn:p2> <urn:name> "Bob" .
+        |""".stripMargin)
+    val c = PigScript.run(spark,
+      s"""t = RDFLOAD('$dir/d.nt');
+         |g = TUPLIFY t ON subject;
+         |n = BGP_FILTER t BY { ?x "urn:name" ?who };""".stripMargin)
+    assert(c.relation("t").count() == 3)
+    assert(c.relation("g").count() == 2)
+    val names = c.relation("n").select("who").as[String].collect().toSet
+    assert(names == Set("Ann", "Bob"))
+  }
+
+  test("SPATIAL_FILTER and SPATIAL_JOIN statements") {
+    val pts = Seq((1L, 1.0, 1.0), (2L, 9.0, 9.0)).toDF("id", "x", "y")
+      .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    val c = PigScript.run(spark,
+      """f = SPATIAL_FILTER p BY containedby(pt, box(0, 0, 5, 5));
+        |j = SPATIAL_JOIN p, q ON dwithin(pt, pt, 2.0);""".stripMargin,
+      tables = Map("p" -> pts, "q" -> pts))
+    assert(c.relation("f").count() == 1)
+    assert(c.relation("j").count() == 2) // each point matches itself only
+  }
+
   test("stream through runs a registered table operator") {
     val df = Seq(1, 2).toDF("v")
     val c = PigScript.run(spark, "b = stream a through double_it;",
