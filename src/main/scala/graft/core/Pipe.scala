@@ -192,6 +192,15 @@ final case class Pipe(df: DataFrame) {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** reference: op/RScript.scala (`RSCRIPT a USING '<R code>'`). Out of
+    * scope by design: no R runtime ships in this environment. The shape a
+    * real implementation takes is [[throughPartitions]] feeding an Rserve/
+    * FastR bridge per partition; left unimplemented rather than faked. */
+  def rscript(script: String): Pipe =
+    throw new UnsupportedOperationException(
+      s"RSCRIPT requires an R runtime (script: ${script.take(40)}...); " +
+        "use through/throughPartitions with a JVM function instead")
+
   // ---- STORE ------------------------------------------------------------------------
   /** reference: op/Store.scala + sparklib Storage.scala. */
   def store(path: String, format: String = "parquet",

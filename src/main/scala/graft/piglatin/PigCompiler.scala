@@ -34,6 +34,9 @@ class PigCompiler(spark: SparkSession) {
   val stored = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
   /** registered Scala table functions for STREAM THROUGH */
   val udos = scala.collection.mutable.Map.empty[String, DataFrame => DataFrame]
+  /** scalar fns from embedded `<% %>` Scala blocks (by UPPER name) */
+  val embeddedUdfs = scala.collection.mutable.Map
+    .empty[String, EmbeddedCode.EmbeddedFn]
 
   def relation(alias: String): DataFrame =
     env.getOrElse(alias, sys.error(s"unknown alias $alias")).df()
@@ -173,7 +176,12 @@ class PigCompiler(spark: SparkSession) {
       case "MIN" => array_min(a0)
       case "MAX" => array_max(a0)
       case "DISTINCT" => array_distinct(a0)
-      case other => sys.error(s"unknown function $other")
+      case other =>
+        embeddedUdfs.get(other) match {
+          case Some(fn) =>
+            EmbeddedCode.asColumn(fn, args.map(compileExpr(df, _)))
+          case None => sys.error(s"unknown function $other")
+        }
     }
   }
 
@@ -681,10 +689,12 @@ object PigScript {
           udos: Map[String, DataFrame => DataFrame] = Map.empty): PigCompiler = {
     val substituted = params.foldLeft(script) { case (s, (k, v)) =>
       s.replace(s"$$$k", v) }
+    val (cleaned, embedded) = EmbeddedCode.extract(substituted)
     val compiler = new PigCompiler(spark)
+    compiler.embeddedUdfs ++= embedded
     tables.foreach { case (n, df) => compiler.defineRelation(n, df) }
     udos.foreach { case (n, f) => compiler.registerUdo(n, f) }
-    compiler.run(PigParser.parseScript(substituted))
+    compiler.run(PigParser.parseScript(cleaned))
     compiler
   }
 

@@ -171,6 +171,17 @@ class PigLatinSpec extends SparkSpec {
     assert(c.relation("j").count() == 2) // each point matches itself only
   }
 
+  test("embedded Scala code block defines usable functions (embedded.pig shape)") {
+    val df = Seq((1, 2), (3, 4)).toDF("f1", "f2")
+    val out = PigScript.query(spark,
+      """<%
+        |def myFunc(i1: Int, i2: Int): Int = i1 + i2
+        |%>
+        |B = FOREACH A GENERATE myFunc(f1, f2) AS s;""".stripMargin, "B",
+      tables = Map("A" -> df))
+    assert(out.as[Int].collect().toSet == Set(3, 7))
+  }
+
   test("stream through runs a registered table operator") {
     val df = Seq(1, 2).toDF("v")
     val c = PigScript.run(spark, "b = stream a through double_it;",
