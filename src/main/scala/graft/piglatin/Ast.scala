@@ -75,6 +75,8 @@ object Ast {
   final case class DifferenceStmt(alias: String, l: String, r: String) extends Stmt
   final case class StreamThrough(alias: String, in: String,
                                  opName: String) extends Stmt
+  final case class RScriptStmt(alias: String, in: String,
+                               code: String) extends Stmt
   final case class Materialize(alias: String) extends Stmt
   final case class SetCmd(key: String, value: String) extends Stmt
   final case class Register(path: String) extends Stmt
@@ -117,8 +119,11 @@ object Ast {
     * dwithin(pt, point(x, y), r)}. */
   final case class SpatialFilterStmt(alias: String, in: String,
                                      pred: FuncCall) extends Stmt
-  /** SPATIAL_JOIN l, r ON dwithin(g1, g2, radius) */
+  /** SPATIAL_JOIN l, r ON pred(g1, g2[, radius]) —
+    * pred ∈ {dwithin, containedby, contains, intersects}. */
   final case class SpatialJoinStmt(alias: String, left: String, right: String,
-                                   leftGeom: String, rightGeom: String,
-                                   radius: Double) extends Stmt
+                                   pred: FuncCall) extends Stmt
+  /** c = PARTITION b ON geom USING grid(...) (reference op/Partition). */
+  final case class PartitionStmt(alias: String, in: String,
+                                 geomField: String) extends Stmt
 }

@@ -54,6 +54,10 @@ object EmbeddedCode {
       name.toUpperCase -> EmbeddedFn(name, code, arity, dataTypeOf(m.group(3)))
     }.toMap
 
+  /** Strip blocks without compiling (parse-compatibility sweeps). */
+  def blockStrip(script: String): (String, Unit) =
+    (blockRe.replaceAllIn(script, ""), ())
+
   def extract(script: String): (String, Map[String, EmbeddedFn]) = {
     val fns = blockRe.findAllMatchIn(script)
       .flatMap(m => compile(m.group(1))).toMap

@@ -169,6 +169,14 @@ class PigCompiler(spark: SparkSession) {
       case "TOMAP" => map(args.map(compileExpr(df, _)): _*)
       case "ISEMPTY" => size(a0) === 0
       case "NONEMPTY" => size(a0) > 0
+      // constructors: (e1,e2) / {e1,e2} / [k,v,...] (reference construct.pig)
+      case "TOTUPLE" => struct(args.map(compileExpr(df, _)): _*)
+      case "TOBAG" => array(args.map(compileExpr(df, _)): _*)
+      // geometry + matrix constructors (reference spatial / matrix dialect)
+      case "GEOMETRY" => graft.spatial.Spatial.wktPoint(a0)
+      case "DDMATRIX" | "DIMATRIX" | "SDMATRIX" | "SIMATRIX" =>
+        graft.matrix.MatrixOps.matrix(compileExpr(df, args(0)),
+          compileExpr(df, args(1)), compileExpr(df, args(2)))
       // aggregate names appearing in ROW context = bag functions on arrays
       case "COUNT" => size(a0).cast(LongType)
       case "SUM" => aggregate(a0, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
@@ -431,6 +439,11 @@ class PigCompiler(spark: SparkSession) {
         sys.error(s"unregistered stream operator $op"))
       env(a) = Rel(() => f(relation(in)))
 
+    case RScriptStmt(a, in, code) =>
+      val df = relation(in)
+      // documented unsupported: surfaces the Pipe.rscript stub lazily
+      env(a) = Rel(() => graft.core.Pipe(df).rscript(code).df)
+
     case Materialize(a) =>
       val df = relation(a).cache()
       env(a) = Rel(() => df)
@@ -574,11 +587,32 @@ class PigCompiler(spark: SparkSession) {
       }
       env(a) = Rel(() => df.filter(cond))
 
-    case SpatialJoinStmt(a, l, r, lg, rg, radius) =>
+    case SpatialJoinStmt(a, l, r, FuncCall(pname, pargs)) =>
       val ld = relation(l)
       val rd = relation(r)
+      def geomName(e: Expr) = e match {
+        case FieldRef(p) => p.mkString(".")
+        case other => sys.error(s"spatial join needs geometry fields, got $other")
+      }
+      val (lg, rg) = (geomName(pargs(0)), geomName(pargs(1)))
+      val radius = pname match {
+        case "DWITHIN" => pargs(2) match {
+          case Lit(v: Long) => v.toDouble
+          case Lit(v: Double) => v
+          case other => sys.error(s"dwithin radius must be a literal: $other")
+        }
+        // point-point containment/intersection = coordinate equality
+        case "CONTAINEDBY" | "CONTAINS" | "INTERSECTS" => 0.0
+        case other => sys.error(s"unsupported spatial join predicate $other")
+      }
       env(a) = Rel(() =>
         graft.spatial.Spatial.distanceJoin(ld, rd, lg, rg, radius))
+
+    case PartitionStmt(a, in, geomField) =>
+      val df = relation(in)
+      env(a) = Rel(() => graft.spatial.Spatial.spatialIndex(
+        df, geomField, cellSize = 1.0,
+        partitions = spark.sparkContext.defaultParallelism))
   }
 
   private def isGroupRef(e: Expr): Boolean = e match {
@@ -681,15 +715,57 @@ class PigCompiler(spark: SparkSession) {
 /** Public entry: run Pig Latin scripts against Spark (the piglet
   * interpreter analog — reference: PigletInterpreterAPI / spark backend). */
 object PigScript {
-  /** Substitute `$param`s, parse, and execute; returns the compiler holding
-    * every alias for inspection. */
+  private val macroRe =
+    """(?is)DEFINE\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+RETURNS\s+([A-Za-z_]\w*)\s*\{(.*?)\};""".r
+  private val invokeRe =
+    """(?m)^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\(([^)]*)\)\s*;""".r
+  private val importRe = """(?i)IMPORT\s+'([^']+)'\s*;""".r
+
+  /** DEFINE name(params) RETURNS out { body }; — textual expansion, the
+    * macro model of the reference (op/MacroOp.scala). */
+  private[graft] def expandMacros(script: String): String = {
+    val macros = macroRe.findAllMatchIn(script).map { m =>
+      m.group(1) -> (m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        m.group(3), m.group(4))
+    }.toMap
+    val stripped = macroRe.replaceAllIn(script, "")
+    if (macros.isEmpty) stripped
+    else invokeRe.replaceAllIn(stripped, m =>
+      java.util.regex.Matcher.quoteReplacement(macros.get(m.group(2)) match {
+        case Some((params, outAlias, body)) =>
+          val args = m.group(3).split(",").map(_.trim)
+          val bound = params.zip(args).foldLeft(body) { case (b, (p, a)) =>
+            b.replace(s"$$$p", a) }
+          bound.replace(s"$$$outAlias", m.group(1))
+        case None => m.matched
+      }))
+  }
+
+  /** IMPORT 'file.pig'; — inline the file (resolved against importBase). */
+  private[graft] def expandImports(script: String,
+                                      importBase: Option[String]): String =
+    importRe.replaceAllIn(script, m => {
+      val raw = java.nio.file.Paths.get(m.group(1))
+      val resolved =
+        if (raw.isAbsolute) raw
+        else importBase.map(b => java.nio.file.Paths.get(b).resolve(raw))
+          .filter(java.nio.file.Files.exists(_)).getOrElse(raw)
+      java.util.regex.Matcher.quoteReplacement(
+        java.nio.file.Files.readString(resolved))
+    })
+
+  /** Substitute `$param`s, inline IMPORTs, expand macros, compile embedded
+    * Scala, parse, execute; returns the compiler holding every alias. */
   def run(spark: SparkSession, script: String,
           params: Map[String, String] = Map.empty,
           tables: Map[String, DataFrame] = Map.empty,
-          udos: Map[String, DataFrame => DataFrame] = Map.empty): PigCompiler = {
+          udos: Map[String, DataFrame => DataFrame] = Map.empty,
+          importBase: Option[String] = None): PigCompiler = {
     val substituted = params.foldLeft(script) { case (s, (k, v)) =>
       s.replace(s"$$$k", v) }
-    val (cleaned, embedded) = EmbeddedCode.extract(substituted)
+    val imported = expandImports(substituted, importBase)
+    val expanded = expandMacros(imported)
+    val (cleaned, embedded) = EmbeddedCode.extract(expanded)
     val compiler = new PigCompiler(spark)
     compiler.embeddedUdfs ++= embedded
     tables.foreach { case (n, df) => compiler.defineRelation(n, df) }

@@ -20,6 +20,7 @@ object PigParser extends RegexParsers {
   private val ident: Parser[String] = """[A-Za-z_][A-Za-z0-9_]*""".r
   private val number: Parser[String] = """-?\d+(\.\d+)?([eE]-?\d+)?[LlFf]?""".r
   private val quoted: Parser[String] = "'" ~> """[^']*""".r <~ "'"
+  private val dquoted: Parser[String] = "\"" ~> """[^"]*""".r <~ "\""
 
   // ---- expressions ---------------------------------------------------------
   def expr: Parser[Expr] = orExpr
@@ -75,14 +76,19 @@ object PigParser extends RegexParsers {
     posRef |
     literal |
     "*" ^^ (_ => Star) |
-    "(" ~> expr <~ ")"
+    // (e) is grouping; (e1, e2, ...) is Pig's tuple constructor
+    "(" ~> rep1sep(expr, ",") <~ ")" ^^ {
+      case Seq(one) => one
+      case many => FuncCall("TOTUPLE", many) } |
+    "{" ~> rep1sep(expr, ",") <~ "}" ^^ (es => FuncCall("TOBAG", es)) |
+    "[" ~> rep1sep(expr, ",") <~ "]" ^^ (es => FuncCall("TOMAP", es))
 
   private def castExpr: Parser[Expr] =
     ("(" ~> typeName <~ ")") ~ atom ^^ { case t ~ e => CastExpr(t, e) }
 
   private def funcCall: Parser[Expr] =
-    ident ~ ("(" ~> repsep(expr | "*" ^^ (_ => Star), ",") <~ ")") ^^ {
-      case n ~ args => FuncCall(n.toUpperCase, args) }
+    rep1sep(ident, ".") ~ ("(" ~> repsep(expr | "*" ^^ (_ => Star), ",") <~ ")") ^^ {
+      case parts ~ args => FuncCall(parts.mkString(".").toUpperCase, args) }
 
   private def fieldRef: Parser[Expr] =
     ident ~ rep(("." | "::") ~> ident) ^^ { case h ~ t => FieldRef(h +: t) }
@@ -91,7 +97,7 @@ object PigParser extends RegexParsers {
     "$" ~> """\d+""".r ^^ (s => PosRef(s.toInt))
 
   private def literal: Parser[Expr] =
-    quoted ^^ (s => Lit(s)) |
+    (quoted | dquoted) ^^ (s => Lit(s)) |
     number ^^ { s =>
       val clean = s.stripSuffix("L").stripSuffix("l")
         .stripSuffix("F").stripSuffix("f")
@@ -105,7 +111,8 @@ object PigParser extends RegexParsers {
     ident ~ opt(":" ~> (typeName |
       kw("map") <~ opt("[" ~ "]") |
       kw("bag") <~ opt(bagShape) |
-      kw("tuple") <~ opt(tupleShape))) ^^ {
+      kw("tuple") <~ opt(tupleShape) |
+      "(" ~ repsep(fieldSchema, ",") ~ ")" ^^ (_ => "tuple"))) ^^ {
       case n ~ t => FieldSchema(n, t.getOrElse("bytearray")) }
 
   private def tupleShape: Parser[Any] = "(" ~ repsep(fieldSchema, ",") ~ ")"
@@ -240,8 +247,14 @@ object PigParser extends RegexParsers {
       case a ~ l ~ r => DifferenceStmt(a, l, r) }
 
   private def streamThrough: Parser[Stmt] =
-    (ident <~ "=" <~ kw("stream")) ~ ident ~ (kw("through") ~> ident) ^^ {
-      case a ~ in ~ op => StreamThrough(a, in, op) }
+    (ident <~ "=" <~ kw("stream")) ~ ident ~
+      (kw("through") ~> rep1sep(ident, ".")) ~
+      opt("(" ~> repsep(expr, ",") <~ ")") ~ opt(kw("as") ~> schemaSpec) ^^ {
+      case a ~ in ~ parts ~ _ ~ _ => StreamThrough(a, in, parts.last) }
+
+  private def rscriptStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("rscript")) ~ ident ~ (kw("using") ~> quoted) ^^ {
+      case a ~ in ~ code => RScriptStmt(a, in, code) }
 
   private def materialize: Parser[Stmt] =
     kw("materialize") ~> ident ^^ Materialize.apply
@@ -331,25 +344,34 @@ object PigParser extends RegexParsers {
           case s ~ p ~ o => TriplePat(s, p, o) }, ".") <~ "}") ^^ {
       case a ~ in ~ pats => BgpFilter(a, in, pats) }
 
+  /** `USING INDEX rtree(order=2)` style suffix — accepted, advisory only
+    * (graft's spatial index is the grid-cell partitioning). */
+  private def indexClause: Parser[Any] =
+    kw("using") ~ opt(kw("index")) ~ ident ~
+      opt("(" ~ repsep(ident ~ "=" ~ (number | ident), ",") ~ ")")
+
   private def spatialFilter: Parser[Stmt] =
-    (ident <~ "=" <~ kw("spatial_filter")) ~ ident ~ (kw("by") ~> funcCall) ^^ {
+    (ident <~ "=" <~ kw("spatial_filter")) ~ ident ~ (kw("by") ~> funcCall) <~
+      opt(indexClause) ^^ {
       case a ~ in ~ (f: FuncCall) => SpatialFilterStmt(a, in, f) }
 
   private def spatialJoin: Parser[Stmt] =
     (ident <~ "=" <~ kw("spatial_join")) ~ ident ~ ("," ~> ident) ~
-      (kw("on") ~> kw("dwithin") ~> "(" ~> fieldRef ~ ("," ~> fieldRef) ~
-        ("," ~> number) <~ ")") ^^ {
-      case a ~ l ~ r ~ (FieldRef(lg) ~ FieldRef(rg) ~ rad) =>
-        SpatialJoinStmt(a, l, r, lg.mkString("."), rg.mkString("."), rad.toDouble)
-    }
+      (kw("on") ~> funcCall) <~ opt(indexClause) ^^ {
+      case a ~ l ~ r ~ (f: FuncCall) => SpatialJoinStmt(a, l, r, f) }
+
+  private def partitionStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("partition")) ~ ident ~ (kw("on") ~> fieldRef) <~
+      opt(indexClause) ^^ {
+      case a ~ in ~ FieldRef(p) => PartitionStmt(a, in, p.mkString(".")) }
 
   private def stmt: Parser[Stmt] =
     (load | store | dump | describe | filter | foreach | group | join |
      cross | union | distinctS | limit | orderBy | sample | split | rank |
-     accumulate | intersection | difference | streamThrough | materialize |
+     accumulate | intersection | difference | streamThrough | rscriptStmt | materialize |
      matchEvent | windowStmt | socketRead | socketWrite | rdfLoad | tuplify |
-     bgpFilter | spatialFilter | spatialJoin |
-     setCmd | register | defineAlias) <~ ";"
+     bgpFilter | spatialFilter | spatialJoin | partitionStmt |
+     setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)
 
