@@ -71,6 +71,25 @@ final case class Pipe(df: DataFrame) {
   def joinReplicated(other: Pipe, cond: Column): Pipe =
     Pipe(df.join(broadcast(other.df), cond, "inner"))
 
+  /** Pig `JOIN ... USING 'skewed'` — explicit salting for joins whose hot
+    * keys overwhelm even AQE's skew splitting (AQE splits partitions, but
+    * one monster key still lands in one task). The left (large, skewed)
+    * side gets a random salt in [0, saltBuckets); the right side
+    * replicates once per salt value; the join key becomes (key, salt), so
+    * a hot key spreads over saltBuckets tasks. Right side should be the
+    * smaller input. */
+  def joinSkewed(other: Pipe, leftKey: String, rightKey: String,
+                 saltBuckets: Int = 16, joinType: String = "inner"): Pipe = {
+    val salted = df.withColumn("__salt",
+      (rand(42L) * saltBuckets).cast("int"))
+    val replicated = other.df.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    Pipe(salted.join(replicated,
+        salted(leftKey) === replicated(rightKey) &&
+          salted("__salt") === replicated("__salt"), joinType)
+      .drop("__salt"))
+  }
+
   // ---- GROUP / COGROUP ------------------------------------------------------
   /** reference: op/Grouping.scala. Pig `GROUP a BY k` yields (group, bag).
     * The bag is materialized ONLY here; aggregate-only consumers should use
@@ -206,6 +225,20 @@ final case class Pipe(df: DataFrame) {
   def store(path: String, format: String = "parquet",
             options: Map[String, String] = Map.empty): Unit =
     df.write.mode(SaveMode.Overwrite).options(options).format(format).save(path)
+
+  /** Bucketed STORE: pre-shuffles on the bucket keys at write time so every
+    * later equi-join/aggregation between tables bucketed the same way runs
+    * WITHOUT an exchange — the piglet-era "co-located join" that its RDD
+    * codegen could never express. Registers a managed table (bucketing
+    * metadata lives in the catalog). */
+  def storeBucketed(table: String, buckets: Int, keys: Seq[String],
+                    sortKeys: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val sorted = if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*)
+                 else w
+    sorted.saveAsTable(table)
+  }
 }
 
 object Pipe {

@@ -103,6 +103,15 @@ object PipelineQueries {
       Similarity.bruteForceTopK(corpus, queries, k = 10)
         .select(col("qid"), col("id"), col("rank"))
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(corpus, queries, k = 10, nCells = 16, nProbe = 6)
+        .select(col("qid"), col("id"), col("rank"), round(col("cosine"), 4).as("cosine"))
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)

@@ -81,6 +81,81 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    * every corpus vector to its nearest of `nCells` centroids; a query
+    * scores only the vectors in its `nProbe` closest cells.
+    *
+    * The quantizer is spherical k-means trained driver-side on a seeded
+    * sample (centroids are tiny — nCells×dim doubles — and broadcast as
+    * literals), so training cost is O(sample) regardless of corpus size.
+    * Corpus assignment is a narrow map; candidate generation is an
+    * equi-join on cell id — the same join-on-bucket shape as LSH, but
+    * with data-adaptive buckets (better recall on clustered corpora).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "id", qidCol: String = "qid",
+              vecCol: String = "vec", seed: Long = 42L,
+              sampleSize: Int = 2048, iters: Int = 10): DataFrame = {
+    val cVecs = widen(corpus).select(col(idCol).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
+    val centroids = trainCentroids(
+      cVecs.select("cv").sample(withReplacement = false, 1.0, seed)
+        .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray),
+      nCells, iters, seed)
+    def probeCells(v: Column, n: Int): Column = {
+      // n best cells by centroid dot: sort (neg-dot, idx) pairs ascending,
+      // take idxs. (A when-chain argmax would DOUBLE the expression tree
+      // per centroid — 2^nCells nodes; this stays linear.)
+      val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct((-dot(v, typedLit(c.toSeq))).as("nd"), lit(i).as("i")) }: _*)
+      slice(transform(array_sort(pairs), p => p.getField("i")), 1, n)
+    }
+    val assigned = cVecs.withColumn("cell",
+      element_at(probeCells(col("cv"), 1), 1))
+    val probed = queries.select(col(qidCol).as("qid"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"), nProbe)))
+    val scored = assigned.join(probed, Seq("cell"))
+      .select(col("qid"), col("id"),
+        graft.functions.GraftFunctions.cosine(corpus.sparkSession,
+          col("cv"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Driver-side spherical k-means over a sample (normalized centroids,
+    * max-dot assignment) — deterministic given the seed. */
+  private[graft] def trainCentroids(sample: Array[Array[Double]], kCells: Int,
+                                    iters: Int, seed: Long): Seq[Array[Double]] = {
+    require(sample.nonEmpty, "empty centroid-training sample")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val rnd = new scala.util.Random(seed)
+    var cents = rnd.shuffle(sample.toSeq).take(kCells).map(normalize).toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        cents.indices.foreach { j =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * cents(j)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = j }
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map(j =>
+        if (counts(j) == 0) cents(j) else normalize(sums(j))).toArray
+    }
+    cents.toSeq
+  }
+
   /** LSH-bucketed approximate top-k: multiple independent band signatures;
     * a candidate is any corpus vector sharing ≥1 band bucket with the
     * query (OR-amplification). Candidate generation is an equi-join on

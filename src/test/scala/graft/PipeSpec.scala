@@ -37,6 +37,46 @@ class PipeSpec extends SparkSpec {
     assert(p.df.collect().head.getLong(0) == 1L)
   }
 
+  test("skewed join matches plain join results") {
+    val big = Pipe((1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
+      .toDF("k", "v"))                                 // key 1 is 90% hot
+    val dim = Pipe(Seq((1L, "hot"), (950L, "cold")).toDF("dk", "name"))
+    val plain = big.joinOn(dim, col("k") === col("dk")).df
+      .select("k", "v", "name").collect().toSet
+    val salted = big.joinSkewed(dim, "k", "dk", saltBuckets = 8).df
+      .select("k", "v", "name").collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 901)
+  }
+
+  test("bucketed tables join without an exchange") {
+    // (warehouse dir is a static conf — tables land in ./spark-warehouse;
+    // drop catalog entries AND leftover dirs from prior JVMs)
+    Seq("graft_buck_a", "graft_buck_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val a = Pipe(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "va"))
+    val b = Pipe(Seq((1L, 10), (2L, 20)).toDF("k", "vb"))
+    a.storeBucketed("graft_buck_a", 4, Seq("k"))
+    b.storeBucketed("graft_buck_b", 4, Seq("k"))
+    // disable auto-broadcast so the plan would otherwise need a shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_buck_a")
+        .join(spark.table("graft_buck_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+      assert(joined.count() == 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitionBy co-locates keys") {
     val p = Pipe(Seq((1, "a"), (2, "b"), (1, "c")).toDF("k", "v"))
       .partitionBy(4, col("k"))

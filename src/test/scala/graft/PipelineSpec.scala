@@ -145,6 +145,19 @@ class SimilaritySpec extends SparkSpec {
     assert(both.where(col("hof") =!= col("nat")).count() == 0)
   }
 
+  test("IVF top-k achieves reasonable recall vs brute force") {
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    val corpus = emb.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, queries, 10, nCells = 16, nProbe = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val queries = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("vec"))
