@@ -142,6 +142,14 @@ final case class Pipe(df: DataFrame) {
            .drop("__rn"))
   }
 
+  /** Top-n per group through graft's custom partial/final operator
+    * ([[graft.plans.TopK]]): map-side bounded heaps prune to ≤ n rows per
+    * group per partition BEFORE the exchange — the window formulation
+    * shuffles every row. Prefer this on large fact tables with small n. */
+  def topPerGroupPartial(n: Int, groupKeys: Seq[Column],
+                         ordering: Seq[Column]): Pipe =
+    Pipe(graft.plans.TopK.topKPerGroup(df, groupKeys, ordering, n))
+
   /** Pig `RANK a BY f` (ties share a rank). A naive global window would
     * collapse to ONE partition; instead rank the (small) distinct key set
     * with a window, then broadcast-join ranks back — scales to any row count. */

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Top-k rows per group as a first-class operator (extension tier (c):
+  * custom LogicalPlan + Strategy + SparkPlan).
+  *
+  * The declarative formulation — `row_number().over(partitionBy(g)
+  * .orderBy(o)) <= k` — shuffles EVERY row to the group's reducer and
+  * sorts whole partitions before discarding all but k. This operator
+  * plans two physical stages instead:
+  *
+  *   TopKFinalExec       (requires clustering on g; ≤ k rows out/group)
+  *     +- Exchange       (inserted by EnsureRequirements)
+  *        +- TopKPartialExec  (map-side bounded heaps: ≤ k rows/group
+  *                             LEAVE each input partition)
+  *
+  * so the exchange moves at most k·groups·partitions rows — on a 100 TB
+  * fact table with small k this is the difference between shuffling the
+  * table and shuffling a rounding error. The same partial/final split
+  * Spark applies to aggregates, applied to order statistics.
+  */
+final case class TopKPerGroup(groupExprs: Seq[Expression],
+                              order: Seq[SortOrder], k: Int,
+                              child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+abstract class TopKExecBase extends UnaryExecNode {
+  def groupExprs: Seq[Expression]
+  def order: Seq[SortOrder]
+  def k: Int
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  /** Bounded-heap pass: keep the k best rows (under `order`) per group
+    * within each partition. */
+  protected def boundedTopK(rdd: RDD[InternalRow]): RDD[InternalRow] = {
+    val childOutput = child.output
+    val gExprs = groupExprs
+    val ord = order
+    val kk = k
+    rdd.mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(gExprs, childOutput)
+      val rowOrd = GenerateOrdering.generate(ord, childOutput)
+      // max-heap under rowOrd: head = worst kept row, evicted first
+      val heaps = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
+            rowOrd.on((r: UnsafeRow) => r))
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) {
+          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+        } else if (rowOrd.compare(row.asInstanceOf[UnsafeRow], heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator)
+    }
+  }
+}
+
+/** Map-side prune: no distribution requirement; ≤ k rows per group leave
+  * each input partition. */
+final case class TopKPartialExec(groupExprs: Seq[Expression],
+                                 order: Seq[SortOrder], k: Int,
+                                 child: SparkPlan) extends TopKExecBase {
+  override protected def doExecute(): RDD[InternalRow] =
+    boundedTopK(child.execute())
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
+    copy(child = newChild)
+}
+
+/** Reduce-side finish: requires co-clustering on the group keys, so
+  * EnsureRequirements inserts the (pruned) exchange below. */
+final case class TopKFinalExec(groupExprs: Seq[Expression],
+                               order: Seq[SortOrder], k: Int,
+                               child: SparkPlan) extends TopKExecBase {
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (groupExprs.isEmpty) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+  override protected def doExecute(): RDD[InternalRow] =
+    boundedTopK(child.execute())
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKFinalExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKFinalExec(g, o, k,
+        TopKPartialExec(g, o, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Register the strategy once per session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies = strategies :+ TopKStrategy
+  }
+
+  /** Top-k rows per group, planned through the custom operator. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column],
+                   orderCols: Seq[Column], k: Int): DataFrame = {
+    register(df.sparkSession)
+    val g = groupCols.map(GraftColumnBridge.catalystExpression)
+    val o = orderCols.map(GraftColumnBridge.catalystExpression).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    GraftColumnBridge.ofRows(df.sparkSession,
+      TopKPerGroup(g, o, k, GraftColumnBridge.logicalPlan(df)))
+  }
+}

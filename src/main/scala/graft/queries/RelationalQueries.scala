@@ -172,6 +172,13 @@ object RelationalQueries {
       Pipe(t(s, dir, "orders"))
         .top(10, col("o_totalprice").desc, col("o_orderkey"))
         .generate(col("o_orderkey"), col("o_totalprice")).df),
+    "q_top_per_group_partial" -> ((s, dir) =>
+      // same semantics as q_top_per_group, planned through the custom
+      // partial/final TopK operator — the oracle validates the operator
+      Pipe(t(s, dir, "orders"))
+        .topPerGroupPartial(3, Seq(col("o_orderpriority")),
+                     Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .generate(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")).df),
     "q_top_per_group" -> ((s, dir) =>
       Pipe(t(s, dir, "orders"))
         .topPerGroup(3, Seq(col("o_orderpriority")),
@@ -308,6 +315,11 @@ object RelationalQueries {
     "q_top" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_top_per_group_partial" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+         QUALIFY row_number() OVER
+           (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) <= 3""",
     "q_top_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
          QUALIFY row_number() OVER
