@@ -47,9 +47,13 @@ object Matcher {
     */
   def matchSeq(events: DataFrame, keyCol: String, tsCol: String,
                typeCol: String, idCol: String, valueCol: String,
-               pattern: Seq[Step], withinMicros: Long): DataFrame = {
+               pattern: Seq[Step], withinMicros: Long,
+               mode: String = "skip_till_next_match"): DataFrame = {
     require(pattern.nonEmpty && pattern.head.isInstanceOf[Pos],
       "pattern must start with a Pos step")
+    // skip_till_any_match: a partial BRANCHES on every matching event
+    // (all combinations emitted) instead of consuming only the earliest
+    val anyMatch = mode == "skip_till_any_match"
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -92,17 +96,28 @@ object Matcher {
             }
             alive
           }
-          // every open partial advances on its earliest matching event
+          // next_match: every open partial advances on its earliest
+          // matching event; any_match: it forks instead, staying open
+          val forked = ArrayBuffer.empty[Partial]
           open.foreach { p =>
             if (pattern(p.next).asInstanceOf[Pos].pred(e) && e.tsMicros > p.last) {
-              p.ids += e.id
-              p.last = e.tsMicros
-              p.next = nextPosIdx(p.next + 1)
-              if (p.ids.length == nPos)
-                out.enqueue(MatchResult(e.key, p.ids.toSeq, p.start, e.tsMicros))
+              if (anyMatch) {
+                val ids = p.ids.clone(); ids += e.id
+                if (ids.length == nPos)
+                  out.enqueue(MatchResult(e.key, ids.toSeq, p.start, e.tsMicros))
+                else forked += new Partial(nextPosIdx(p.next + 1), ids,
+                  p.start, e.tsMicros)
+              } else {
+                p.ids += e.id
+                p.last = e.tsMicros
+                p.next = nextPosIdx(p.next + 1)
+                if (p.ids.length == nPos)
+                  out.enqueue(MatchResult(e.key, p.ids.toSeq, p.start, e.tsMicros))
+              }
             }
           }
           open.filterInPlace(p => p.ids.length < nPos)
+          open ++= forked
           // step 0 opens a new partial (overlapping starts allowed)
           if (pattern.head.asInstanceOf[Pos].pred(e)) {
             if (nPos == 1)

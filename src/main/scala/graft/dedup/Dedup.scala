@@ -27,7 +27,7 @@ object Dedup {
   /** Exact dedup on normalized content: one shuffle on the md5 key, keeps
     * the smallest id per group (deterministic winner). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+    widen(df).select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 

@@ -454,7 +454,7 @@ class PigCompiler(spark: SparkSession) {
       udos.get(t.toUpperCase).foreach(f => udos(n.toUpperCase) = f)
 
     // ---- CEP (reference: op/Matcher.scala) ---------------------------------
-    case MatchEvent(a, in, pattern, defs, _, withinSec) =>
+    case MatchEvent(a, in, pattern, defs, mode, withinSec) =>
       import graft.cep.Matcher
       val df = relation(in)
       // label each row with the FIRST event definition it satisfies
@@ -478,7 +478,7 @@ class PigCompiler(spark: SparkSession) {
         case PAnd(_) => sys.error("top-level AND handled separately")
       }
       def run(p: Pat) = Matcher.matchSeq(prepared, "__key", tsCol,
-        "__etype", "__id", "__val", steps(p), withinSec * 1000000L)
+        "__etype", "__id", "__val", steps(p), withinSec * 1000000L, mode)
         .select(col("ids"), col("startMicros"), col("endMicros"))
       val out = pattern match {
         // AND(A,B): both occur in either order within the window

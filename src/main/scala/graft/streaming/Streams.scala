@@ -69,6 +69,23 @@ object Streams {
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append()).start()
 
+  // ---- stream-stream join (reference: windowJoin.pig on DStreams) ----------
+  /** Windowed stream-stream equi-join: both sides watermarked, join
+    * condition bounds event-time distance so Spark can evict join state —
+    * the Structured-Streaming analog of piglet's per-window join. */
+  def windowedStreamJoin(left: DataFrame, right: DataFrame,
+                         leftTs: String, rightTs: String,
+                         leftKey: String, rightKey: String,
+                         watermarkDelay: String,
+                         maxGap: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) - org.apache.spark.sql.functions.expr(s"INTERVAL $maxGap") &&
+        r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions.expr(s"INTERVAL $maxGap"))
+  }
+
   // ---- streaming CEP (reference: op/Matcher.scala on DStreams) -------------
   /** 2-step SEQ pattern (A then B within `withinMicros`) on a stream,
     * via flatMapGroupsWithState: per-key open-starts state, timeout-based

@@ -39,6 +39,20 @@ class CepSpec extends SparkSpec {
     assert(got == Set((1L, Seq(4L, 5L))))
   }
 
+  test("skip_till_any_match branches on every matching event") {
+    val df = mkEvents(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "b", 3L))
+    val next = run(df, Seq(Matcher.Pos(Matcher.typeIs("a")),
+      Matcher.Pos(Matcher.typeIs("b"))), withinSec = 100)
+    assert(next == Set((1L, Seq(1L, 2L)))) // earliest b only
+    val any = Matcher.matchSeq(df, "user_id", "ts", "event_type",
+        "event_id", "value",
+        Seq(Matcher.Pos(Matcher.typeIs("a")), Matcher.Pos(Matcher.typeIs("b"))),
+        100L * 1000000L, mode = "skip_till_any_match")
+      .select("key", "ids").as[(Long, Seq[Long])].collect().toSet
+    assert(any == Set((1L, Seq(1L, 2L)), (1L, Seq(1L, 3L)))) // both b's
+  }
+
   test("three-step SEQ with AND/OR predicate composition") {
     val df = mkEvents(
       (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "c", 3L),
@@ -94,6 +108,25 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("cep_out").as[Streams.SeqMatch].collect().toSet
     q.stop()
     assert(rows == Set(Streams.SeqMatch(7L, 1L, 2L)))
+  }
+
+  test("windowed stream-stream join matches within the event-time gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val ri = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val joined = Streams.windowedStreamJoin(
+      li.toDF().toDF("lts", "lk", "lv"), ri.toDF().toDF("rts", "rk", "rv"),
+      "lts", "rts", "lk", "rk",
+      watermarkDelay = "0 seconds", maxGap = "10 seconds")
+    val q = Streams.memorySink(joined.select("lk", "lv", "rv"), "ssj",
+      OutputMode.Append())
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    li.addData((ts(100), 1L, "L1"))
+    ri.addData((ts(105), 1L, "R-in"), (ts(200), 1L, "R-out"))
+    q.processAllAvailable()
+    val rows = spark.table("ssj").as[(Long, String, String)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, "L1", "R-in"))) // 200s is outside the 10s gap
   }
 
   test("file stream sink round-trips micro-batches (streaming STORE)") {
