@@ -35,6 +35,51 @@ class TopKSpec extends SparkSpec {
     assert(exIdx >= 0 && exIdx < partialIdx, plan)
   }
 
+  test("optimizer rule rewrites the declarative window top-k to the custom plan") {
+    graft.plans.TopKRewrite.register(spark)
+    try {
+      // the standard window idiom, untouched user code
+      val windowForm = Pipe(orders).topPerGroup(3,
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")))
+      val plan = windowForm.df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPartial"), plan)
+      assert(!plan.contains("WindowExec"), plan)
+      // and it still computes the right answer
+      val expected = spark.sql(
+        """SELECT o_orderkey FROM (SELECT o_orderkey,
+           row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey) rn
+           FROM parquet.`""" + sfDir + """/orders.parquet`) WHERE rn <= 3""")
+        .collect().map(_.getLong(0)).toSet
+      val got = windowForm.df.select("o_orderkey")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected)
+    } finally {
+      // deregister so other suites see vanilla planning
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.TopKRewriteRule)
+    }
+  }
+
+  test("rank-keeping queries are NOT rewritten (rank column consumed)") {
+    graft.plans.TopKRewrite.register(spark)
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc)
+      val keepsRank = orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)                  // rn kept in the output
+      val plan = keepsRank.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPartial"), plan)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.TopKRewriteRule)
+    }
+  }
+
   test("duplicate order keys keep exactly k rows per group") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2)).toDF("g", "v")
