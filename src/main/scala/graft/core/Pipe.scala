@@ -186,12 +186,18 @@ final case class Pipe(df: DataFrame) {
     Pipe(spark.createDataFrame(df.rdd.mapPartitions(f), schema))
 
   // ---- MATERIALIZE / CACHE --------------------------------------------------------
-  /** reference: op/Materialize.scala + mm/MaterializationManager.scala —
-    * checkpoint the bag to storage; later runs resume from the file. */
+  /** reference: op/Materialize.scala — checkpoint to an EXPLICIT path
+    * (unconditional overwrite; the caller owns the location). */
   def materialize(path: String): Pipe = {
     df.write.mode(SaveMode.Overwrite).parquet(path)
     Pipe(spark.read.parquet(path))
   }
+
+  /** Managed MATERIALIZE (reference: mm/MaterializationManager.scala):
+    * content-addressed snapshot under `baseDir`, reused by any session
+    * that rebuilds the same dataflow over unchanged inputs. */
+  def materializeManaged(baseDir: String): Pipe =
+    Pipe(Materializer.materialize(df, baseDir)._1)
 
   /** reference: op/Cache.scala. */
   def cached: Pipe = Pipe(df.cache())

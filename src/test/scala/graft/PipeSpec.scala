@@ -77,6 +77,21 @@ class PipeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("materializer reuses snapshots across identical dataflows") {
+    import graft.core.Materializer
+    val base = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    def flow = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where(col("o_totalprice") > 100000).select("o_orderkey", "o_totalprice")
+    val (first, reused1) = Materializer.materialize(flow, base)
+    val (second, reused2) = Materializer.materialize(flow, base) // rebuilt plan
+    assert(!reused1 && reused2)             // second run hits the snapshot
+    assert(first.count() == second.count())
+    // a DIFFERENT dataflow gets a different key
+    val other = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where(col("o_totalprice") > 200000).select("o_orderkey", "o_totalprice")
+    assert(Materializer.planKey(other) != Materializer.planKey(flow))
+  }
+
   test("partitionBy co-locates keys") {
     val p = Pipe(Seq((1, "a"), (2, "b"), (1, "c")).toDF("k", "v"))
       .partitionBy(4, col("k"))
