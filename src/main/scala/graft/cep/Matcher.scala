@@ -38,12 +38,13 @@ object Matcher {
   /** Match a SEQ pattern per key over an event DataFrame.
     *
     * Semantics: skip-till-next-match — every event satisfying step 0 opens
-    * a partial match; each partial independently takes the EARLIEST later
-    * event (by ts, id) satisfying its next Pos step (events are shared
-    * between partials, so two starts can complete on the same closing
-    * event); all matched events lie within `withinMicros` of the start.
-    * Equivalent, for a 2-step pattern, to the SQL
-    * "first b after a within w" self-join — the oracle form.
+    * a partial match; each partial independently takes the earliest event
+    * at a STRICTLY LATER timestamp satisfying its next Pos step (events
+    * sharing a timestamp with the previous match are not eligible — the
+    * same `b.ts > a.ts` rule as the SQL self-join oracle); events are
+    * shared between partials, so two starts can complete on the same
+    * closing event; all matched events lie within `withinMicros` of the
+    * start.
     */
   def matchSeq(events: DataFrame, keyCol: String, tsCol: String,
                typeCol: String, idCol: String, valueCol: String,

@@ -153,17 +153,24 @@ final case class Pipe(df: DataFrame) {
   /** Pig `RANK a BY f` (ties share a rank). A naive global window would
     * collapse to ONE partition; instead rank the (small) distinct key set
     * with a window, then broadcast-join ranks back — scales to any row count. */
-  def rankBy(ordering: Column, rankName: String = "rank"): Pipe = {
-    val keyName = "__rank_key"
-    val keyed = df.withColumn(keyName, ordering)
-    val dist = keyed.groupBy(col(keyName)).agg(count(lit(1)).as("__cnt"))
-    val w = Window.orderBy(col(keyName))
+  def rankBy(ordering: Column, rankName: String = "rank"): Pipe =
+    rankByKeys(Seq((ordering, false)), rankName)
+
+  /** rankBy with per-key sort direction (Pig `RANK a BY f DESC, g ASC`). */
+  def rankByKeys(keys: Seq[(Column, Boolean)], rankName: String = "rank"): Pipe = {
+    val keyNames = keys.indices.map(i => s"__rank_key$i")
+    val keyed = keys.zip(keyNames).foldLeft(df) {
+      case (d, ((c, _), n)) => d.withColumn(n, c) }
+    val dist = keyed.groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val ordering = keys.zip(keyNames).map {
+      case ((_, desc), n) => if (desc) col(n).desc else col(n).asc }
+    val w = Window.orderBy(ordering: _*)
     val ranks = dist.withColumn(
       rankName,
       (sum(col("__cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
         - col("__cnt") + lit(1)).cast(LongType))
       .drop("__cnt")
-    Pipe(keyed.join(broadcast(ranks), Seq(keyName)).drop(keyName))
+    Pipe(keyed.join(broadcast(ranks), keyNames).drop(keyNames: _*))
   }
 
   /** Pig `RANK a` (dense sequential ids in the given order): range-sort then

@@ -33,7 +33,8 @@ object Ast {
   final case class NProj(source: Seq[String]) extends NestedOp
   final case class NDistinct(ref: String) extends NestedOp
   final case class NFilter(ref: String, cond: Expr) extends NestedOp
-  final case class NOrder(ref: String, desc: Boolean) extends NestedOp
+  final case class NOrder(ref: String, key: Option[String],
+                          desc: Boolean) extends NestedOp
   final case class NLimit(ref: String, n: Int) extends NestedOp
 
   // ---- statements ----------------------------------------------------------
@@ -65,8 +66,9 @@ object Ast {
                            keys: Seq[(Expr, Boolean)]) extends Stmt
   final case class SampleStmt(alias: String, in: String,
                               fraction: Double) extends Stmt
+  /** branch cond None = OTHERWISE (rows matching no other branch). */
   final case class SplitInto(in: String,
-                             branches: Seq[(String, Expr)]) extends Stmt
+                             branches: Seq[(String, Option[Expr])]) extends Stmt
   final case class RankStmt(alias: String, in: String,
                             keys: Seq[(Expr, Boolean)]) extends Stmt
   final case class Accumulate(alias: String, in: String,

@@ -120,7 +120,9 @@ class PigCompiler(spark: SparkSession) {
         case "<=" => a <= b
         case ">" => a > b
         case ">=" => a >= b
-        case "matches" => a.rlike(r.asInstanceOf[Lit].v.toString)
+        case "matches" =>
+          // Pig MATCHES is String.matches — anchored full-string match
+          a.rlike("^(?:" + r.asInstanceOf[Lit].v.toString + ")$")
         case "+" => a + b
         case "-" => a - b
         case "*" => a * b
@@ -130,6 +132,8 @@ class PigCompiler(spark: SparkSession) {
     case FuncCall(name, args) => compileFunc(df, name, args)
   }
 
+  private def expr_tail(c: Column): Column = c.substr(lit(2), length(c) - 1)
+
   private def compileFunc(df: DataFrame, name: String, args: Seq[Expr]): Column = {
     import graft.functions.PigFunctions
     def a0 = compileExpr(df, args.head)
@@ -137,8 +141,10 @@ class PigCompiler(spark: SparkSession) {
       // scalar builtins (reference: sparklib PigFuncs.scala, udf/UDF.scala)
       case "TOKENIZE" => PigFunctions.TOKENIZE(a0)
       case "STRSPLIT" => split(a0, args(1).asInstanceOf[Lit].v.toString)
-      case "LOWER" | "LCFIRST" => lower(a0)
-      case "UPPER" | "UCFIRST" => upper(a0)
+      case "LOWER" => lower(a0)
+      case "UPPER" => upper(a0)
+      case "LCFIRST" => concat(lower(substring(a0, 1, 1)), expr_tail(a0))
+      case "UCFIRST" => concat(upper(substring(a0, 1, 1)), expr_tail(a0))
       case "TRIM" => trim(a0)
       case "CONCAT" => concat(args.map(compileExpr(df, _)): _*)
       case "STRLEN" | "SIZE" => length(a0)
@@ -193,6 +199,28 @@ class PigCompiler(spark: SparkSession) {
     }
   }
 
+  /** Does the expr reference only bag-qualified fields / literals? */
+  private def refsBagOnly(g: GroupedRel, e: Expr): Boolean = e match {
+    case FieldRef(p) => p.headOption.contains(g.bagName) && p.length > 1
+    case Lit(_) => true
+    case BinOp(_, l, r) => refsBagOnly(g, l) && refsBagOnly(g, r)
+    case Neg(x) => refsBagOnly(g, x)
+    case CastExpr(_, x) => refsBagOnly(g, x)
+    case _ => false
+  }
+
+  /** Rewrite bag.field refs to input columns and compile as a row expr. */
+  private def rowExprOverInput(g: GroupedRel, e: Expr): Column = {
+    def strip(x: Expr): Expr = x match {
+      case FieldRef(p) if p.headOption.contains(g.bagName) => FieldRef(p.tail)
+      case BinOp(op, l, r) => BinOp(op, strip(l), strip(r))
+      case Neg(y) => Neg(strip(y))
+      case CastExpr(t, y) => CastExpr(t, strip(y))
+      case other => other
+    }
+    compileExpr(g.input, strip(e))
+  }
+
   /** Aggregate-context compilation: FOREACH over a lazily-grouped input.
     * `bagName` refs route to input columns; COUNT(bag) → count(*). */
   private def compileAgg(g: GroupedRel, e: Expr, as: Option[String]): Column = {
@@ -203,8 +231,8 @@ class PigCompiler(spark: SparkSession) {
       case FuncCall("COUNT", Seq(FuncCall("DISTINCT", Seq(FieldRef(p)))))
           if p.headOption.contains(g.bagName) =>
         countDistinct(resolve(in, p.tail))
-      case FuncCall(fn, Seq(FieldRef(p))) if p.headOption.contains(g.bagName) =>
-        val c = resolve(in, p.tail)
+      case FuncCall(fn, Seq(arg)) if aggFns(fn) && refsBagOnly(g, arg) =>
+        val c = rowExprOverInput(g, arg)
         fn match {
           case "COUNT" => count(c)
           case "SUM" => sum(c)
@@ -212,6 +240,7 @@ class PigCompiler(spark: SparkSession) {
           case "MIN" => min(c)
           case "MAX" => max(c)
           case "MEDIAN" => percentile(c, lit(0.5))
+          case "COUNT_STAR" => count(lit(1))
         }
       case FuncCall(fn, Seq(Star)) if fn == "COUNT" || fn == "COUNT_STAR" =>
         count(lit(1))
@@ -239,12 +268,18 @@ class PigCompiler(spark: SparkSession) {
     case _ => "expr"
   }
 
-  /** Is this FOREACH a pure aggregate over a grouped relation? */
+  /** Is this FOREACH a pure aggregate over a grouped relation — and one
+    * the fused path can actually compile? (Anything else falls back to
+    * the materialized-bag path.) */
   private def isAggForeach(g: GroupedRel, items: Seq[GenItem]): Boolean = {
     def exprOk(e: Expr): Boolean = e match {
       case FieldRef(Seq("group")) => true
       case FieldRef(p) if p.head == "group" => true
-      case FuncCall(fn, _) if aggFns(fn) => true
+      case FuncCall("COUNT", Seq(FuncCall("DISTINCT", Seq(FieldRef(p)))))
+          if p.headOption.contains(g.bagName) => true
+      case FuncCall(fn, Seq(FieldRef(Seq(b)))) if aggFns(fn) && b == g.bagName => true
+      case FuncCall(fn, Seq(Star)) if fn == "COUNT" || fn == "COUNT_STAR" => true
+      case FuncCall(fn, Seq(arg)) if aggFns(fn) => refsBagOnly(g, arg)
       case BinOp(_, l, r) => exprOk(l) && exprOk(r)
       case Lit(_) => true
       case _ => false
@@ -292,13 +327,13 @@ class PigCompiler(spark: SparkSession) {
           val aggs = items.filterNot(i => isGroupRef(i.expr))
             .map(i => compileAgg(g, i.expr, i.as))
           val keyItems = items.filter(i => isGroupRef(i.expr))
+          val keyCol = (if (g.keyIsStruct) struct(g.keys: _*) else g.keys.headOption.getOrElse(lit("all"))).as("group")
           val out =
-            if (g.keys.isEmpty) g.input.agg(aggs.head, aggs.tail: _*)
-            else {
-              val keyed = g.input.groupBy(
-                (if (g.keyIsStruct) struct(g.keys: _*) else g.keys.head).as("group"))
-              keyed.agg(aggs.head, aggs.tail: _*)
-            }
+            if (aggs.isEmpty)
+              // FOREACH grouped GENERATE group; — the Pig distinct idiom
+              g.input.select(keyCol).distinct()
+            else if (g.keys.isEmpty) g.input.agg(aggs.head, aggs.tail: _*)
+            else g.input.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
           // order columns as written; rename group if aliased
           val proj = items.map { i =>
             if (isGroupRef(i.expr)) {
@@ -328,7 +363,17 @@ class PigCompiler(spark: SparkSession) {
             case NFilter(r, cond) =>
               // element-wise filter: field refs resolve on the element
               filter(col(s"`$r`"), x => compileElemPred(x, cond))
-            case NOrder(r, desc) => sort_array(col(s"`$r`"), asc = !desc)
+            case NOrder(r, key, desc) =>
+              key match {
+                case None => sort_array(col(s"`$r`"), asc = !desc)
+                case Some(f) =>
+                  val cmp = (l: Column, rr: Column) => {
+                    val (a, b) = (l.getField(f), rr.getField(f))
+                    val lt = when(a < b, -1).otherwise(when(a > b, 1).otherwise(0))
+                    if (desc) -lt else lt
+                  }
+                  array_sort(col(s"`$r`"), cmp)
+              }
             case NLimit(r, n) => slice(col(s"`$r`"), 1, n)
           }
           d.withColumn(name, c)
@@ -397,8 +442,15 @@ class PigCompiler(spark: SparkSession) {
 
     case SplitInto(in, branches) =>
       val df = relation(in)
-      branches.foreach { case (name, cond) =>
-        env(name) = Rel(() => df.filter(compileExpr(df, cond)))
+      val conds = branches.collect { case (_, Some(c)) => c }
+      branches.foreach {
+        case (name, Some(cond)) =>
+          env(name) = Rel(() => df.filter(compileExpr(df, cond)))
+        case (name, None) =>
+          // OTHERWISE: rows matching none of the explicit branches
+          val none = conds.map(c => !compileExpr(df, c) ||
+            compileExpr(df, c).isNull).reduce(_ && _)
+          env(name) = Rel(() => df.filter(none))
       }
 
     case RankStmt(a, in, keys) =>
@@ -406,13 +458,10 @@ class PigCompiler(spark: SparkSession) {
       env(a) = Rel(() =>
         if (keys.isEmpty)
           graft.core.Pipe(df).zipWithIndex(Nil, "rank").df
-        else {
-          val ordering = keys.map { case (e, desc) =>
-            val c = compileExpr(df, e); if (desc) c.desc else c.asc }
+        else
           // ties share ranks — scalable rank via broadcast of distinct keys
-          graft.core.Pipe(df).rankBy(
-            struct(keys.map(k => compileExpr(df, k._1)): _*), "rank").df
-        })
+          graft.core.Pipe(df).rankByKeys(
+            keys.map { case (e, desc) => (compileExpr(df, e), desc) }, "rank").df)
 
     case Accumulate(a, in, items) =>
       val df = relation(in)
@@ -642,7 +691,14 @@ class PigCompiler(spark: SparkSession) {
   }
 
   /** FOREACH ... GENERATE with FLATTEN support (non-grouped row context). */
-  private def compileForeach(df: DataFrame, items: Seq[GenItem]): DataFrame = {
+  private def compileForeach(df: DataFrame, items0: Seq[GenItem]): DataFrame = {
+    // GENERATE * keeps the flat schema (Star as a FUNCTION ARG still
+    // means the whole tuple)
+    val items = items0.flatMap {
+      case GenItem(Ast.Star, None) =>
+        df.columns.toSeq.map(c => GenItem(FieldRef(Seq(c)), None))
+      case other => Seq(other)
+    }
     val hasFlatten = items.exists(i => containsFlatten(i.expr))
     if (!hasFlatten) {
       df.select(items.map(i =>

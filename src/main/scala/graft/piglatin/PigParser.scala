@@ -153,9 +153,9 @@ object PigParser extends RegexParsers {
       kw("distinct") ~> ident ^^ NDistinct.apply |
       kw("filter") ~> ident ~ (kw("by") ~> expr) ^^ {
         case r ~ c => NFilter(r, c) } |
-      kw("order") ~> ident ~ (kw("by") ~> opt("$0" | ident) ~
-        opt(kw("desc") | kw("asc"))) ^^ {
-        case r ~ (_ ~ d) => NOrder(r, d.contains("desc")) } |
+      kw("order") ~> ident ~ (kw("by") ~> opt("$0" ^^ (_ => None) |
+        ident ^^ (k => Some(k))) ~ opt(kw("desc") | kw("asc"))) ^^ {
+        case r ~ (k ~ d) => NOrder(r, k.flatten, d.contains("desc")) } |
       kw("limit") ~> ident ~ number ^^ { case r ~ n => NLimit(r, n.toInt) } |
       fieldRef ^^ { case FieldRef(p) => NProj(p) }
     ) <~ ";" ^^ { case n ~ op => (n, op) }
@@ -225,8 +225,8 @@ object PigParser extends RegexParsers {
 
   private def split: Parser[Stmt] =
     kw("split") ~> ident ~ (kw("into") ~> rep1sep(
-      ident ~ (kw("if") ~> expr) ^^ { case n ~ c => (n, c) } |
-      ident ~ kw("otherwise") ^^ { case n ~ _ => (n, Lit(true)) }, ",")) ^^ {
+      ident ~ (kw("if") ~> expr) ^^ { case n ~ c => (n, Some(c)) } |
+      ident ~ kw("otherwise") ^^ { case n ~ _ => (n, None) }, ",")) ^^ {
       case in ~ bs => SplitInto(in, bs) }
 
   private def rank: Parser[Stmt] =

@@ -99,8 +99,13 @@ object Similarity {
               sampleSize: Int = 2048, iters: Int = 10): DataFrame = {
     val cVecs = widen(corpus).select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
+    // a REAL seeded sample: fraction derived from the corpus count
+    // (sample(1.0).limit(n) would just take the head rows in partition
+    // order — clustered corpora would train centroids on one region)
+    val total = math.max(1L, cVecs.count())
+    val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / total)
     val centroids = trainCentroids(
-      cVecs.select("cv").sample(withReplacement = false, 1.0, seed)
+      cVecs.select("cv").sample(withReplacement = false, fraction, seed)
         .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray),
       nCells, iters, seed)
     def probeCells(v: Column, n: Int): Column = {
@@ -168,21 +173,27 @@ object Similarity {
     val dim = dimOf(corpus, vecCol)
     val planeSets = (0 until bands).map(b =>
       hyperplanes(bitsPerBand, dim, seed + b))
+    // METADATA-ONLY band join (same late-fetch rule as minhashLsh):
+    // only (id, band, bucket) rows enter the exchange, never the vectors
     def banded(df0: DataFrame, id: String, out: String) =
       widen(df0).select(col(id).as(out),
           col(vecCol).cast(ArrayType(DoubleType)).as(s"${out}_v"))
-        .select(col(out), col(s"${out}_v"),
+        .select(col(out),
           posexplode(array(planeSets.map(p =>
             lshBucket(col(s"${out}_v"), p)): _*)).as(Seq("band", "bucket")))
     val cb = banded(corpus, idCol, "id")
     val qb = banded(queries, qidCol, "qid")
     val cands = cb.join(qb, Seq("band", "bucket"))
-      .select(col("qid"), col("id"), col("qid_v"), col("id_v"))
-      .groupBy(col("qid"), col("id"))
-      .agg(first(col("qid_v")).as("qv"), first(col("id_v")).as("cv"))
-    val scored = cands.select(col("qid"), col("id"),
-      graft.functions.GraftFunctions.cosine(corpus.sparkSession,
-        col("cv"), col("qv")).as("cosine"))
+      .select(col("qid"), col("id")).distinct()
+    // late fetch: re-attach vectors only for the surviving candidates
+    val cvv = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
+    val qvv = queries.select(col(qidCol).as("qid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
+    val scored = cands.join(cvv, Seq("id")).join(broadcast(qvv), Seq("qid"))
+      .select(col("qid"), col("id"),
+        graft.functions.GraftFunctions.cosine(corpus.sparkSession,
+          col("cv"), col("qv")).as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

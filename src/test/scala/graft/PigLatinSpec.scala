@@ -94,6 +94,80 @@ class PigLatinSpec extends SparkSpec {
     assert(c.relation("acc").as[(Int, Int, Long)].head() == ((1, 5, 6L)))
   }
 
+  test("SPLIT OTHERWISE receives only rows matching no other branch") {
+    val df = Seq(1, 2, 3, 4).toDF("v")
+    val c = PigScript.run(spark,
+      "split a into big if v > 2, rest otherwise;",
+      tables = Map("a" -> df))
+    assert(c.relation("big").as[Int].collect().toSet == Set(3, 4))
+    assert(c.relation("rest").as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("MATCHES is anchored (full-string, Pig semantics)") {
+    val df = Seq("apple", "banana", "avocado").toDF("name")
+    val out = PigScript.query(spark,
+      "f = filter a by name matches 'a.*';", "f", tables = Map("a" -> df))
+    assert(out.as[String].collect().toSet == Set("apple", "avocado")) // not banana
+  }
+
+  test("GENERATE * keeps the flat schema") {
+    val df = Seq((1, "x"), (5, "y")).toDF("f1", "f2")
+    val c = PigScript.run(spark,
+      """b = foreach a generate *;
+        |c = filter b by f1 > 2;""".stripMargin, tables = Map("a" -> df))
+    assert(c.relation("c").as[(Int, String)].collect().toSeq == Seq((5, "y")))
+  }
+
+  test("FOREACH grouped GENERATE group is the distinct idiom") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val out = PigScript.query(spark,
+      """g = group a by k;
+        |d = foreach g generate group;""".stripMargin, "d",
+      tables = Map("a" -> df))
+    assert(out.as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("aggregates over bag-field expressions fuse correctly") {
+    val df = Seq((1, 2.0, 3.0), (1, 4.0, 5.0), (2, 1.0, 1.0)).toDF("k", "q", "p")
+    val out = PigScript.query(spark,
+      """g = group a by k;
+        |r = foreach g generate group as k, SUM(a.q * a.p) as rev;""".stripMargin,
+      "r", tables = Map("a" -> df))
+    val rows = out.as[(Int, Double)].collect().toMap
+    assert(rows == Map(1 -> 26.0, 2 -> 1.0))
+    assert(!out.queryExecution.optimizedPlan.toString.contains("collect_list"))
+  }
+
+  test("LCFIRST/UCFIRST change only the first character") {
+    val df = Seq("HELLO world").toDF("s")
+    val out = PigScript.query(spark,
+      "r = foreach a generate LCFIRST(s) as l, UCFIRST(s) as u;", "r",
+      tables = Map("a" -> df))
+    assert(out.as[(String, String)].head() == (("hELLO world", "HELLO world")))
+  }
+
+  test("nested ORDER BY field sorts the bag by that field") {
+    val daily = Seq(("x", "b", 1.0), ("x", "a", 9.0), ("x", "c", 5.0))
+      .toDF("g", "sym", "price")
+    val out = PigScript.query(spark,
+      """grp = group daily by g;
+        |r = foreach grp {
+        |  srt = order daily by price desc;
+        |  top1 = limit srt 1;
+        |  generate group, top1;
+        |};""".stripMargin, "r", tables = Map("daily" -> daily))
+    val top = out.select(element_at(col("top1"), 1).getField("sym")).as[String].head()
+    assert(top == "a") // highest price, not first-field order
+  }
+
+  test("RANK BY DESC ranks highest first") {
+    val df = Seq(("a", 10), ("b", 30), ("c", 20)).toDF("n", "score")
+    val out = PigScript.query(spark, "r = rank a by score desc;", "r",
+      tables = Map("a" -> df))
+    val ranks = out.select("n", "rank").as[(String, Long)].collect().toMap
+    assert(ranks == Map("b" -> 1L, "c" -> 2L, "a" -> 3L))
+  }
+
   test("param substitution and SET") {
     val df = Seq((1, "x")).toDF("k", "v")
     val c = PigScript.run(spark,
