@@ -22,7 +22,10 @@ object Materializer {
   /** Stable key: semantic hash of the canonicalized plan + input-data
     * fingerprint (path, length, mtime per input file). */
   def planKey(df: DataFrame): String = {
-    val planHash = df.queryExecution.optimizedPlan.canonicalized.hashCode()
+    // full canonicalized tree string through the digest — a 32-bit
+    // hashCode key would let distinct plans collide and silently serve
+    // each other's snapshots
+    val planHash = df.queryExecution.optimizedPlan.canonicalized.toString
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val inputs = df.inputFiles.sorted.map { f =>
       val p = new Path(f)

@@ -46,7 +46,9 @@ final case class Pipe(df: DataFrame) {
   // ---- UNION / CROSS / set ops -------------------------------------------
   /** reference: op/Union.scala. ONSCHEMA semantics via unionByName. */
   def unionWith(others: Pipe*): Pipe =
-    Pipe(others.foldLeft(df)((a, p) => a.unionByName(p.df)))
+    // ONSCHEMA semantics: missing columns null-pad instead of failing
+    Pipe(others.foldLeft(df)((a, p) =>
+      a.unionByName(p.df, allowMissingColumns = true)))
 
   /** reference: op/Cross.scala. Catalyst broadcasts the small side. */
   def crossWith(other: Pipe): Pipe = Pipe(df.crossJoin(other.df))
@@ -80,6 +82,10 @@ final case class Pipe(df: DataFrame) {
     * smaller input. */
   def joinSkewed(other: Pipe, leftKey: String, rightKey: String,
                  saltBuckets: Int = 16, joinType: String = "inner"): Pipe = {
+    // right/full outer would emit each unmatched right row once PER SALT
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer" || joinType == "leftouter",
+      s"joinSkewed supports inner/left joins, got $joinType")
     val salted = df.withColumn("__salt",
       (rand(42L) * saltBuckets).cast("int"))
     val replicated = other.df.withColumn("__salt",
@@ -165,12 +171,18 @@ final case class Pipe(df: DataFrame) {
     val ordering = keys.zip(keyNames).map {
       case ((_, desc), n) => if (desc) col(n).desc else col(n).asc }
     val w = Window.orderBy(ordering: _*)
-    val ranks = dist.withColumn(
+    val ranks0 = dist.withColumn(
       rankName,
       (sum(col("__cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
         - col("__cnt") + lit(1)).cast(LongType))
       .drop("__cnt")
-    Pipe(keyed.join(broadcast(ranks), keyNames).drop(keyNames: _*))
+    // null-SAFE re-attach: a null ranking key must keep its rows
+    // (plain equi-join drops them — null != null)
+    val ranks = keyNames.foldLeft(ranks0)((d, n) =>
+      d.withColumnRenamed(n, s"${n}_r"))
+    val cond = keyNames.map(n => keyed(n) <=> ranks(s"${n}_r")).reduce(_ && _)
+    Pipe(keyed.join(broadcast(ranks), cond)
+      .drop((keyNames ++ keyNames.map(n => s"${n}_r")): _*))
   }
 
   /** Pig `RANK a` (dense sequential ids in the given order): range-sort then

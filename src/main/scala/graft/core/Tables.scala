@@ -22,8 +22,10 @@ object Tables {
     // downstream operators see a plain timestamp column.
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        // integral div: nano epochs exceed double's 2^53 exact range, so
+        // `/` (double divide) can be off by a microsecond
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
       else d
     }
   }

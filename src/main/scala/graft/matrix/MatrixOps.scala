@@ -74,9 +74,14 @@ object MatrixOps {
       .join(bParts.toDF("bbi", "bbj", "bblock"), col("abj") === col("bbi"))
       .as[(Int, Int, Seq[Double], Int, Int, Seq[Double])]
       .map { case (abi, _, ab, _, bbj, bb) =>
-        val am = new BDM(blockSize, blockSize, ab.toArray)
-        val bm = new BDM(blockSize, blockSize, bb.toArray)
-        (abi, bbj, (am * bm).data.toSeq)
+        // blocks are ROW-major; BDM's array constructor is column-major,
+        // so build transposed views and emit the product row-major again
+        val am = new BDM(blockSize, blockSize, ab.toArray).t
+        val bm = new BDM(blockSize, blockSize, bb.toArray).t
+        val prod = am * bm
+        val out = Array.tabulate(blockSize * blockSize)(i =>
+          prod(i / blockSize, i % blockSize))
+        (abi, bbj, out.toSeq)
       }.toDF("bi", "bj", "partial")
     prod.groupBy("bi", "bj")
       .agg(aggregateBlocks(collect_list(col("partial"))).as("block"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 /** Top-k rows per group as a first-class operator (extension tier (c):
@@ -94,7 +94,9 @@ final case class TopKFinalExec(groupExprs: Seq[Expression],
                                order: Seq[SortOrder], k: Int,
                                child: SparkPlan) extends TopKExecBase {
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) Seq(UnspecifiedDistribution)
+    // empty grouping = GLOBAL top-k: all partials must meet in one place
+    // (UnspecifiedDistribution would emit k rows PER PARTITION)
+    if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
   override protected def doExecute(): RDD[InternalRow] =
     boundedTopK(child.execute())

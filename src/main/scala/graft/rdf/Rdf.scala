@@ -29,13 +29,21 @@ object Rdf {
 
   private def strip(c: Column): Column =
     when(c.startsWith("<") && c.endsWith(">"), c.substr(lit(2), length(c) - 2))
-      .otherwise(regexp_replace(c, "^\"|\"$", ""))
+      // typed ("5"^^<xsd:int>) and language-tagged ("x"@en) literals keep
+      // only the quoted lexical form; plain literals lose their quotes
+      .when(c.startsWith("\""), regexp_extract(c, "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1))
+      .otherwise(c)
 
-  /** TUPLIFY: group triples by subject into a predicate→object map
-    * (reference: op/Tuplify.scala). One shuffle on subject. */
+  /** TUPLIFY: group triples by subject into a predicate→objects map
+    * (reference: op/Tuplify.scala). Multi-valued predicates — two triples
+    * sharing (s, p) — are ubiquitous in RDF, so the map value is an ARRAY
+    * of objects (map_from_entries on raw pairs throws on duplicate keys
+    * under Spark's default dedup policy). One shuffle on subject. */
   def tuplify(triples: DataFrame): DataFrame =
-    triples.groupBy(col("s"))
-      .agg(map_from_entries(sort_array(collect_list(struct(col("p"), col("o")))))
+    triples.groupBy(col("s"), col("p"))
+      .agg(sort_array(collect_list(col("o"))).as("os"))
+      .groupBy(col("s"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("p"), col("os")))))
         .as("po"))
 
   /** One triple pattern of a BGP: each position is either a variable name

@@ -88,33 +88,51 @@ object Streams {
 
   // ---- streaming CEP (reference: op/Matcher.scala on DStreams) -------------
   /** 2-step SEQ pattern (A then B within `withinMicros`) on a stream,
-    * via flatMapGroupsWithState: per-key open-starts state, timeout-based
-    * eviction. Emits (key, startId, endId) on completion. */
+    * via flatMapGroupsWithState: per-key open-starts state with
+    * processing-time timeout eviction, so keys that go quiet do not hold
+    * state forever (unbounded key cardinality would otherwise OOM the
+    * state store). Emits (key, startId, endId) on completion. */
   case class SeqState(starts: List[(Long, Long)]) // (startId, startMicros)
   case class SeqMatch(key: Long, startId: Long, endId: Long)
 
   def streamMatchSeq(events: Dataset[graft.cep.Matcher.Event],
                      startType: String, endType: String,
-                     withinMicros: Long): Dataset[SeqMatch] = {
+                     withinMicros: Long,
+                     stateTtlMs: Long = 0L): Dataset[SeqMatch] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // TTL > 0 enables processing-time eviction for production streams;
+    // 0 keeps NoTimeout (an unthrottled-trigger query with timeouts spins
+    // continuous empty batches — set a real Trigger alongside a TTL)
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.key)
       .flatMapGroupsWithState[SeqState, SeqMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (key, it, state: GroupState[SeqState]) =>
-          var starts = state.getOption.map(_.starts).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SeqMatch]
-          // micro-batch events are not ordering-guaranteed; sort locally
-          it.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
-            starts = starts.filter { case (_, ts) => e.tsMicros - ts <= withinMicros }
-            if (e.etype == endType) {
-              starts.foreach { case (sid, _) => out += SeqMatch(key, sid, e.id) }
-              starts = Nil // each start matches its first B only
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var starts = state.getOption.map(_.starts).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SeqMatch]
+            // micro-batch events are not ordering-guaranteed; sort locally
+            it.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+              starts = starts.filter { case (_, ts) => e.tsMicros - ts <= withinMicros }
+              if (e.etype == endType) {
+                starts.foreach { case (sid, _) => out += SeqMatch(key, sid, e.id) }
+                starts = Nil // each start matches its first B only
+              }
+              if (e.etype == startType) starts ::= (e.id, e.tsMicros)
             }
-            if (e.etype == startType) starts ::= (e.id, e.tsMicros)
+            if (starts.isEmpty) state.remove()
+            else {
+              state.update(SeqState(starts))
+              if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            }
+            out.iterator
           }
-          state.update(SeqState(starts))
-          out.iterator
       }
   }
 }

@@ -340,4 +340,17 @@ class MatrixSpec extends SparkSpec {
       .collect().map { case (i, j, v) => ((i, j), v.head) }.toMap
     assert(out == Map((0, 0) -> 19.0, (0, 1) -> 22.0, (1, 0) -> 43.0, (1, 1) -> 50.0))
   }
+
+  test("block multiply is row-major correct for non-commuting 2x2 blocks") {
+    // single 2x2 block each: result must be A·B, not B·A
+    val A = DenseMatrix((1.0, 2.0), (3.0, 4.0))
+    val B = DenseMatrix((5.0, 6.0), (7.0, 8.0))
+    def rowMajor(m: DenseMatrix[Double]) =
+      Seq(m(0, 0), m(0, 1), m(1, 0), m(1, 1))
+    val a = Seq((0, 0, rowMajor(A))).toDF("bi", "bj", "block")
+    val b = Seq((0, 0, rowMajor(B))).toDF("bi", "bj", "block")
+    val got = MatrixOps.blockMultiply(a, b, 2)
+      .select("block").as[Seq[Double]].head()
+    assert(got == rowMajor(A * B)) // (19, 22, 43, 50)
+  }
 }

@@ -92,6 +92,12 @@ class PipeSpec extends SparkSpec {
     assert(Materializer.planKey(other) != Materializer.planKey(flow))
   }
 
+  test("rankBy keeps rows with null ranking keys") {
+    val df = Seq(Some("b"), None, Some("a")).toDF("k")
+    val out = Pipe(df).rankBy(col("k"), "rnk").df
+    assert(out.count() == 3)            // the null-keyed row survives
+  }
+
   test("partitionBy co-locates keys") {
     val p = Pipe(Seq((1, "a"), (2, "b"), (1, "c")).toDF("k", "v"))
       .partitionBy(4, col("k"))

@@ -80,6 +80,14 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("GLOBAL top-k (no grouping) returns k rows total, not per partition") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("v").repartition(8)
+    val got = TopK.topKPerGroup(df, Seq.empty, Seq(col("v").desc), k = 5)
+      .as[Int].collect().toSet
+    assert(got == Set(100, 99, 98, 97, 96))
+  }
+
   test("duplicate order keys keep exactly k rows per group") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2)).toDF("g", "v")
