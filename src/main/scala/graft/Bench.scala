@@ -22,12 +22,20 @@ object Bench {
     graft.core.Tables(spark, sfDir, "lineitem").limit(10).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count() evaluates the FULL projection: a DataFrame count()
+      // lets Catalyst prune every computed column, so map-only queries
+      // would benchmark an empty-schema scan instead of their real work
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries persist their own intermediates; drop them so later
       // queries aren't taxed by accumulated cache blocks / GC pressure
       spark.sqlContext.clearCache()
-      name -> dt
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

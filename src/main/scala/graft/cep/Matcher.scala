@@ -87,12 +87,18 @@ object Matcher {
           if (e.key != curKey) { curKey = e.key; open.clear() }
           // expire partials whose WITHIN window has closed
           open.filterInPlace(p => e.tsMicros - p.start <= withinMicros)
-          // NEG guards preceding each partial's next Pos step
+          // NEG guards preceding each partial's next Pos step. Only
+          // events STRICTLY AFTER the last matched step can kill — the
+          // SQL-oracle form is NOT EXISTS(n.ts > a.ts AND n.ts < b.ts),
+          // so a negated event sharing the previous step's timestamp is
+          // not "between". (An inverse tie at the COMPLETING step's
+          // timestamp is a known corner: the scan cannot see the future.)
           open.filterInPlace { p =>
             var i = p.next - 1
             var alive = true
             while (i >= 0 && pattern(i).isInstanceOf[Neg]) {
-              if (pattern(i).asInstanceOf[Neg].pred(e)) alive = false
+              if (e.tsMicros > p.last && pattern(i).asInstanceOf[Neg].pred(e))
+                alive = false
               i -= 1
             }
             alive

@@ -19,9 +19,18 @@ object PigFunctions {
   def AVG(c: Column): Column = avg(c)
   def MIN(c: Column): Column = min(c)
   def MAX(c: Column): Column = max(c)
-  /** Exact interpolated median (PigFuncs.median sorts the bag; at scale we
-    * use Spark's exact `percentile`, which aggregates distributed). */
+  /** Exact interpolated median via Spark's distributed `percentile`.
+    * NOTE: the reference's median (PigFuncs.median) returns the
+    * upper-middle ELEMENT (sorted(bag)(n/2)) — for even-sized bags the
+    * interpolated value differs; use [[MEDIAN_ELEMENT]] for bug-for-bug
+    * reference fidelity. */
   def MEDIAN(c: Column): Column = percentile(c, lit(0.5))
+
+  /** reference-faithful median: the sorted bag's element at index n/2. */
+  def MEDIAN_ELEMENT(c: Column): Column = {
+    val sorted = sort_array(collect_list(c))
+    element_at(sorted, (size(sorted) / 2 + 1).cast(IntegerType))
+  }
 
   // ---- bag functions ----
   def ISEMPTY(bag: Column): Column = size(bag) === 0

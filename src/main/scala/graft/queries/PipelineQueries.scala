@@ -43,9 +43,7 @@ object PipelineQueries {
       .union(pert)
   }
 
-  private val enStop = Seq("the", "and", "of", "to", "in", "is", "that", "it",
-    "was", "for", "on", "with", "as", "at", "by", "this", "have", "from",
-    "or", "not")
+  private val enStop = TextOps.enStopwords
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis (#64–67) ------------------------------------------------

@@ -22,13 +22,14 @@ object RelationalQueries {
   /** Derived csv/json copies of small tables, for LOAD-format coverage. */
   private def deriveDir = "/root/repo/target/graft-data"
   private def ensureDerived(s: SparkSession, dir: String): Unit = synchronized {
-    val base = new java.io.File(s"$deriveDir/csv_region")
-    if (!base.exists()) {
+    // guard each output independently: a crash between the two writes
+    // must not wedge the missing one behind the existing one
+    if (!new java.io.File(s"$deriveDir/csv_region/_SUCCESS").exists())
       t(s, dir, "region").coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(s"$deriveDir/csv_region")
+    if (!new java.io.File(s"$deriveDir/json_nation/_SUCCESS").exists())
       t(s, dir, "nation").coalesce(1).write.mode("overwrite")
         .json(s"$deriveDir/json_nation")
-    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -25,6 +25,11 @@ object TextOps {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast(LongType)
 
+  /** English stopwords — exposed so oracle SQL builds from the SAME list
+    * the engine computes with (silent drift would break the q_quality
+    * hash compare). */
+  def enStopwords: Seq[String] = stopwords.head._2
+
   // --- language ID (n-gram/stopword heuristic) -----------------------------
   private val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
