@@ -2,10 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every SparkEntry query at the driver-chosen
-  * scale factor and prints one JSON line. A warm-up action runs first so
-  * JVM/codegen startup is not attributed to the first query; queries run
-  * in sorted name order for stable attribution. */
+  * scale factor and prints one JSON line (also written to
+  * `target/bench.json`, where the driver can read it without scraping
+  * sbt's [info]/[error]-prefixed stdout).
+  *
+  * Each query runs three times and reports the MEDIAN — this host shows
+  * 10–60× per-query swings between identical runs from outside load, so
+  * single samples are noise. A warm-up action runs first so JVM/codegen
+  * startup is not attributed to the first query; queries run in sorted
+  * name order for stable attribution. */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,26 +29,39 @@ object Bench {
     // warm-up: session init, parquet footer reads, first codegen
     graft.core.Tables(spark, sfDir, "lineitem").limit(10).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() evaluates the FULL projection: a DataFrame count()
-      // lets Catalyst prune every computed column, so map-only queries
-      // would benchmark an empty-schema scan instead of their real work
-      val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries persist their own intermediates; drop them so later
-      // queries aren't taxed by accumulated cache blocks / GC pressure
-      spark.sqlContext.clearCache()
-      name -> (if (ok) dt else -1.0)
+      val times = (1 to Runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count() evaluates the FULL projection: a DataFrame count()
+        // lets Catalyst prune every computed column, so map-only queries
+        // would benchmark an empty-schema scan instead of their real work
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries persist their own intermediates; drop them so later
+        // runs/queries aren't taxed by accumulated cache blocks
+        spark.sqlContext.clearCache()
+        if (ok) Some(dt) else None
+      }
+      name -> (if (times.isEmpty) None else Some(times.sorted.apply(times.size / 2)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val succeeded = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val qs = succeeded.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total = successful medians only; failures are listed, not summed
+    // (the old -1.0 sentinel made a failing run look FASTER than a clean one)
+    val total = succeeded.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,"runs_per_query":$Runs,"sf":"$sfDir"}"""
+    println(line)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     spark.stop()
   }
 }

@@ -16,6 +16,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // data-dependent oracles (IVF centroids) are generated in-process
+    graft.queries.OracleContext.session = Some((spark, sfDir))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -157,8 +157,12 @@ final case class Pipe(df: DataFrame) {
     Pipe(graft.plans.TopK.topKPerGroup(df, groupKeys, ordering, n))
 
   /** Pig `RANK a BY f` (ties share a rank). A naive global window would
-    * collapse to ONE partition; instead rank the (small) distinct key set
-    * with a window, then broadcast-join ranks back — scales to any row count. */
+    * collapse to ONE partition; instead the distinct key set is ranked by
+    * a DISTRIBUTED prefix sum (range-sort + per-partition running totals
+    * + driver-side offsets over numPartitions values) and joined back
+    * with no broadcast hint — AQE broadcasts when the key set is small,
+    * shuffle-joins when it is not. Safe for near-unique ranking keys
+    * where the old broadcast-the-key-table idiom would OOM the driver. */
   def rankBy(ordering: Column, rankName: String = "rank"): Pipe =
     rankByKeys(Seq((ordering, false)), rankName)
 
@@ -170,29 +174,79 @@ final case class Pipe(df: DataFrame) {
     val dist = keyed.groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("__cnt"))
     val ordering = keys.zip(keyNames).map {
       case ((_, desc), n) => if (desc) col(n).desc else col(n).asc }
-    val w = Window.orderBy(ordering: _*)
-    val ranks0 = dist.withColumn(
-      rankName,
-      (sum(col("__cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
-        - col("__cnt") + lit(1)).cast(LongType))
-      .drop("__cnt")
+    // distributed prefix rank over the distinct keys: range-partition by
+    // the sort keys, running sum within each partition, then add the
+    // (numPartitions-sized, driver-side) cumulative partition offsets
+    val sorted = dist.repartitionByRange(ordering: _*)
+      .sortWithinPartitions(ordering: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = sorted.groupBy(col("__pid")).agg(sum(col("__cnt")).as("__tot"))
+      .orderBy(col("__pid")).collect()
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      totals.map { r =>
+        val e = r.getInt(0) -> acc; acc += r.getLong(1); e
+      }.toMap
+    }
+    val wRun = Window.partitionBy(col("__pid")).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+    val ranks0 = sorted
+      .withColumn(rankName,
+        (offsetCol + sum(col("__cnt")).over(wRun) - col("__cnt") + lit(1))
+          .cast(LongType))
+      .drop("__cnt", "__pid")
     // null-SAFE re-attach: a null ranking key must keep its rows
     // (plain equi-join drops them — null != null)
     val ranks = keyNames.foldLeft(ranks0)((d, n) =>
       d.withColumnRenamed(n, s"${n}_r"))
     val cond = keyNames.map(n => keyed(n) <=> ranks(s"${n}_r")).reduce(_ && _)
-    Pipe(keyed.join(broadcast(ranks), cond)
+    Pipe(keyed.join(ranks, cond)
       .drop((keyNames ++ keyNames.map(n => s"${n}_r")): _*))
   }
 
-  /** Pig `RANK a` (dense sequential ids in the given order): range-sort then
-    * per-partition offsets — the distributed zipWithIndex pattern. */
+  /** Pig `RANK a` (dense sequential ids in the given order), fully inside
+    * Tungsten: range-sort, per-partition contiguous local ids from
+    * `monotonically_increasing_id` (= partitionId<<33 | localRow), plus
+    * driver-side per-partition offsets. No RDD round-trip — the previous
+    * `rdd.zipWithIndex` formulation left codegen, re-encoded every Row
+    * and ran an extra count job over raw rows; this runs the same two
+    * passes but both vectorized (counts aggregate only longs). Limit:
+    * 2^33 rows per partition (monotonic-id local counter width). */
   def zipWithIndex(ordering: Seq[Column], idxName: String = "index"): Pipe = {
     val sorted = if (ordering.nonEmpty) df.orderBy(ordering: _*) else df
-    val out = StructType(sorted.schema.fields :+
-      org.apache.spark.sql.types.StructField(idxName, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    Pipe(spark.createDataFrame(rdd, out))
+    val mid = sorted.withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pid = shiftrightunsigned(col("__mid"), 33).cast("int")
+    val local = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val counts = mid.groupBy(pid.as("__pid")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__pid")).collect()
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { r =>
+        val e = r.getInt(0) -> acc; acc += r.getLong(1); e
+      }.toMap
+    }
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), pid), lit(0L))
+    Pipe(mid.withColumn(idxName, (offsetCol + local).cast(LongType))
+      .drop("__mid"))
+  }
+
+  /** reference: op/Zip.scala (withIndex=false requires ≥2 inputs):
+    * positional zip — row i of this relation pairs with row i of the
+    * other. Each side gets an explicit ordering (cross-engine determinism
+    * needs one; RDD zip would pair by raw partition order). Inner-joined
+    * on the position, so the result truncates to the shorter input. */
+  def zipWith(other: Pipe, thisOrdering: Seq[Column],
+              otherOrdering: Seq[Column]): Pipe = {
+    val l = zipWithIndex(thisOrdering, "__zip_idx").df
+    val r = other.zipWithIndex(otherOrdering, "__zip_idx").df
+    Pipe(l.join(r, "__zip_idx").drop("__zip_idx"))
   }
 
   // ---- STREAM THROUGH / user ops -----------------------------------------------

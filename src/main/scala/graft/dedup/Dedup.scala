@@ -20,7 +20,10 @@ object Dedup {
     * wide and this is a no-op. */
   private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // physical partition count without the Row-encoder RDD conversion
+    // (.rdd would wrap the executed plan in a deserializer per call)
+    val parts = df.queryExecution.executedPlan.execute().getNumPartitions
+    if (parts < target) df.repartition(target) else df
   }
 
   // ---- exact dedup (hash groupBy) -----------------------------------------
@@ -97,6 +100,9 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "integer division would silently drop trailing permutations from every band")
     val rows = numHashes / bands
     // sh feeds three plan branches (both band-join sides + the refine);
     // persist it — a few bytes per shingle — or every branch re-tokenizes
@@ -187,23 +193,37 @@ object Dedup {
   }
 
   // ---- embedding-cosine near-dup -------------------------------------------
-  /** Near-duplicates by embedding cosine: random-hyperplane LSH buckets
-    * (shuffle on the bucket key) + exact cosine refine. See
+  /** Near-duplicates by embedding cosine: banded random-hyperplane LSH
+    * (a pair is a candidate when ANY band's full bucket matches —
+    * OR-amplification, so recall at tight thresholds is ~1 instead of the
+    * (1-θ/π)^planes of a single bucket) + exact cosine refine. The band
+    * join is METADATA-ONLY — (id, band, bucket) rows, never the vectors;
+    * vectors re-attach to surviving candidates only (late fetch). See
     * [[graft.sim.Similarity]] for the signature primitives. */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.95, planes: Int = 12,
-                      seed: Long = 42L): DataFrame = {
+                      bands: Int = 4, seed: Long = 42L): DataFrame = {
     import graft.sim.Similarity
     val dim = Similarity.dimOf(df, vecCol)
-    val hp = Similarity.hyperplanes(planes, dim, seed)
-    val sig = widen(df).select(col(idCol).as("id"),
+    val planeSets = (0 until bands).map(b =>
+      Similarity.hyperplanes(planes, dim, seed + b))
+    val vecs = widen(df).select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), hp))
-    sig.as("l").join(sig.as("r"), col("l.bucket") === col("r.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = vecs.select(col("id"),
+      posexplode(array(planeSets.map(p =>
+        Similarity.lshBucket(col("v"), p)): _*)).as(Seq("band", "bucket")))
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .where(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         graft.functions.GraftFunctions.cosine(df.sparkSession,
-          col("l.v"), col("r.v")).as("cosine"))
+          col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
@@ -211,8 +231,19 @@ object Dedup {
   /** Min-label propagation over a (id_a, id_b) pair graph until fixpoint:
     * each doc converges to the min id of its component ("canonical" doc).
     * Iterations = graph diameter (tiny for dup clusters); each step is one
-    * shuffle-join, checkpointed via localCheckpoint to keep lineage flat. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * shuffle-join, checkpointed to keep lineage flat.
+    *
+    * `checkpointDir`: when set, each iteration uses a RELIABLE checkpoint
+    * (parquet under the dir) — survives executor loss, the right choice
+    * for multi-hour 100 TB jobs. When unset, falls back to
+    * `localCheckpoint` (executor-local blocks: fast, but lost state kills
+    * the job on executor failure — acceptable only for short runs). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
     var labels = edges.select(col("a").as("id")).distinct()
@@ -227,7 +258,7 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
       val anyChanged = updated.where(col("changed")).limit(1).count() > 0
-      labels = updated.select("id", "label").localCheckpoint()
+      labels = ckpt(updated.select("id", "label"))
       converged = !anyChanged
       iter += 1
     }

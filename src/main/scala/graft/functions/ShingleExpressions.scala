@@ -105,8 +105,16 @@ case class XorshiftMinhash(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over hashed tokens: ±1 votes per bit, packed sign
-  * vector — one compiled pass instead of 64 interpreted aggregate folds. */
+/** 60-bit SimHash over md5-hashed tokens: ±1 votes per bit, packed sign
+  * vector — one compiled pass instead of 60 interpreted aggregate folds.
+  *
+  * The per-token hash is the first 60 bits of md5 (= the first 15 hex
+  * chars of the digest) rather than a bespoke mix: md5 is the one hash
+  * primitive an external SQL engine computes bit-identically, so the
+  * whole signature — and therefore the near-dup pair set — is exactly
+  * reproducible by an independent oracle (`('0x'||substr(md5(t),1,15))
+  * ::BIGINT` in DuckDB). 60 bits keeps the value positive in engines
+  * without unsigned 64-bit. */
 case class SimhashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -114,20 +122,27 @@ case class SimhashExpr(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val tokens = ShingleHash.tokenize(input.asInstanceOf[UTF8String])
-    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
     var t = 0
     while (t < tokens.length) {
-      val h = ShingleHash.hashRange(Array(tokens(t)), 0, 1)
+      val d = md.digest(tokens(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = top 60 bits of the first 8 digest bytes
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
+      md.reset()
       t += 1
     }
     var packed = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) packed |= (1L << b); b += 1 }
+    while (b < 60) { if (votes(b) > 0) packed |= (1L << b); b += 1 }
     packed
   }
 

@@ -8,6 +8,14 @@ import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.sim.Similarity
 
+/** Set by Verify before queries run so data-dependent oracle SQL (the IVF
+  * quantizer's centroids are trained from the corpus) can be generated in
+  * the same process that executed the queries. When unset, those oracles
+  * are omitted and the driver records a rows-only check. */
+object OracleContext {
+  @volatile var session: Option[(SparkSession, String)] = None
+}
+
 /** LLM-training-pipeline coverage (SURVEY.md §2 rows 57–67): dedup,
   * similarity search and text analysis over the `documents` /
   * `embeddings` tables.
@@ -15,9 +23,26 @@ import graft.sim.Similarity
   * Near-dup queries plant duplicates deterministically FROM the provided
   * tables (doc text minus its first token / embedding with a perturbed
   * first component, ids offset by 1e6) so the detectors have planted truth
-  * to find at every scale factor — the specs assert the planted pairs are
-  * recovered, the driver asserts non-emptiness + (where SQL can express
-  * the semantics) the DuckDB hash match.
+  * to find at every scale factor.
+  *
+  * Oracle strategy (every query below hash-checks against DuckDB):
+  *  - minhash / jaccard / cosine dedup: brute-force pair enumeration with
+  *    the SAME thresholds. Sound because the LSH candidate stages are
+  *    deterministic and tuned for recall 1.0 at these thresholds (banded
+  *    OR-amplification; verified empirically at sf 0.001/0.01/0.1), so
+  *    detected pairs == all pairs above threshold.
+  *  - simhash: the oracle REPLICATES the signature bit-for-bit — the
+  *    per-token hash is md5-derived (the one hash both engines compute
+  *    identically), so SQL rebuilds every signature and enumerates pairs
+  *    within the Hamming radius; the pigeonhole chunk join has guaranteed
+  *    (not probabilistic) recall, so the sets match by construction.
+  *  - ann_lsh: the hyperplanes are deterministic seeded constants; the
+  *    oracle embeds them as SQL literals and replays bucketing + band
+  *    join + cosine rank exactly (dot products sum in the same order on
+  *    both sides, so the sign bits agree).
+  *  - ann_ivf: centroids are trained once per (process, sfDir) and shared
+  *    between the query and a runtime-generated oracle that embeds them
+  *    as literals and replays cell assignment + probing + rank.
   */
 object PipelineQueries {
 
@@ -42,6 +67,29 @@ object PipelineQueries {
     emb.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
       .union(pert)
   }
+
+  // ---- shared ANN / IVF parameters (query and oracle must agree) ----------
+  private val EmbDim = 64 // TESTDATA embeddings dimensionality (all sf)
+  private val LshBands = 8
+  private val LshBits = 12
+  private val LshSeed = 42L
+  private val IvfCells = 16
+  private val IvfProbe = 6
+  private val AnnK = 10
+
+  /** IVF centroids memoized per sfDir: the query execution and the oracle
+    * generation (later in the same Verify process) must use the IDENTICAL
+    * doubles. Training is deterministic anyway (seeded sample, fixed
+    * iterations) — the memo just removes any room for drift. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Double]]]
+  def ivfCentroidsFor(s: SparkSession, dir: String): Seq[Array[Double]] =
+    centroidCache.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfCentroids(corpus, nCells = IvfCells, seed = LshSeed)
+    })
 
   private val enStop = TextOps.enStopwords
 
@@ -88,8 +136,12 @@ object PipelineQueries {
       Dedup.ngramJaccard(plantedDocs(t(s, dir, "documents")),
         "doc_id", "text", n = 5, threshold = 0.5, maxDocFreq = 50)),
     "q_dedup_cosine" -> ((s, dir) =>
+      // banded OR-amplification: 6 bands × 10 planes ⇒ a pair at
+      // cosine ≥ 0.999 (θ ≤ 2.6°) misses all 6 bands with p < 1e-13, so
+      // recall is effectively exact and the brute-force oracle matches
       Dedup.embeddingCosine(plantedVecs(t(s, dir, "embeddings")),
-        "vec_id", "embedding", threshold = 0.999, planes = 10)),
+        "vec_id", "embedding", threshold = 0.999, planes = 10, bands = 6)
+        .select(col("id_a"), col("id_b"))),
 
     // -- similarity search (#62–63) ---------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
@@ -98,7 +150,7 @@ object PipelineQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("vec"))
       val corpus = emb.where(col("vec_id") >= 5)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.bruteForceTopK(corpus, queries, k = 10)
+      Similarity.bruteForceTopK(corpus, queries, k = AnnK)
         .select(col("qid"), col("id"), col("rank"))
     }),
     "q_ann_ivf" -> ((s, dir) => {
@@ -107,8 +159,9 @@ object PipelineQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("vec"))
       val corpus = emb.where(col("vec_id") >= 5)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.ivfTopK(corpus, queries, k = 10, nCells = 16, nProbe = 6)
-        .select(col("qid"), col("id"), col("rank"), round(col("cosine"), 4).as("cosine"))
+      Similarity.ivfTopKWith(corpus, queries, k = AnnK,
+        centroids = ivfCentroidsFor(s, dir), nProbe = IvfProbe)
+        .select(col("qid"), col("id"), col("rank"))
     }),
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -116,51 +169,243 @@ object PipelineQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("vec"))
       val corpus = emb.where(col("vec_id") >= 5)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.lshTopK(corpus, queries, k = 10, bands = 16, bitsPerBand = 4)
-        .select(col("qid"), col("id"), col("rank"), round(col("cosine"), 4).as("cosine"))
+      Similarity.lshTopK(corpus, queries, k = AnnK,
+        bands = LshBands, bitsPerBand = LshBits, seed = LshSeed)
+        .select(col("qid"), col("id"), col("rank"))
     })
   )
 
+  // ======================= oracle SQL builders ==============================
+
   private val stopList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  val oracles: Map[String, String] = Map(
-    "q_token_count" ->
-      """SELECT doc_id,
-         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
-         FROM documents""",
-    "q_quality" ->
-      s"""WITH q AS (SELECT doc_id,
-           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
-           length(text) AS nc,
-           length(regexp_replace(text, '[^\\.\\!\\?\\,\\;\\:]', '', 'g')) AS np,
-           length(regexp_replace(text, '\\s+', '', 'g')) AS nw
-           FROM documents)
-         SELECT doc_id,
-           (CASE WHEN len(toks) = 0 THEN 0.0
-                 ELSE CAST(len(list_filter(toks, x -> list_contains($stopList, lower(x)))) AS DOUBLE) / len(toks) END) * 0.4
-           + least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(nw AS DOUBLE) / len(toks) END) / 10.0, 1.0) * 0.3
-           + (1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / nc END)) * 0.3 AS quality
-         FROM q""",
-    "q_fingerprint" ->
-      """SELECT doc_id,
-         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-         FROM documents""",
-    "q_dedup_exact" ->
-      """WITH planted AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 1000000, text FROM documents)
-         SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
-                min(doc_id) AS keep_id, count(*) AS dup_cnt
-         FROM planted GROUP BY 1""",
-    "q_ann_brute" ->
-      """SELECT q.vec_id AS qid, c.vec_id AS id,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                             CAST(q.embedding AS DOUBLE[])) DESC,
-                      c.vec_id) AS rank
-         FROM embeddings q CROSS JOIN embeddings c
-         WHERE q.vec_id < 5 AND c.vec_id >= 5
-         QUALIFY rank <= 10"""
-  )
+  /** DuckDB expression for whitespace tokens, empties dropped (mirrors
+    * TextOps.tokens). */
+  private val toksExpr =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** Planted-documents CTE body (mirrors plantedDocs: drop first token,
+    * id + 1e6). */
+  private val plantedDocsSql =
+    s"""SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000 AS doc_id,
+              array_to_string($toksExpr[2:], ' ') AS text
+       FROM documents"""
+
+  /** Brute-force shingle-Jaccard pair oracle (mirrors Dedup.shingles +
+    * jaccard refine: distinct word n-grams, whole-doc shingle for short
+    * docs, |∩|/|∪| as double, id_a < id_b, empty docs dropped). */
+  private def jaccardPairsSql(n: Int, threshold: Double): String =
+    s"""WITH docs AS ($plantedDocsSql),
+       tok AS (SELECT doc_id, $toksExpr AS toks
+               FROM docs WHERE length(trim(text)) > 0),
+       sh AS (SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks) - ${n - 2}),
+                i -> array_to_string(toks[i:i+${n - 1}], ' ')) END) AS s
+         FROM tok)
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.s, b.s))::DOUBLE /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       WHERE jaccard >= $threshold"""
+
+  /** Exact simhash replica: per-token 60-bit md5 hash, ±1 votes per bit,
+    * packed sign vector — then brute-force pairs within the Hamming
+    * radius. Bit-for-bit the algorithm in
+    * [[graft.functions.SimhashExpr]]. */
+  private def simhashPairsSql(maxDist: Int): String = {
+    // vote for bit b: +1 per token with bit set, -1 otherwise
+    // = 2*count_set - n  (no unnest: empty docs keep their row, sig = 0)
+    val packed = (0 until 60).map { b =>
+      s"""(CASE WHEN 2 * len(list_filter(h, x -> ((x >> $b) & 1) = 1)) - len(h) > 0
+         THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"""
+    }.mkString(" + ")
+    s"""WITH docs AS ($plantedDocsSql),
+       hs AS (SELECT doc_id,
+         list_transform($toksExpr,
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+         FROM docs),
+       sig AS (SELECT doc_id, ($packed) AS sh FROM hs)
+       SELECT id_a, id_b, hamming FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       WHERE hamming <= $maxDist"""
+  }
+
+  /** Brute-force embedding-cosine pair oracle (mirrors plantedVecs +
+    * threshold refine; pair set only — the banded LSH stage has
+    * effectively-exact recall at this threshold, see q_dedup_cosine). */
+  private def cosinePairsSql(threshold: Double): String =
+    s"""WITH vecs AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  (x, i) -> CASE WHEN i = 1 THEN x + 0.001 ELSE x END)
+         FROM embeddings)
+       SELECT id_a, id_b FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_cosine_similarity(a.v, b.v) AS c
+         FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+       WHERE c >= $threshold"""
+
+  /** Stopword-argmax langId replica (same profiles, same precedence:
+    * CJK-script overrides, then first language achieving the max score,
+    * 'und' when no stopword hits). */
+  private def langIdSql: String = {
+    val profiles = TextOps.stopwordProfiles
+    val scoreDefs = profiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($list, x))) AS s_$lang"
+    }.mkString(", ")
+    val langs = profiles.map(_._1)
+    val allScores = langs.map(l => s"s_$l").mkString(", ")
+    // fold semantics: strict > replaces, so the FIRST profile achieving
+    // the max wins ties — branch i fires when s_i >= every later score
+    val argmax = langs.zipWithIndex.map { case (l, i) =>
+      val laterConds = langs.drop(i + 1).map(l2 => s"s_$l >= s_$l2")
+      if (laterConds.isEmpty) s"ELSE '$l'"
+      else s"WHEN ${laterConds.mkString(" AND ")} THEN '$l'"
+    }.mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, text,
+         list_transform($toksExpr, x -> lower(x)) AS toks FROM documents),
+       sc AS (SELECT doc_id, text, $scoreDefs FROM tok)
+       SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[\\p{Han}]') THEN 'zh'
+              WHEN regexp_matches(text, '[\\p{Hiragana}\\p{Katakana}]') THEN 'ja'
+              WHEN regexp_matches(text, '[\\p{Hangul}]') THEN 'ko'
+              WHEN greatest($allScores) = 0 THEN 'und'
+              $argmax END AS lang_guess
+       FROM sc"""
+  }
+
+  private def doubleList(a: Seq[Double]): String =
+    a.mkString("[", ", ", "]")
+
+  /** Exact SQL replica of sign-LSH bucketed ANN: the seeded hyperplanes
+    * are embedded as literals; bucket bits, the (band, bucket) equi-join,
+    * cosine scoring and the per-query rank replay the engine exactly.
+    * (list_dot_product sums sequentially like the engine's fold, so the
+    * sign bits — and therefore the candidate sets — agree.) */
+  private def lshAnnSql: String = {
+    val planeSets = (0 until LshBands).map(b =>
+      Similarity.hyperplanes(LshBits, EmbDim, LshSeed + b))
+    def bandSelects(src: String, idName: String): String =
+      (0 until LshBands).map { b =>
+        val bucket = planeSets(b).zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product(v, ${doubleList(p)}) >= 0.0 " +
+            s"THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
+        }.mkString(" + ")
+        s"SELECT $idName, $b AS band, ($bucket) AS bucket FROM $src"
+      }.mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id >= 5),
+       q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id < 5),
+       cb AS (${bandSelects("c", "id")}),
+       qb AS (${bandSelects("q", "qid")}),
+       cand AS (SELECT DISTINCT qb.qid, cb.id
+                FROM cb JOIN qb ON cb.band = qb.band AND cb.bucket = qb.bucket),
+       scored AS (SELECT cand.qid, cand.id,
+         row_number() OVER (PARTITION BY cand.qid
+           ORDER BY list_cosine_similarity(c.v, q.v) DESC, cand.id) AS rank
+         FROM cand JOIN c ON cand.id = c.id JOIN q ON cand.qid = q.qid)
+       SELECT qid, id, rank FROM scored WHERE rank <= $AnnK"""
+  }
+
+  /** Exact SQL replica of IVF ANN for a given trained quantizer: embeds
+    * the centroids as literals, replays nearest-cell assignment (argmin
+    * of -dot, ties to the lowest index — the engine's struct sort), the
+    * nProbe cell probing, and the per-query cosine rank. */
+  private def ivfAnnSql(centroids: Seq[Array[Double]]): String = {
+    val n = centroids.length
+    val ndDefs = centroids.zipWithIndex.map { case (c, i) =>
+      s"(0.0 - list_dot_product(v, ${doubleList(c.toSeq)})) AS nd$i"
+    }.mkString(", ")
+    // first i with nd_i <= nd_j for all j > i  == argmin with min-index ties
+    val assign = (0 until n).map { i =>
+      val conds = ((i + 1) until n).map(j => s"nd$i <= nd$j")
+      if (conds.isEmpty) s"ELSE $i"
+      else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString(" ")
+    val probeUnion = (0 until n).map { i =>
+      s"SELECT qid, v, $i AS cell, nd$i AS nd FROM qd"
+    }.mkString(" UNION ALL ")
+    s"""WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id >= 5),
+       cd AS (SELECT id, v, $ndDefs FROM c0),
+       ca AS (SELECT id, v, CASE $assign END AS cell FROM cd),
+       q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 5),
+       qd AS (SELECT qid, v, $ndDefs FROM q0),
+       qc AS ($probeUnion),
+       qp AS (SELECT qid, v, cell FROM (
+         SELECT qid, v, cell,
+           row_number() OVER (PARTITION BY qid ORDER BY nd, cell) AS pr
+         FROM qc) WHERE pr <= $IvfProbe),
+       scored AS (SELECT qp.qid, ca.id,
+         row_number() OVER (PARTITION BY qp.qid
+           ORDER BY list_cosine_similarity(ca.v, qp.v) DESC, ca.id) AS rank
+         FROM ca JOIN qp ON ca.cell = qp.cell)
+       SELECT qid, id, rank FROM scored WHERE rank <= $AnnK"""
+  }
+
+  /** Oracles are a def: the IVF entry needs the trained centroids, which
+    * exist only after OracleContext is set (Verify does, before dumping). */
+  def oracles: Map[String, String] = {
+    val static = Map(
+      "q_token_count" ->
+        """SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+           FROM documents""",
+      "q_quality" ->
+        s"""WITH q AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^\\.\\!\\?\\,\\;\\:]', '', 'g')) AS np,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS nw
+             FROM documents)
+           SELECT doc_id,
+             (CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(toks, x -> list_contains($stopList, lower(x)))) AS DOUBLE) / len(toks) END) * 0.4
+             + least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(nw AS DOUBLE) / len(toks) END) / 10.0, 1.0) * 0.3
+             + (1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / nc END)) * 0.3 AS quality
+           FROM q""",
+      "q_fingerprint" ->
+        """SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents""",
+      "q_lang_id" -> langIdSql,
+      "q_dedup_exact" ->
+        """WITH planted AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 1000000, text FROM documents)
+           SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                  min(doc_id) AS keep_id, count(*) AS dup_cnt
+           FROM planted GROUP BY 1""",
+      "q_dedup_minhash" -> jaccardPairsSql(n = 3, threshold = 0.5),
+      "q_dedup_jaccard" -> jaccardPairsSql(n = 5, threshold = 0.5),
+      "q_dedup_simhash" -> simhashPairsSql(maxDist = 3),
+      "q_dedup_cosine" -> cosinePairsSql(threshold = 0.999),
+      "q_ann_lsh" -> lshAnnSql,
+      "q_ann_brute" ->
+        """SELECT q.vec_id AS qid, c.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rank
+           FROM embeddings q CROSS JOIN embeddings c
+           WHERE q.vec_id < 5 AND c.vec_id >= 5
+           QUALIFY rank <= 10""")
+    OracleContext.session match {
+      case Some((s, dir)) =>
+        static + ("q_ann_ivf" -> ivfAnnSql(ivfCentroidsFor(s, dir)))
+      case None => static
+    }
+  }
 }

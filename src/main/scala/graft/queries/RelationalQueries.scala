@@ -191,13 +191,27 @@ object RelationalQueries {
         .intersectWith(
           Pipe(t(s, dir, "supplier")).generate(col("s_nationkey").as("nationkey"))).df),
     "q_difference" -> ((s, dir) =>
+      // customers with no OPEN order — non-empty at every sf, so the
+      // oracle hash actually constrains values (the all-orders variant
+      // was vacuously empty: every customer has some order)
       Pipe(t(s, dir, "customer")).generate(col("c_custkey").as("custkey"))
         .differenceWith(
-          Pipe(t(s, dir, "orders")).generate(col("o_custkey").as("custkey"))).df),
+          Pipe(t(s, dir, "orders")).where(col("o_orderstatus") === "O")
+            .generate(col("o_custkey").as("custkey"))).df),
     // -- ZIP/RANK (#23, #30) --------------------------------------------------------------------------------------
     "q_zip_index" -> ((s, dir) =>
       Pipe(t(s, dir, "region")).zipWithIndex(Seq(col("r_regionkey")), "idx")
         .generate(col("r_regionkey"), col("r_name"), col("idx")).df),
+    // multi-input ZIP (reference op/Zip.scala with withIndex=false):
+    // positional pairing of two relations, truncated to the shorter
+    "q_zip_two" -> ((s, dir) =>
+      Pipe(t(s, dir, "nation"))
+        .generate(col("n_nationkey"), col("n_name"))
+        .zipWith(Pipe(t(s, dir, "region"))
+                   .generate(col("r_regionkey"), col("r_name")),
+          Seq(col("n_nationkey")), Seq(col("r_regionkey")))
+        .generate(col("n_nationkey"), col("n_name"),
+                  col("r_regionkey"), col("r_name")).df),
     "q_rank" -> ((s, dir) =>
       Pipe(t(s, dir, "customer")).rankBy(col("c_mktsegment"), "rnk")
         .generate(col("c_custkey"), col("c_mktsegment"), col("rnk")).df),
@@ -331,10 +345,18 @@ object RelationalQueries {
          INTERSECT SELECT s_nationkey AS nationkey FROM supplier""",
     "q_difference" ->
       """SELECT c_custkey AS custkey FROM customer
-         EXCEPT SELECT o_custkey AS custkey FROM orders""",
+         EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""",
     "q_zip_index" ->
       """SELECT r_regionkey, r_name,
          row_number() OVER (ORDER BY r_regionkey) - 1 AS idx FROM region""",
+    "q_zip_two" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name FROM
+         (SELECT n_nationkey, n_name,
+            row_number() OVER (ORDER BY n_nationkey) AS i FROM nation) n
+         JOIN
+         (SELECT r_regionkey, r_name,
+            row_number() OVER (ORDER BY r_regionkey) AS i FROM region) r
+         USING (i)""",
     "q_rank" ->
       """SELECT c_custkey, c_mktsegment,
          RANK() OVER (ORDER BY c_mktsegment) AS rnk FROM customer""",

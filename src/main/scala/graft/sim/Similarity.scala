@@ -61,7 +61,10 @@ object Similarity {
     * scans yield 1–2 partitions; no-op on already-wide scans). */
   private def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // physical partition count without the Row-encoder RDD conversion
+    // (.rdd would wrap the executed plan in a deserializer per call)
+    val parts = df.queryExecution.executedPlan.execute().getNumPartitions
+    if (parts < target) df.repartition(target) else df
   }
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -92,22 +95,42 @@ object Similarity {
     * equi-join on cell id — the same join-on-bucket shape as LSH, but
     * with data-adaptive buckets (better recall on clustered corpora).
     */
+  /** Train the IVF coarse quantizer for a corpus: spherical k-means on a
+    * seeded sample taken BEFORE any repartition (stable scan partitions →
+    * the same centroids on every invocation over the same data — the
+    * oracle replays this to embed the centroids it checks against). */
+  def ivfCentroids(corpus: DataFrame, nCells: Int = 16,
+                   vecCol: String = "vec", seed: Long = 42L,
+                   sampleSize: Int = 2048, iters: Int = 10): Seq[Array[Double]] = {
+    val vecs = corpus.select(col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
+    // a REAL seeded sample: fraction derived from the corpus count
+    // (sample(1.0).limit(n) would just take the head rows in partition
+    // order — clustered corpora would train centroids on one region)
+    val total = math.max(1L, vecs.count())
+    val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / total)
+    trainCentroids(
+      vecs.sample(withReplacement = false, fraction, seed)
+        .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray),
+      nCells, iters, seed)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "id", qidCol: String = "qid",
               vecCol: String = "vec", seed: Long = 42L,
-              sampleSize: Int = 2048, iters: Int = 10): DataFrame = {
+              sampleSize: Int = 2048, iters: Int = 10): DataFrame =
+    ivfTopKWith(corpus, queries, k,
+      ivfCentroids(corpus, nCells, vecCol, seed, sampleSize, iters),
+      nProbe, idCol, qidCol, vecCol)
+
+  /** IVF search against an already-trained quantizer (centroids shared
+    * with recall specs and the correctness oracle). */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                  centroids: Seq[Array[Double]], nProbe: Int = 4,
+                  idCol: String = "id", qidCol: String = "qid",
+                  vecCol: String = "vec"): DataFrame = {
     val cVecs = widen(corpus).select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
-    // a REAL seeded sample: fraction derived from the corpus count
-    // (sample(1.0).limit(n) would just take the head rows in partition
-    // order — clustered corpora would train centroids on one region)
-    val total = math.max(1L, cVecs.count())
-    val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / total)
-    val centroids = trainCentroids(
-      cVecs.select("cv").sample(withReplacement = false, fraction, seed)
-        .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray),
-      nCells, iters, seed)
     def probeCells(v: Column, n: Int): Column = {
       // n best cells by centroid dot: sort (neg-dot, idx) pairs ascending,
       // take idxs. (A when-chain argmax would DOUBLE the expression tree
@@ -165,11 +188,21 @@ object Similarity {
     * a candidate is any corpus vector sharing ≥1 band bucket with the
     * query (OR-amplification). Candidate generation is an equi-join on
     * (band, bucket) — no cross join anywhere — then exact cosine + top-k
-    * on the (much smaller) candidate set. Recall tunes with bands/bits. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bands: Int = 8, bitsPerBand: Int = 8,
-              idCol: String = "id", qidCol: String = "qid",
-              vecCol: String = "vec", seed: Long = 42L): DataFrame = {
+    * on the (much smaller) candidate set. Recall tunes with bands/bits.
+    *
+    * bitsPerBand must stay high enough that buckets are selective: b bits
+    * ⇒ 2^b buckets per band, and a random pair collides in ≥1 of `bands`
+    * bands with p ≈ bands/2^b. At 12 bits × 8 bands that is ~0.2% of the
+    * corpus per query; at 4 bits it would be ~40% — approximate in name
+    * only. Default 12. */
+  /** The LSH candidate stage alone: distinct (qid, id) pairs sharing ≥1
+    * band bucket. Exposed so specs can assert the candidate BUDGET (the
+    * whole point of LSH — a candidate set ≈ the corpus is brute force
+    * with extra steps). */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
+                    bands: Int = 8, bitsPerBand: Int = 12,
+                    idCol: String = "id", qidCol: String = "qid",
+                    vecCol: String = "vec", seed: Long = 42L): DataFrame = {
     val dim = dimOf(corpus, vecCol)
     val planeSets = (0 until bands).map(b =>
       hyperplanes(bitsPerBand, dim, seed + b))
@@ -183,8 +216,16 @@ object Similarity {
             lshBucket(col(s"${out}_v"), p)): _*)).as(Seq("band", "bucket")))
     val cb = banded(corpus, idCol, "id")
     val qb = banded(queries, qidCol, "qid")
-    val cands = cb.join(qb, Seq("band", "bucket"))
+    cb.join(qb, Seq("band", "bucket"))
       .select(col("qid"), col("id")).distinct()
+  }
+
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bands: Int = 8, bitsPerBand: Int = 12,
+              idCol: String = "id", qidCol: String = "qid",
+              vecCol: String = "vec", seed: Long = 42L): DataFrame = {
+    val cands = lshCandidates(corpus, queries, bands, bitsPerBand,
+      idCol, qidCol, vecCol, seed)
     // late fetch: re-attach vectors only for the surviving candidates
     val cvv = corpus.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("cv"))

@@ -30,6 +30,11 @@ object TextOps {
     * hash compare). */
   def enStopwords: Seq[String] = stopwords.head._2
 
+  /** All language stopword profiles in argmax precedence order — exposed
+    * so the langId oracle SQL is built from the SAME lists the engine
+    * scores with (silent drift would break the hash compare). */
+  def stopwordProfiles: Seq[(String, Seq[String])] = stopwords
+
   // --- language ID (n-gram/stopword heuristic) -----------------------------
   private val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",

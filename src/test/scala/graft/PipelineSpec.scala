@@ -158,17 +158,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
-  test("LSH top-k achieves reasonable recall vs brute force") {
+  test("LSH top-k: selective candidate budget AND high recall on clustered data") {
+    // plant 10 true near-neighbours per query (perturbed query copies) —
+    // the regime ANN exists for; a uniform-random corpus has no
+    // neighbours to recall, so selectivity and recall would trade off
+    // vacuously there
     val queries = emb.where(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
-    val corpus = emb.where(col("vec_id") >= 5)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("vec"))
+    val organic = emb.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val rnd = new scala.util.Random(7)
+    val plantedRows = queries.collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      (0 until 10).map { j =>
+        (100000L + qid * 100 + j, v.map(_ + 0.02 * rnd.nextGaussian()).toSeq)
+      }
+    }.toSeq
+    val corpus = organic.union(
+      plantedRows.toDF("id", "vec").select(col("id"), col("vec")))
     val exact = Similarity.bruteForceTopK(corpus, queries, 10)
       .select("qid", "id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshTopK(corpus, queries, 10, bands = 16, bitsPerBand = 4)
+    val approx = Similarity.lshTopK(corpus, queries, 10) // default 8 bands × 12 bits
       .select("qid", "id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"LSH recall $recall too low") // random gaussian data is the ANN-hard case
+    assert(recall >= 0.9, s"LSH recall $recall too low")
+    // the approximate path must stay approximate: candidates ≤ 10% of the
+    // (query × corpus) space, or it is brute force with extra shuffles
+    val cands = Similarity.lshCandidates(corpus, queries).count()
+    val budget = 0.1 * corpus.count() * queries.count()
+    assert(cands <= budget, s"LSH candidate set $cands exceeds 10% budget $budget")
   }
 }
 
