@@ -308,10 +308,15 @@ final case class Pipe(df: DataFrame) {
         "use through/throughPartitions with a JVM function instead")
 
   // ---- STORE ------------------------------------------------------------------------
-  /** reference: op/Store.scala + sparklib Storage.scala. */
+  /** reference: op/Store.scala + sparklib Storage.scala (PigStorage=csv,
+    * TextLoader=text, JsonStorage=json, BinStorage→orc/parquet binary
+    * columnar, JdbcStorage=jdbc). jdbc targets are addressed by
+    * options (url/dbtable), not a path. */
   def store(path: String, format: String = "parquet",
-            options: Map[String, String] = Map.empty): Unit =
-    df.write.mode(SaveMode.Overwrite).options(options).format(format).save(path)
+            options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).options(options).format(format)
+    if (format == "jdbc") w.save() else w.save(path)
+  }
 
   /** Bucketed STORE: pre-shuffles on the bucket keys at write time so every
     * later equi-join/aggregation between tables bucketed the same way runs
@@ -337,6 +342,6 @@ object Pipe {
            options: Map[String, String] = Map.empty): Pipe = {
     val r0 = spark.read.format(format).options(options)
     val r = schema.fold(r0)(r0.schema)
-    Pipe(r.load(path))
+    Pipe(if (format == "jdbc") r.load() else r.load(path))
   }
 }

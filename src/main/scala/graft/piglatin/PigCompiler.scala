@@ -27,7 +27,8 @@ class PigCompiler(spark: SparkSession) {
   final case class Rel(df: () => DataFrame,
                        grouped: Option[GroupedRel] = None)
   final case class GroupedRel(input: DataFrame, keys: Seq[Column],
-                              keyIsStruct: Boolean, bagName: String)
+                              keyIsStruct: Boolean, bagName: String,
+                              keyExprs: Seq[Expr] = Nil)
 
   private val env = scala.collection.mutable.LinkedHashMap.empty[String, Rel]
   /** side-effect outputs of STORE statements: path → df */
@@ -287,16 +288,31 @@ class PigCompiler(spark: SparkSession) {
     items.forall(i => exprOk(i.expr))
   }
 
+  /** Rewrite `bag.f` → the group key ref when f is a grouping key (its
+    * value is constant within the group). Recurses through arithmetic
+    * but NOT into function calls — `AVG(bag.key)` legitimately
+    * aggregates over the bag. */
+  private def rewriteBagKeyRefs(g: GroupedRel, e: Expr): Expr = e match {
+    case FieldRef(Seq(b, f)) if b == g.bagName &&
+        g.keyExprs.exists { case FieldRef(Seq(`f`)) => true; case _ => false } =>
+      if (g.keyIsStruct) FieldRef(Seq("group", f)) else FieldRef(Seq("group"))
+    case BinOp(op, l, r) =>
+      BinOp(op, rewriteBagKeyRefs(g, l), rewriteBagKeyRefs(g, r))
+    case _ => e
+  }
+
   /** Materialize a grouped relation into (group, bag) form. */
   private def materializeGroup(g: GroupedRel): DataFrame = {
     val in = g.input
     val rowStruct = struct(in.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
-    val keyCol = if (g.keyIsStruct) struct(g.keys: _*).as("group")
-                 else g.keys.head.as("group")
     if (g.keys.isEmpty)
+      // GROUP ALL — keys is empty, so the keyed branch's keys.head would throw
       in.groupBy(lit("all").as("group")).agg(collect_list(rowStruct).as(g.bagName))
-    else
+    else {
+      val keyCol = if (g.keyIsStruct) struct(g.keys: _*).as("group")
+                   else g.keys.head.as("group")
       in.groupBy(keyCol).agg(collect_list(rowStruct).as(g.bagName))
+    }
   }
 
   // ---- statement execution -------------------------------------------------
@@ -319,8 +335,15 @@ class PigCompiler(spark: SparkSession) {
       val df = relation(in)
       env(a) = Rel(() => df.filter(compileExpr(df, cond)))
 
-    case Foreach(a, in, items) =>
+    case Foreach(a, in, items0) =>
       val rel = env(in)
+      // `bag.f` where f is a grouping key names the key's (per-group
+      // constant) scalar — the reference emits the key value there
+      // (truth/grouping2.data), not a one-element-repeated bag
+      val items = rel.grouped match {
+        case Some(g0) => items0.map(i => i.copy(expr = rewriteBagKeyRefs(g0, i.expr)))
+        case None => items0
+      }
       rel.grouped match {
         case Some(g) if isAggForeach(g, items) =>
           // THE fusion: aggregate consumer → groupBy().agg(), no bag
@@ -386,7 +409,7 @@ class PigCompiler(spark: SparkSession) {
       val input = rel.df()
       val keyCols = keys.map(k => compileExpr(input, k))
       val g = GroupedRel(input, keyCols, keyIsStruct = keys.length > 1,
-        bagName = in)
+        bagName = in, keyExprs = keys)
       env(a) = Rel(() => materializeGroup(g), grouped = Some(g))
 
     case CoGroup(a, ins) =>
@@ -611,7 +634,30 @@ class PigCompiler(spark: SparkSession) {
         }
         graft.rdf.Rdf.Pattern(term(tp.s), term(tp.p), term(tp.o))
       }
-      env(a) = Rel(() => graft.rdf.Rdf.bgpFilter(triples, patterns))
+      // reference semantics (op/BGPFilter.scala + its IT truths): a
+      // single pattern is a FILTER — the matching triples keep their
+      // schema; multi-pattern BGPs project the variables in
+      // ALPHABETICAL order (truth/rdf_starjoin_plain.data: f, l, person)
+      if (patterns.length == 1) {
+        val p = patterns.head
+        def isVar(x: String) = x.startsWith("?")
+        var cond: Column = lit(true)
+        if (!isVar(p.s)) cond = cond && col(df.columns(0)) === p.s
+        if (!isVar(p.p)) cond = cond && col(df.columns(1)) === p.p
+        if (!isVar(p.o)) cond = cond && col(df.columns(2)) === p.o
+        // repeated variables within the pattern imply position equality
+        val pos = Seq(p.s, p.p, p.o).zip(df.columns.take(3))
+        pos.filter(t => isVar(t._1)).groupBy(_._1).values.foreach { occ =>
+          occ.map(_._2).sliding(2).foreach {
+            case Seq(x, y) => cond = cond && col(x) === col(y)
+            case _ => ()
+          }
+        }
+        env(a) = Rel(() => df.filter(cond))
+      } else env(a) = Rel(() => {
+        val out = graft.rdf.Rdf.bgpFilter(triples, patterns)
+        out.select(out.columns.sorted.map(col).toIndexedSeq: _*)
+      })
 
     // ---- spatial (reference: op/SpatialFilter/SpatialJoin.scala) -----------
     case SpatialFilterStmt(a, in, FuncCall(name, args)) =>
@@ -644,18 +690,23 @@ class PigCompiler(spark: SparkSession) {
         case other => sys.error(s"spatial join needs geometry fields, got $other")
       }
       val (lg, rg) = (geomName(pargs(0)), geomName(pargs(1)))
-      val radius = pname match {
-        case "DWITHIN" => pargs(2) match {
-          case Lit(v: Long) => v.toDouble
-          case Lit(v: Double) => v
-          case other => sys.error(s"dwithin radius must be a literal: $other")
-        }
-        // point-point containment/intersection = coordinate equality
-        case "CONTAINEDBY" | "CONTAINS" | "INTERSECTS" => 0.0
+      pname match {
+        case "DWITHIN" =>
+          val radius = pargs(2) match {
+            case Lit(v: Long) => v.toDouble
+            case Lit(v: Double) => v
+            case other => sys.error(s"dwithin radius must be a literal: $other")
+          }
+          env(a) = Rel(() =>
+            graft.spatial.Spatial.distanceJoin(ld, rd, lg, rg, radius))
+        // point-point containment/intersection = coordinate equality:
+        // a plain equi-join (radius 0 through the grid join would divide
+        // the cell id by zero — CAST_OVERFLOW under ANSI mode)
+        case "CONTAINEDBY" | "CONTAINS" | "INTERSECTS" =>
+          env(a) = Rel(() =>
+            graft.spatial.Spatial.equalityJoin(ld, rd, lg, rg))
         case other => sys.error(s"unsupported spatial join predicate $other")
       }
-      env(a) = Rel(() =>
-        graft.spatial.Spatial.distanceJoin(ld, rd, lg, rg, radius))
 
     case PartitionStmt(a, in, geomField) =>
       val df = relation(in)
@@ -739,9 +790,13 @@ class PigCompiler(spark: SparkSession) {
                    schema: Option[Seq[FieldSchema]]): DataFrame = {
     val (name, args) = loader.getOrElse(("PigStorage", Seq("\t")))
     val raw = name match {
-      case "PigStorage" =>
+      // PigStream is the reference's stream-flavored PigStorage — same
+      // line format (sparklib Storage.scala)
+      case "PigStorage" | "PigStream" =>
+        // quote disabled: PigStorage is a PLAIN split — '"Ling"' keeps
+        // its quotes (the csv default would strip them)
         spark.read.option("delimiter", args.headOption.getOrElse("\t"))
-          .option("header", "false").csv(path)
+          .option("quote", "").option("header", "false").csv(path)
       case "TextLoader" => spark.read.text(path)
       case "JsonStorage" => spark.read.json(path)
       case "BinStorage" | "ParquetStorage" => spark.read.parquet(path)
@@ -749,7 +804,11 @@ class PigCompiler(spark: SparkSession) {
       case other => spark.read.format(other.toLowerCase).load(path)
     }
     schema.fold(raw) { fs =>
-      val renamed = raw.toDF(fs.map(_.name): _*)
+      // schemas apply POSITIONALLY and extra source fields are ignored
+      // (reference PigStorage: a split line's trailing tokens beyond the
+      // AS clause — e.g. N-Triples' terminating '.' — are dropped)
+      val taken = raw.select(raw.columns.take(fs.length).map(col).toIndexedSeq: _*)
+      val renamed = taken.toDF(fs.map(_.name): _*)
       renamed.select(fs.map(f =>
         col(f.name).cast(sparkType(f.typeName)).as(f.name)): _*)
     }
@@ -758,7 +817,7 @@ class PigCompiler(spark: SparkSession) {
   private def storeFormat(loader: Option[(String, Seq[String])])
       : (String, Map[String, String]) =
     loader match {
-      case Some(("PigStorage", args)) =>
+      case Some((n, args)) if n == "PigStorage" || n == "PigStream" =>
         ("csv", Map("delimiter" -> args.headOption.getOrElse("\t")))
       case Some(("JsonStorage", _)) => ("json", Map.empty)
       case Some(("BinStorage", _)) | Some(("ParquetStorage", _)) =>

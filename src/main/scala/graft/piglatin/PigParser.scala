@@ -19,8 +19,13 @@ object PigParser extends RegexParsers {
 
   private val ident: Parser[String] = """[A-Za-z_][A-Za-z0-9_]*""".r
   private val number: Parser[String] = """-?\d+(\.\d+)?([eE]-?\d+)?[LlFf]?""".r
-  private val quoted: Parser[String] = "'" ~> """[^']*""".r <~ "'"
-  private val dquoted: Parser[String] = "\"" ~> """[^"]*""".r <~ "\""
+  // single-token regexes: a `"'" ~> inner <~ "'"` split would let
+  // RegexParsers' whitespace skipping swallow space-only literals like
+  // PigStorage(' ')'s delimiter
+  private val quoted: Parser[String] =
+    """'[^']*'""".r ^^ (s => s.substring(1, s.length - 1))
+  private val dquoted: Parser[String] =
+    """"[^"]*"""".r ^^ (s => s.substring(1, s.length - 1))
 
   // ---- expressions ---------------------------------------------------------
   def expr: Parser[Expr] = orExpr

@@ -52,23 +52,26 @@ abstract class TopKExecBase extends UnaryExecNode {
     val kk = k
     rdd.mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(gExprs, childOutput)
-      val rowOrd = GenerateOrdering.generate(ord, childOutput)
+      // heap rows stay typed as InternalRow: the SparkPlan contract does
+      // NOT guarantee UnsafeRow output (a child emitting
+      // GenericInternalRow would ClassCastException on a cast), and
+      // GenerateOrdering's BaseOrdering compares InternalRow directly
+      val rowOrd: Ordering[InternalRow] = GenerateOrdering.generate(ord, childOutput)
       // max-heap under rowOrd: head = worst kept row, evicted first
       val heaps = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+        scala.collection.mutable.PriorityQueue[InternalRow]]()
       iter.foreach { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
-            rowOrd.on((r: UnsafeRow) => r))
+          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < kk) {
-          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
-        } else if (rowOrd.compare(row.asInstanceOf[UnsafeRow], heap.head) < 0) {
+          heap.enqueue(row.copy())
+        } else if (rowOrd.compare(row, heap.head) < 0) {
           heap.dequeue()
-          heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+          heap.enqueue(row.copy())
         }
       }
       import scala.jdk.CollectionConverters._

@@ -28,6 +28,26 @@ object MiscQueries {
     }
   }
 
+  /** Literal test polygons (square, triangle, pentagon) shared between
+    * the polygon-join query and its generated oracle SQL. */
+  private val testPolys: Seq[(Int, Seq[(Double, Double)])] = Seq(
+    1 -> Seq((5.0, 5.0), (45.0, 5.0), (45.0, 45.0), (5.0, 45.0)),
+    2 -> Seq((50.0, 10.0), (90.0, 10.0), (70.0, 50.0)),
+    3 -> Seq((20.0, 50.0), (60.0, 50.0), (75.0, 70.0), (40.0, 88.0), (8.0, 70.0)))
+
+  /** Unrolled ray-cast condition for a literal polygon — the SAME
+    * arithmetic (term order and IEEE ops) as Spatial.containsPoint, so
+    * the boolean agrees bit-for-bit even for boundary points. */
+  private def rayCastSql(vs: Seq[(Double, Double)]): String = {
+    val n = vs.length
+    val terms = (0 until n).map { i =>
+      val (xi, yi) = vs(i); val (xj, yj) = vs((i + 1) % n)
+      s"(CASE WHEN (($yi > y) <> ($yj > y)) AND " +
+        s"(x < ${xj - xi} * (y - $yi) / ${yj - yi} + $xi) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"(($terms) % 2 = 1)"
+  }
+
   /** Deterministic integer-grid points for spatial queries. */
   private def custPoints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_custkey"),
@@ -106,6 +126,18 @@ object MiscQueries {
       Spatial.distanceJoin(custPoints(s, dir), suppPoints(s, dir),
           "pt", "pt", radius = 5.0)
         .select(col("c_custkey"), col("s_suppkey"))),
+    // geometry-column join: points vs a polygon relation, grid-bucketed
+    // on polygon envelopes + exact ray-cast refine
+    "q_spatial_poly_join" -> ((s, dir) => {
+      val polys = testPolys.map { case (id, vs) =>
+        s.range(1).select(lit(id).as("poly_id"),
+          array(vs.map(v =>
+            struct(lit(v._1).as("x"), lit(v._2).as("y"))): _*).as("poly"))
+      }.reduce(_.unionByName(_))
+      Spatial.polygonJoin(custPoints(s, dir), polys, "pt", "poly",
+          cellSize = 40.0)
+        .select(col("poly_id"), col("c_custkey"))
+    }),
 
     // -- matrix (#36–37) -------------------------------------------------------
     "q_matrix" -> ((s, dir) => {
@@ -165,6 +197,15 @@ object MiscQueries {
          FROM customer CROSS JOIN supplier
          WHERE sqrt(power(CAST(c_custkey % 97 AS DOUBLE) - (s_suppkey % 97), 2)
                   + power(CAST((c_nationkey * 7) % 89 AS DOUBLE) - ((s_nationkey * 11) % 89), 2)) <= 5.0""",
+    "q_spatial_poly_join" -> {
+      val branches = testPolys.map { case (id, vs) =>
+        s"SELECT $id AS poly_id, c_custkey FROM pts WHERE ${rayCastSql(vs)}"
+      }.mkString(" UNION ALL ")
+      s"""WITH pts AS (SELECT c_custkey,
+           CAST(c_custkey % 97 AS DOUBLE) AS x,
+           CAST((c_nationkey * 7) % 89 AS DOUBLE) AS y FROM customer)
+         $branches"""
+    },
     "q_matrix" ->
       """WITH m AS (SELECT o_orderkey,
            CAST(o_orderkey % 5 AS DOUBLE) AS a,

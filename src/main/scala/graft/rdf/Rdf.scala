@@ -61,15 +61,25 @@ object Rdf {
     * reorders; constant filters prune at the parquet scan.
     */
   def bgpFilter(triples: DataFrame, patterns: Seq[Pattern]): DataFrame = {
-    val scans = patterns.zipWithIndex.map { case (pat, i) =>
+    val scans = patterns.map { pat =>
       var scan = triples
       if (!isVar(pat.s)) scan = scan.where(col("s") === pat.s)
       if (!isVar(pat.p)) scan = scan.where(col("p") === pat.p)
       if (!isVar(pat.o)) scan = scan.where(col("o") === pat.o)
-      val varCols = Seq(
-        (if (isVar(pat.s)) Some(col("s").as(pat.s.drop(1))) else None),
-        (if (isVar(pat.p)) Some(col("p").as(pat.p.drop(1))) else None),
-        (if (isVar(pat.o)) Some(col("o").as(pat.o.drop(1))) else None)).flatten
+      val varPos = Seq(("s", pat.s), ("p", pat.p), ("o", pat.o))
+        .filter { case (_, v) => isVar(v) }
+      // a variable repeated WITHIN one pattern (e.g. ?x <p> ?x) implies
+      // equality between its positions — filter it, project it once
+      varPos.groupBy(_._2).values.foreach { occ =>
+        occ.map(_._1).sliding(2).foreach {
+          case Seq(a, b) => scan = scan.where(col(a) === col(b))
+          case _ => ()
+        }
+      }
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      val varCols = varPos.flatMap { case (c, v) =>
+        if (seen.add(v)) Some(col(c).as(v.drop(1))) else None
+      }
       scan.select(varCols: _*)
     }
     scans.reduceLeft { (l, r) =>

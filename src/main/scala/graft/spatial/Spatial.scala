@@ -55,6 +55,77 @@ object Spatial {
     crossings % 2 === 1
   }
 
+  // ---- polygon COLUMNS (reference: STARK geometry columns) ------------------
+  /** Parse single-ring 'POLYGON ((x y, x y, ...))' WKT into an
+    * array<struct<x,y>> vertex column. */
+  def wktPolygon(wkt: Column): Column = {
+    val nums = regexp_extract_all(wkt,
+      lit("""-?\d+(?:\.\d+)?(?:[eE]-?\d+)?"""), lit(0))
+    transform(sequence(lit(1), (size(nums) / 2).cast(IntegerType)), i =>
+      struct(element_at(nums, i * 2 - 1).cast(DoubleType).as("x"),
+             element_at(nums, i * 2).cast(DoubleType).as("y")))
+  }
+
+  /** Axis-aligned bounding box of a polygon column. */
+  def envelope(poly: Column): Column = struct(
+    array_min(transform(poly, p => p.getField("x"))).as("xmin"),
+    array_min(transform(poly, p => p.getField("y"))).as("ymin"),
+    array_max(transform(poly, p => p.getField("x"))).as("xmax"),
+    array_max(transform(poly, p => p.getField("y"))).as("ymax"))
+
+  /** Point-in-polygon for a polygon COLUMN (ray casting as a fold over
+    * the vertex array). Interpreted HOF — fine as a refine over
+    * grid-pruned candidates; use [[inPolygon]] when the polygon is a
+    * driver-side constant (fully codegen'd). */
+  def containsPoint(poly: Column, pt: Column): Column = {
+    val x = pt.getField("x"); val y = pt.getField("y")
+    val n = size(poly)
+    val crossings = aggregate(
+      sequence(lit(0), n - 1), lit(0),
+      (acc, i) => {
+        val vi = element_at(poly, i + 1)
+        val vj = element_at(poly, pmod(i + 1, n) + 1)
+        val xi = vi.getField("x"); val yi = vi.getField("y")
+        val xj = vj.getField("x"); val yj = vj.getField("y")
+        acc + when(((yi > y) =!= (yj > y)) &&
+          (x < (xj - xi) * (y - yi) / (yj - yi) + xi), 1).otherwise(0)
+      })
+    crossings % 2 === 1
+  }
+
+  /** Strict counter-clockwise orientation sign of (a→b→c). */
+  private def ccw(ax: Column, ay: Column, bx: Column, by: Column,
+                  cx: Column, cy: Column): Column =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  /** Polygon-polygon INTERSECTS for two polygon columns: any pair of
+    * edges properly crosses, or either polygon contains the other's
+    * first vertex (covers full containment). Proper-crossing test only —
+    * shared-boundary-touch without interior overlap is not reported. */
+  def polyIntersectsPoly(a: Column, b: Column): Column = {
+    def edges(poly: Column) = sequence(lit(0), size(poly) - 1)
+    val anyCross = exists(edges(a), i => {
+      val p1 = element_at(a, i + 1)
+      val p2 = element_at(a, pmod(i + 1, size(a)) + 1)
+      exists(edges(b), j => {
+        val q1 = element_at(b, j + 1)
+        val q2 = element_at(b, pmod(j + 1, size(b)) + 1)
+        val (p1x, p1y) = (p1.getField("x"), p1.getField("y"))
+        val (p2x, p2y) = (p2.getField("x"), p2.getField("y"))
+        val (q1x, q1y) = (q1.getField("x"), q1.getField("y"))
+        val (q2x, q2y) = (q2.getField("x"), q2.getField("y"))
+        val o1 = ccw(p1x, p1y, p2x, p2y, q1x, q1y)
+        val o2 = ccw(p1x, p1y, p2x, p2y, q2x, q2y)
+        val o3 = ccw(q1x, q1y, q2x, q2y, p1x, p1y)
+        val o4 = ccw(q1x, q1y, q2x, q2y, p2x, p2y)
+        (o1 * o2 < 0) && (o3 * o4 < 0)
+      })
+    })
+    anyCross ||
+      containsPoint(a, element_at(b, 1)) ||
+      containsPoint(b, element_at(a, 1))
+  }
+
   // ---- grid index (INDEX op analog) ----------------------------------------
   /** Cell id for a point on a `cellSize` grid — the materialized "spatial
     * index" column (reference: op/IndexOp RTREE): repartitioning by it
@@ -79,6 +150,12 @@ object Spatial {
     */
   def distanceJoin(left: DataFrame, right0: DataFrame,
                    lPt: String, rPt0: String, radius: Double): DataFrame = {
+    // radius = 0 would make the grid divisor 0: floor(x / 0.0) = ±Inf and
+    // the Long cast throws under ANSI mode. Distance ≤ 0 between points
+    // IS coordinate equality — a plain equi-join, no grid needed.
+    require(radius > 0,
+      s"distanceJoin needs radius > 0 (got $radius); " +
+        "use equalityJoin for exact point-match predicates")
     // same-named point columns on both sides would be ambiguous post-join
     val (right, rPt) =
       if (rPt0 == lPt) (right0.withColumnRenamed(rPt0, s"${rPt0}__r"), s"${rPt0}__r")
@@ -93,6 +170,47 @@ object Spatial {
     val rCells = right.withColumn("__cell", cellId(col(rPt), cellSize))
     lCells.join(rCells, "__cell")
       .where(dist(col(lPt), col(rPt)) <= radius)
+      .drop("__cell")
+  }
+
+  /** Exact point-match join (the radius-0 degenerate of distanceJoin,
+    * e.g. Pig `SPATIAL_JOIN ... CONTAINS/INTERSECTS(point, point)`): a
+    * plain equi-join on the coordinates — one hash shuffle, no grid. */
+  def equalityJoin(left: DataFrame, right0: DataFrame,
+                   lPt: String, rPt0: String): DataFrame = {
+    val (right, rPt) =
+      if (rPt0 == lPt) (right0.withColumnRenamed(rPt0, s"${rPt0}__r"), s"${rPt0}__r")
+      else (right0, rPt0)
+    left.join(right,
+      col(lPt).getField("x") === col(rPt).getField("x") &&
+        col(lPt).getField("y") === col(rPt).getField("y"))
+  }
+
+  /** Point-in-polygon join (geometry-column vs geometry-column): each
+    * polygon replicates to every grid cell its ENVELOPE overlaps, points
+    * map to their single cell, the join is an equi-join on cell id and
+    * the exact ray-cast refine runs on grid-pruned candidates only.
+    * Shuffle cost O(|polys|·cellsPerEnvelope + |points|) — never a cross
+    * join; AQE rebalances hot cells. Pick `cellSize` near the typical
+    * envelope extent so polygons replicate to O(1) cells. */
+  def polygonJoin(points: DataFrame, polys0: DataFrame,
+                  ptCol: String, polyCol: String,
+                  cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"polygonJoin needs cellSize > 0 (got $cellSize)")
+    val env = envelope(col(polyCol))
+    val polyCells = polys0
+      .withColumn("__cx", explode(sequence(
+        floor(env.getField("xmin") / cellSize).cast(LongType),
+        floor(env.getField("xmax") / cellSize).cast(LongType))))
+      .withColumn("__cy", explode(sequence(
+        floor(env.getField("ymin") / cellSize).cast(LongType),
+        floor(env.getField("ymax") / cellSize).cast(LongType))))
+      .withColumn("__cell", struct(col("__cx").as("cx"), col("__cy").as("cy")))
+      .drop("__cx", "__cy")
+    val ptCells = points.withColumn("__cell", cellId(col(ptCol), cellSize))
+    // a point lives in exactly one cell, so no post-join dedup is needed
+    polyCells.join(ptCells, "__cell")
+      .where(containsPoint(col(polyCol), col(ptCol)))
       .drop("__cell")
   }
 }

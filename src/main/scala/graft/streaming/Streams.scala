@@ -17,10 +17,40 @@ import org.apache.spark.sql.types.StructType
 object Streams {
 
   // ---- sources (reference: op/SocketRead.scala, FileStreamReader) ---------
-  /** SOCKET_READ 'host:port' — plain text socket source. */
-  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
-    spark.readStream.format("socket")
+  /** SOCKET_READ 'host:port' [USING mode] — text socket source.
+    *
+    * mode "" (default): raw lines, one row per line (`value`).
+    * mode "zmq": the reference's zmq PUB/SUB shape (reference:
+    * op/SocketRead.scala `mode` param): messages are "topic payload"
+    * frames; rows are filtered to the `subscribe` topic prefix and split
+    * into (topic, value). The subscription/framing semantics are real;
+    * the transport is line-delimited TCP because no ZMQ native library
+    * ships in this build — a ZMTP transport drops in by swapping the
+    * source format, the downstream dataflow is unchanged. */
+  def socketSource(spark: SparkSession, host: String, port: Int,
+                   mode: String = "", subscribe: String = ""): DataFrame = {
+    val raw = spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
+    mode match {
+      case "" => raw
+      case "zmq" =>
+        raw.where(col("value").startsWith(subscribe))
+          .select(
+            substring_index(col("value"), " ", 1).as("topic"),
+            // payload = everything after the first space (may contain spaces)
+            expr("substring(value, instr(value, ' ') + 1)").as("value"))
+      case other => throw new IllegalArgumentException(
+        s"unknown socket mode '$other' (expected '' or 'zmq')")
+    }
+  }
+
+  /** The zmq-mode frame split on an already-open stream (exposed so specs
+    * can drive it from a MemoryStream without a live socket). */
+  def zmqFrames(lines: DataFrame, subscribe: String = ""): DataFrame =
+    lines.where(col("value").startsWith(subscribe))
+      .select(
+        substring_index(col("value"), " ", 1).as("topic"),
+        expr("substring(value, instr(value, ' ') + 1)").as("value"))
 
   /** Rate source — the deterministic load-generator analog of piglet's
     * simulated streams. */
@@ -43,6 +73,25 @@ object Streams {
     val w = slideDur.fold(window(col(tsCol), windowDur))(s =>
       window(col(tsCol), windowDur, s))
     withWm.groupBy((w +: groupCols.map(col)): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** WINDOW ... APPLY fn (reference: op/WindowApply.scala — run an
+    * ARBITRARY relational subplan per window, not just an aggregation).
+    *
+    * Events get their event-time window assigned up front; each
+    * micro-batch then flows through `f`, which sees the windowed relation
+    * (payload + `window` struct column) and may group/join/sort/top-k BY
+    * `window` — any Pipe/DataFrame op, the full relational surface. The
+    * per-window results are pushed to `sink` (foreachBatch: the
+    * exactly-once arbitrary-sink hatch). The subplan runs distributed per
+    * batch — no per-window driver loop. */
+  def windowApply(stream: DataFrame, tsCol: String, windowDur: String,
+                  watermarkDelay: String, name: String)
+                 (f: DataFrame => DataFrame)
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val windowed = stream.withWatermark(tsCol, watermarkDelay)
+      .withColumn("window", window(col(tsCol), windowDur))
+    foreachBatchSink(windowed, name) { (batch, id) => sink(f(batch), id) }
   }
 
   // ---- sinks (reference: op/SocketWrite.scala, op/Store on streams) --------

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.Row
+import graft.piglatin.PigScript
+
+/** End-to-end execution of the reference's OWN integration suite
+  * (reference: src/it/scala/dbis/test/spark/SparkCompileIt.scala): each
+  * script runs through graft's PigScript front-end against the
+  * reference's own input files, and the STOREd relation must equal the
+  * reference's truth file — rendered in piglet's PigStorage text format
+  * (fields comma-joined, tuples as `(..)`, bags as `{(..),..}`).
+  *
+  * `inOrder` mirrors the reference harness: ordered scripts compare line
+  * sequences, unordered ones compare multisets.
+  */
+class ItCompatSpec extends SparkSpec {
+
+  private val base = "/root/reference/src/it/resources"
+
+  /** piglet PigStorage rendering of a Spark value. */
+  private def render(v: Any): String = v match {
+    case null => ""
+    // Pig's untyped default is bytearray; piglet renders its content
+    case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    case r: Row => "(" + r.toSeq.map(render).mkString(",") + ")"
+    // collected array columns are mutable.ArraySeq — NOT immutable.Seq,
+    // which is what a bare `Seq` pattern means under Scala 2.13.
+    // Pig bags contain TUPLES: scalar elements render as 1-tuples
+    // (truth/bag.data: {(Mary),(had),...})
+    case s: scala.collection.Seq[_] =>
+      "{" + s.map {
+        case r: Row => render(r)
+        case el => "(" + render(el) + ")"
+      }.mkString(",") + "}"
+    case m: Map[_, _] =>
+      "[" + m.map { case (k, x) => s"${render(k)}#${render(x)}" }.mkString(",") + "]"
+    case other => other.toString
+  }
+  private def renderRow(r: Row): String = r.toSeq.map(render).mkString(",")
+
+  private val storeRe = """(?im)^\s*STORE\s+([A-Za-z_]\w*)\s+INTO\s+'[^']*'\s*;\s*""".r
+
+  private def runScript(name: String): Seq[String] = {
+    val raw = Files.readString(Paths.get(s"$base/$name"))
+    val storeAlias = storeRe.findFirstMatchIn(raw)
+      .getOrElse(sys.error(s"$name has no STORE")).group(1)
+    val noStore = storeRe.replaceAllIn(raw, "")
+    val compiler = PigScript.run(spark, noStore,
+      params = Map("inbase" -> base), importBase = Some(base))
+    compiler.relation(storeAlias).collect().toSeq.map(renderRow)
+  }
+
+  private def truthLines(name: String): Seq[String] =
+    Files.readAllLines(Paths.get(s"$base/truth/$name"))
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+
+  /** (script, truth, inOrder) — the mapping from the reference's own IT
+    * table (SparkCompileIt.scala). Excluded from that table: sampling
+    * (nondeterministic), jdbc (needs an H2 driver this build lacks),
+    * rscript (needs R), spatial*/
+  private val cases: Seq[(String, String, Boolean)] = Seq(
+    ("load.pig", "result1.data", true),
+    ("load2.pig", "result2.data", true),
+    ("load3.pig", "result3.data", true),
+    ("filter.pig", "filtered.data", true),
+    ("sort.pig", "sorted.data", true),
+    ("foreach1.pig", "distances.data", true),
+    ("grouping.pig", "grouping.data", false),
+    ("grouping2.pig", "grouping2.data", false),
+    ("groupall.pig", "groupall.data", false),
+    ("wordcount.pig", "marycount.data", false),
+    ("union.pig", "united.data", true),
+    ("cross.pig", "cross2.csv", false),
+    ("crossmany.pig", "crossmany.csv", false),
+    ("aggregate.pig", "aggregate.data", false),
+    ("accumulate.pig", "accumulate.data", false),
+    ("top.pig", "top.data", true),
+    ("macro1.pig", "macro1.data", true),
+    ("selfjoin.pig", "joined.data", false),
+    // joins carry no order contract in graft (Catalyst picks the
+    // strategy), so compare as a multiset even where the reference's
+    // RDD backend happened to preserve order
+    ("selfjoin_filtered.pig", "joined_filtered.data", false),
+    ("embedded.pig", "embedded.data", true),
+    ("nforeach.pig", "nested.data", false),
+    ("two_joins.pig", "twojoins.data", false),
+    ("sort_multiple_directions.pig", "sorted_multiple_directions.data", true),
+    ("top_schema.pig", "top.data", true),
+    ("selfjoin_ambiguous_fieldnames.pig", "joined_ambiguous_fieldnames.data", false),
+    ("splitInto.pig", "splitX.data", false),
+    ("bag.pig", "bag.data", true),
+    ("construct.pig", "construct.data", true),
+    ("bgpfilter.pig", "bgpfilter.data", false),
+    ("rdf_starjoin_plain.pig", "rdf_starjoin_plain.data", false),
+    ("rdf_pathjoin_plain.pig", "rdf_pathjoin_plain.data", false))
+
+  cases.foreach { case (script, truth, inOrder) =>
+    test(s"reference IT: $script matches truth/$truth") {
+      val got = runScript(script)
+      val want = truthLines(truth)
+      if (inOrder) assert(got == want,
+        s"\ngot:  ${got.take(5).mkString(" | ")}\nwant: ${want.take(5).mkString(" | ")}")
+      else assert(got.sorted == want.sorted,
+        s"\ngot:  ${got.sorted.take(5).mkString(" | ")}\nwant: ${want.sorted.take(5).mkString(" | ")}")
+    }
+  }
+}

@@ -230,8 +230,11 @@ class PigLatinSpec extends SparkSpec {
          |n = BGP_FILTER t BY { ?x "urn:name" ?who };""".stripMargin)
     assert(c.relation("t").count() == 3)
     assert(c.relation("g").count() == 2)
-    val names = c.relation("n").select("who").as[String].collect().toSet
+    // single-pattern BGP_FILTER is a FILTER in the reference (its IT
+    // truth keeps the triple schema); the names land in `object`
+    val names = c.relation("n").select("object").as[String].collect().toSet
     assert(names == Set("Ann", "Bob"))
+    assert(c.relation("n").columns.toSeq == Seq("subject", "predicate", "object"))
   }
 
   test("SPATIAL_FILTER and SPATIAL_JOIN statements") {
@@ -291,6 +294,15 @@ class RdfSpec extends SparkSpec {
       .collect().toSet
     assert(rows == Set(("a", "b", "c"), ("b", "c", "d")))
   }
+
+  test("repeated variable within one pattern implies equality") {
+    val triples = Seq(("a", "likes", "a"), ("a", "likes", "b"),
+      ("c", "likes", "c"), ("c", "hates", "c")).toDF("s", "p", "o")
+    // ?x likes ?x — only self-loops match, projected ONCE
+    val out = Rdf.bgpFilter(triples, Seq(Rdf.Pattern("?x", "likes", "?x")))
+    assert(out.columns.toSeq == Seq("x"))
+    assert(out.as[String].collect().toSet == Set("a", "c"))
+  }
 }
 
 class SpatialSpec extends SparkSpec {
@@ -313,6 +325,65 @@ class SpatialSpec extends SparkSpec {
     val got = Spatial.distanceJoin(l, r, "pt", "pt", 5.0)
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 10L), (2L, 20L))) // dist exactly 5 both — inclusive
+  }
+
+  test("distanceJoin rejects radius 0; equalityJoin covers exact matches") {
+    val l = Seq((1L, 1.0, 2.0), (2L, 3.0, 4.0)).toDF("lid", "x", "y")
+      .select(col("lid"), Spatial.point(col("x"), col("y")).as("pt"))
+    val r = Seq((10L, 1.0, 2.0), (20L, 9.0, 9.0)).toDF("rid", "x", "y")
+      .select(col("rid"), Spatial.point(col("x"), col("y")).as("pt"))
+    intercept[IllegalArgumentException] {
+      Spatial.distanceJoin(l, r, "pt", "pt", 0.0)
+    }
+    val got = Spatial.equalityJoin(l, r, "pt", "pt")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("WKT POLYGON parses into a vertex column; containsPoint matches inPolygon") {
+    val tri = Seq((0.0, 0.0), (4.0, 0.0), (0.0, 4.0))
+    val wkt = "POLYGON ((0 0, 4 0, 0 4, 0 0))"
+    // WKT rings close back to the start vertex; the duplicate closing
+    // vertex adds a degenerate edge that never crosses the ray
+    val pts = Seq((1.5, 2.0), (10.0, 10.0), (1.0, 1.0)).toDF("x", "y")
+      .select(Spatial.point(col("x"), col("y")).as("pt"))
+      .withColumn("poly", Spatial.wktPolygon(lit(wkt)))
+    val viaCol = pts.where(Spatial.containsPoint(col("poly"), col("pt"))).count()
+    val viaLit = pts.where(Spatial.inPolygon(col("pt"), tri)).count()
+    assert(viaCol == 2 && viaLit == 2)
+  }
+
+  test("polygonJoin equals the naive contains cross-join") {
+    val polys = Seq(
+      (1, Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))),
+      (2, Seq((20.0, 20.0), (30.0, 20.0), (25.0, 30.0))))
+      .toDF("poly_id", "raw")
+      .select(col("poly_id"), transform(col("raw"), v =>
+        struct(v.getField("_1").as("x"), v.getField("_2").as("y"))).as("poly"))
+    val pts = Seq((100L, 5.0, 5.0), (200L, 25.0, 22.0), (300L, 50.0, 50.0),
+      (400L, 5.0, 25.0)).toDF("pid", "x", "y")
+      .select(col("pid"), Spatial.point(col("x"), col("y")).as("pt"))
+    val got = Spatial.polygonJoin(pts, polys, "pt", "poly", cellSize = 8.0)
+      .select("poly_id", "pid").as[(Int, Long)].collect().toSet
+    val naive = polys.crossJoin(pts)
+      .where(Spatial.containsPoint(col("poly"), col("pt")))
+      .select("poly_id", "pid").as[(Int, Long)].collect().toSet
+    assert(got == naive && got == Set((1, 100L), (2, 200L)))
+  }
+
+  test("polygon-polygon intersects: crossing, containment, disjoint") {
+    def polyDf(name: String, vs: Seq[(Double, Double)]) =
+      array(vs.map(v => struct(lit(v._1).as("x"), lit(v._2).as("y"))): _*).as(name)
+    val df = Seq(1).toDF("one").select(
+      polyDf("sq", Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))),
+      polyDf("cross", Seq((5.0, -5.0), (15.0, -5.0), (15.0, 5.0), (5.0, 5.0))),
+      polyDf("inner", Seq((2.0, 2.0), (4.0, 2.0), (3.0, 4.0))),
+      polyDf("far", Seq((100.0, 100.0), (110.0, 100.0), (105.0, 110.0))))
+    val row = df.select(
+      Spatial.polyIntersectsPoly(col("sq"), col("cross")).as("a"),
+      Spatial.polyIntersectsPoly(col("sq"), col("inner")).as("b"),
+      Spatial.polyIntersectsPoly(col("sq"), col("far")).as("c")).head()
+    assert(row.getBoolean(0) && row.getBoolean(1) && !row.getBoolean(2))
   }
 }
 

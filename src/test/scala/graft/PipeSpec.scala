@@ -98,6 +98,74 @@ class PipeSpec extends SparkSpec {
     assert(out.count() == 3)            // the null-keyed row survives
   }
 
+  test("rankBy on a near-unique key: correct ranks, no forced broadcast") {
+    // a near-unique ranking key makes the distinct-key table ≈ the whole
+    // relation: the old broadcast-ranks idiom would ship it to the
+    // driver (OOM at scale). The distributed prefix-rank path must not
+    // plan a BroadcastExchange when the key table exceeds the threshold.
+    val df = spark.range(0, 5000)
+      .selectExpr("id", "CAST(id * 7 % 4999 AS LONG) AS k") // 4999 distinct
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024") // 1 KB
+      val ranked = Pipe(df).rankBy(col("k"), "rnk").df
+      val plan = ranked.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"rank table must not broadcast for near-unique keys:\n${plan.take(2000)}")
+      // ties share a rank; rank = 1 + #rows with strictly-smaller key
+      val got = ranked.select("k", "rnk").as[(Long, Long)].collect().toMap
+      assert(got(0L) == 1L)
+      assert(got(4998L) == 5000L)     // k=0 is duplicated, shifting all later ranks by 1
+      val expected3 = 1L + df.where(col("k") < 3).count()
+      assert(got(3L) == expected3)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("zipWithIndex matches orderBy ground truth without an RDD round-trip") {
+    val df = spark.range(0, 1000).selectExpr("id", "id * 13 % 997 AS v")
+    val out = Pipe(df).zipWithIndex(Seq(col("v"), col("id")), "idx").df
+    val got = out.orderBy("idx").select("v").as[Long].collect()
+    val expected = df.orderBy(col("v"), col("id")).select("v").as[Long].collect()
+    assert(got.sameElements(expected))
+    assert(out.select("idx").as[Long].collect().sorted.sameElements(0L until 1000L))
+  }
+
+  test("connected components with a reliable checkpoint dir") {
+    import graft.dedup.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(cc(4L) == 1L && cc(3L) == 1L && cc(11L) == 10L)
+    // the reliable checkpoint actually wrote state to the dir
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty)
+  }
+
+  test("jdbc LOAD/STORE round-trip through embedded Derby (JdbcStorage)") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    val opts = Map(
+      "url" -> s"jdbc:derby:$dbDir/db;create=true",
+      "dbtable" -> "t_sup",
+      "driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val src = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    Pipe(src).store("", format = "jdbc", options = opts)
+    val back = Pipe.load(spark, "", format = "jdbc", options = opts).df
+    assert(back.count() == src.count())
+    assert(back.select(sum("s_suppkey")).head().getLong(0) ==
+      src.select(sum("s_suppkey")).head().getLong(0))
+  }
+
+  test("binary columnar LOAD/STORE round-trip via ORC (BinStorage analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    Pipe(src).store(s"$dir/nation_orc", format = "orc")
+    val back = Pipe.load(spark, s"$dir/nation_orc", format = "orc").df
+    assert(back.orderBy("n_nationkey").collect()
+      .sameElements(src.orderBy("n_nationkey").collect()))
+  }
+
   test("partitionBy co-locates keys") {
     val p = Pipe(Seq((1, "a"), (2, "b"), (1, "c")).toDF("k", "v"))
       .partitionBy(4, col("k"))

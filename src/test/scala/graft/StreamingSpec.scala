@@ -129,6 +129,73 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, "L1", "R-in"))) // 200s is outside the 10s gap
   }
 
+  test("windowApply runs an arbitrary relational subplan per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "etype", "amount")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    // per-window TOP-1 by amount — a window subplan an aggregation can't
+    // express directly (row identity survives, not just a fold)
+    val q = Streams.windowApply(df, "ts", "10 seconds", "0 seconds",
+      "win_apply") { windowed =>
+      graft.core.Pipe(windowed)
+        .topPerGroup(1, Seq(col("window")), Seq(col("amount").desc))
+        .generate(unix_timestamp(col("window.start")).as("ws"),
+                  col("etype"), col("amount")).df
+    } { (out, _) =>
+      results.synchronized {
+        results ++= out.as[(Long, String, Long)].collect()
+      }
+    }
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    input.addData((ts(1), "a", 5L), (ts(2), "b", 9L), (ts(12), "c", 3L))
+    q.processAllAvailable()
+    q.stop()
+    assert(results.toSet == Set((0L, "b", 9L), (10L, "c", 3L)))
+  }
+
+  test("zmq-mode frames filter by subscription and split topic/payload") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val frames = Streams.zmqFrames(input.toDF().toDF("value"), subscribe = "orders")
+    val q = Streams.memorySink(frames, "zmq_out", OutputMode.Append())
+    input.addData("orders item-1 qty 5", "alerts disk full", "orders item-2 qty 9")
+    q.processAllAvailable()
+    val rows = spark.table("zmq_out").as[(String, String)].collect().toSet
+    q.stop()
+    assert(rows == Set(("orders", "item-1 qty 5"), ("orders", "item-2 qty 9")))
+  }
+
+  test("socket source in zmq mode reads topic frames from a live TCP server") {
+    // a real (local) socket server proves the source end-to-end
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val s = server.accept()
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      out.println("metrics cpu 0.9")
+      out.println("logs boot ok")
+      out.println("metrics mem 0.5")
+      out.flush()
+      Thread.sleep(3000) // keep the connection open past the first batches
+      s.close(); server.close()
+    })
+    writer.setDaemon(true); writer.start()
+    val frames = Streams.socketSource(spark, "localhost", port,
+      mode = "zmq", subscribe = "metrics")
+    val q = Streams.memorySink(frames, "zmq_sock", OutputMode.Append())
+    // socket sources deliver asynchronously — poll until rows land
+    val deadline = System.currentTimeMillis() + 15000
+    import spark.implicits._
+    def rows() = spark.table("zmq_sock").as[(String, String)].collect().toSet
+    while (rows().size < 2 && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable(); Thread.sleep(100)
+    }
+    val got = rows()
+    q.stop()
+    assert(got == Set(("metrics", "cpu 0.9"), ("metrics", "mem 0.5")))
+  }
+
   test("file stream sink round-trips micro-batches (streaming STORE)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
