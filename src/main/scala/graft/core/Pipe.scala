@@ -291,6 +291,40 @@ final case class Pipe(df: DataFrame) {
   /** reference: op/Empty.scala. */
   def isEmpty: Boolean = df.isEmpty
 
+  /** reference: op/Delay.scala (`DELAY a 10% 2 seconds`) — testing/demo
+    * aid: pass `sampleFactor` (0..1) of the rows through, sleeping
+    * `waitMs` once per partition. Kept off any production path. */
+  def delay(sampleFactor: Double, waitMs: Long, seed: Long = 42L): Pipe = {
+    val sampled =
+      if (sampleFactor >= 1.0) df
+      else df.sample(withReplacement = false, sampleFactor, seed)
+    Pipe(sampled.mapPartitions { it =>
+      if (waitMs > 0) Thread.sleep(waitMs)
+      it
+    }(org.apache.spark.sql.Encoders.row(sampled.schema)))
+  }
+
+  /** reference: op/Visualize.scala — piglet renders a plot image; graft's
+    * analog exports the OPTIMIZED logical plan as Graphviz DOT (the
+    * useful visualization for a Catalyst dataflow). */
+  def toDot: String = {
+    val plan = df.queryExecution.optimizedPlan
+    val sb = new StringBuilder("digraph plan {\n  node [shape=box];\n")
+    var id = 0
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      val me = id; id += 1
+      val label = p.nodeName + " " + p.output.map(_.name).take(4).mkString(",")
+      sb.append(s"""  n$me [label="${label.replace("\"", "'")}"];\n""")
+      p.children.foreach { c =>
+        val cid = walk(c)
+        sb.append(s"  n$cid -> n$me;\n")
+      }
+      me
+    }
+    walk(plan)
+    sb.append("}\n").toString
+  }
+
   /** reference: op/TimingOp.scala — wall-clock an action over this pipe. */
   def timed[A](action: DataFrame => A): (A, Double) = {
     val t0 = System.nanoTime()

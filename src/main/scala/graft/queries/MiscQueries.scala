@@ -58,6 +58,22 @@ object MiscQueries {
       Spatial.point((col("s_suppkey") % 97).cast("double"),
                     ((col("s_nationkey") * 11) % 89).cast("double")).as("pt"))
 
+  /** Run one of the reference's OWN integration scripts (STOREs stripped,
+    * $inbase substituted) and return the STORE'd alias — the CORRECTNESS
+    * promotion of the ItCompatSpec suite: the same scripts, hash-checked
+    * against DuckDB reading the same reference input files. */
+  private val itBase = "/root/reference/src/it/resources"
+  private val itStoreRe =
+    """(?im)^\s*STORE\s+([A-Za-z_]\w*)\s+INTO\s+'[^']*'\s*;\s*""".r
+  private def runItScript(s: SparkSession, script: String): DataFrame = {
+    val raw = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$itBase/$script"))
+    val alias = itStoreRe.findFirstMatchIn(raw).get.group(1)
+    val noStore = itStoreRe.replaceAllIn(raw, "")
+    PigScript.run(s, noStore, params = Map("inbase" -> itBase),
+      importBase = Some(itBase)).relation(alias)
+  }
+
   private def nationTriples(s: SparkSession, dir: String): DataFrame =
     Rdf.fromColumns(
       t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
@@ -139,6 +155,18 @@ object MiscQueries {
         .select(col("poly_id"), col("c_custkey"))
     }),
 
+    // -- reference IT scripts, DuckDB-oracled (the same scripts the
+    //    ItCompatSpec runs against the reference's truth files) ---------------
+    "q_pig_it_aggregate" -> ((s, dir) =>
+      runItScript(s, "aggregate.pig")
+        .toDF("grp", "cnt", "sm", "av")),
+    "q_pig_it_macro1" -> ((s, dir) =>
+      runItScript(s, "macro1.pig").toDF("c1", "c2")),
+    "q_pig_it_wordcount" -> ((s, dir) =>
+      runItScript(s, "wordcount.pig").toDF("word", "cnt")),
+    "q_pig_it_twojoins" -> ((s, dir) =>
+      runItScript(s, "two_joins.pig").toDF("a1", "b1")),
+
     // -- matrix (#36–37) -------------------------------------------------------
     "q_matrix" -> ((s, dir) => {
       val m = MatrixOps.matrix(lit(2), lit(2), array(
@@ -171,6 +199,30 @@ object MiscQueries {
       """SELECT word, COUNT(*) AS cnt FROM
          (SELECT unnest(string_split_regex(p_name, '[, "]')) AS word FROM part)
          WHERE word <> '' GROUP BY word""",
+    "q_pig_it_aggregate" ->
+      s"""SELECT x AS grp, count(y) AS cnt, CAST(sum(y) AS BIGINT) AS sm,
+           avg(y) AS av
+         FROM read_csv('$itBase/input/aggregate.csv', header=false,
+                       names=['x','y'])
+         GROUP BY x""",
+    "q_pig_it_macro1" ->
+      s"""SELECT f1 + 42 AS c1, f2 - 1 AS c2
+         FROM read_csv('$itBase/input/file.csv', header=false,
+                       names=['f1','f2'])""",
+    "q_pig_it_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM
+           (SELECT unnest(string_split_regex(line, '[, "]')) AS word
+            FROM read_csv('$itBase/input/mary.txt', header=false,
+                          delim='\t', names=['line'], quote=''))
+         GROUP BY word""",
+    "q_pig_it_twojoins" ->
+      s"""WITH a AS (SELECT * FROM read_csv('$itBase/input/joinInput.csv',
+                       header=false, names=['a1','a2','a3']))
+         SELECT a.a1 AS a1, bf.a1 AS b1 FROM a
+           JOIN (SELECT * FROM a WHERE a1 = 4) bf ON a.a1 = bf.a1
+         UNION ALL
+         SELECT a.a1 AS a1, bf2.a1 AS b1 FROM a
+           JOIN (SELECT * FROM a WHERE a3 = 1) bf2 ON a.a1 = bf2.a1""",
     "q_rdf_load" ->
       """SELECT 'urn:nation/' || CAST(n_nationkey AS VARCHAR) AS s,
                 'urn:nation#n_name' AS p, n_name AS o FROM nation

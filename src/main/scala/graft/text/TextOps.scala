@@ -49,21 +49,11 @@ object TextOps {
   /** Heuristic language ID: CJK script detection, else stopword-profile
     * argmax (deterministic tie-break by profile order, 'und' if no hits).
     * A real system would use char-trigram profiles; the shape (per-row
-    * narrow map over a token array) is the same. */
-  def langId(text: Column): Column = {
-    val toks = transform(tokens(text), lower _)
-    val scores = stopwords.map { case (lang, words) =>
-      lang -> size(filter(toks, t => array_contains(lit(words.toArray), t)))
-    }
-    val best = scores.foldLeft((lit("und"), lit(0))) {
-      case ((bl, bs), (lang, s)) =>
-        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }._1
-    when(text.rlike("[\\p{IsHan}]"), lit("zh"))
-      .when(text.rlike("[\\p{IsHiragana}\\p{IsKatakana}]"), lit("ja"))
-      .when(text.rlike("[\\p{IsHangul}]"), lit("ko"))
-      .otherwise(best)
-  }
+    * narrow map) is the same. Compiled as a single-pass native
+    * Expression — the Column formulation re-ran an interpreted
+    * filter/array_contains lambda chain once per language per row. */
+  def langId(text: Column): Column =
+    graft.functions.TextExpressions.langId(text, stopwords)
 
   // --- quality scoring ------------------------------------------------------
   def punctCount(text: Column): Column =

@@ -142,6 +142,20 @@ class PipeSpec extends SparkSpec {
       new java.io.File(dir).listFiles.nonEmpty)
   }
 
+  test("delay passes a sample through after per-partition waits") {
+    val df = spark.range(0, 100).toDF("id")
+    val all = Pipe(df).delay(sampleFactor = 1.0, waitMs = 1).df.count()
+    assert(all == 100)
+    val some = Pipe(df).delay(sampleFactor = 0.2, waitMs = 0).df.count()
+    assert(some > 0 && some < 100)
+  }
+
+  test("toDot exports the optimized plan as a DOT digraph") {
+    val dot = Pipe(spark.range(0, 10).toDF("id").where(col("id") > 3)).toDot
+    assert(dot.startsWith("digraph plan {"))
+    assert(dot.contains("->") || dot.count(_ == '\n') >= 3) // ≥1 edge or nodes
+  }
+
   test("jdbc LOAD/STORE round-trip through embedded Derby (JdbcStorage)") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_derby").toString
     val opts = Map(
