@@ -258,6 +258,69 @@ final case class Pipe(df: DataFrame) {
   def throughPartitions(f: Iterator[Row] => Iterator[Row], schema: StructType): Pipe =
     Pipe(spark.createDataFrame(df.rdd.mapPartitions(f), schema))
 
+  /** STREAM THROUGH an external binary (classic Pig `STREAM a THROUGH
+    * `cmd``): one process PER PARTITION, rows piped to its stdin as
+    * `fieldSep`-delimited text, stdout lines parsed back and cast to
+    * `outSchema`. Fully distributed — no driver collect; a writer thread
+    * feeds stdin concurrently so neither pipe buffer can deadlock. A
+    * non-zero exit status fails the task (and with it the job) rather
+    * than silently truncating output. */
+  def throughCommand(cmd: Seq[String], outSchema: StructType,
+                     fieldSep: String = "\t",
+                     env: Map[String, String] = Map.empty): Pipe = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val sep = fieldSep
+    val cmdL = cmd.toList
+    val envL = env.toList
+    val strSchema = StructType(outSchema.fields.map(f =>
+      StructField(f.name, StringType, nullable = true)))
+    val piped = df.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val pb = new ProcessBuilder(cmdL.asJava)
+        envL.foreach { case (k, v) => pb.environment().put(k, v) }
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val writer = new Thread(() => {
+          val os = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            it.foreach { row =>
+              os.write(row.toSeq.map(v => if (v == null) "" else v.toString)
+                .mkString(sep))
+              os.newLine()
+            }
+          } finally os.close()
+        }, "graft-stream-through-writer")
+        writer.setDaemon(true)
+        writer.start()
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        new Iterator[Row] {
+          private var nextLine: String = br.readLine()
+          override def hasNext: Boolean = {
+            if (nextLine == null) {
+              // drained: reap the process and surface failures as task errors
+              val code = proc.waitFor()
+              if (code != 0) throw new RuntimeException(
+                s"external command ${cmdL.mkString(" ")} exited with $code")
+              false
+            } else true
+          }
+          override def next(): Row = {
+            val fields = nextLine.split(sep, -1)
+              .padTo(strSchema.length, "").take(strSchema.length)
+            nextLine = br.readLine()
+            Row.fromSeq(fields.toSeq.map(s => if (s.isEmpty) null else s))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(strSchema))
+    Pipe(piped.select(outSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
+  }
+
   // ---- MATERIALIZE / CACHE --------------------------------------------------------
   /** reference: op/Materialize.scala — checkpoint to an EXPLICIT path
     * (unconditional overwrite; the caller owns the location). */
@@ -332,14 +395,41 @@ final case class Pipe(df: DataFrame) {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** reference: op/RScript.scala (`RSCRIPT a USING '<R code>'`). Out of
-    * scope by design: no R runtime ships in this environment. The shape a
-    * real implementation takes is [[throughPartitions]] feeding an Rserve/
-    * FastR bridge per partition; left unimplemented rather than faked. */
-  def rscript(script: String): Pipe =
-    throw new UnsupportedOperationException(
-      s"RSCRIPT requires an R runtime (script: ${script.take(40)}...); " +
-        "use through/throughPartitions with a JVM function instead")
+  /** reference: op/RScript.scala (`RSCRIPT a USING '<R code>'`).
+    *
+    * The reference collects the WHOLE relation to the driver and feeds an
+    * in-JVM interpreter (reference: sparklib .../RScriptOp.scala:39 —
+    * `m.collect` → `RInScala()`), which caps it at driver memory. graft
+    * instead pipes each PARTITION through an external `Rscript` process
+    * via [[throughCommand]]: the generated R program reads the partition
+    * as a TSV matrix `inp` from stdin (`$_` in the user script is bound
+    * to it, as in the reference), evaluates the script, and writes
+    * `resObj` back as TSV. Distributed for row-local scripts; pass
+    * `global = true` to coalesce to one partition first when the script
+    * needs the whole matrix (same semantics as the reference, still
+    * executor-side, no driver collect).
+    *
+    * `outCols` sets the result arity (reference results are Double
+    * matrices; columns are named c0..c{n-1}). `binary` exists so
+    * environments without R are testable against a stand-in interpreter
+    * — the process plumbing is identical. */
+  def rscript(script: String, outCols: Int, resObj: String = "res",
+              global: Boolean = false, binary: String = "Rscript"): Pipe = {
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val userCode = script.replace("$_", "inp")
+    // shipped as a -e argument (not a script file) so it reaches every
+    // executor with the task — a driver-local temp file would not
+    val program = Seq(
+      """con <- file("stdin")""",
+      """inp <- as.matrix(read.table(con, sep="\t"))""",
+      userCode,
+      s"""write.table($resObj, stdout(), sep="\\t", """ +
+        "row.names=FALSE, col.names=FALSE)").mkString("; ")
+    val outSchema = StructType((0 until outCols).map(i =>
+      StructField(s"c$i", DoubleType, nullable = true)))
+    val in = if (global) Pipe(df.coalesce(1)) else this
+    in.throughCommand(Seq(binary, "-e", program), outSchema)
+  }
 
   // ---- STORE ------------------------------------------------------------------------
   /** reference: op/Store.scala + sparklib Storage.scala (PigStorage=csv,

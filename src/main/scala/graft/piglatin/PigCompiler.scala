@@ -513,8 +513,15 @@ class PigCompiler(spark: SparkSession) {
 
     case RScriptStmt(a, in, code) =>
       val df = relation(in)
-      // documented unsupported: surfaces the Pipe.rscript stub lazily
-      env(a) = Rel(() => graft.core.Pipe(df).rscript(code).df)
+      // result arity defaults to the input arity (reference scripts are
+      // matrix-in/matrix-out); the interpreter binary is overridable so
+      // R-less environments can point at a stand-in
+      env(a) = Rel(() => {
+        val binary = spark.conf.getOption("graft.rscript.binary")
+          .getOrElse("Rscript")
+        graft.core.Pipe(df)
+          .rscript(code, outCols = df.columns.length, binary = binary).df
+      })
 
     case Materialize(a) =>
       val df = relation(a).cache()

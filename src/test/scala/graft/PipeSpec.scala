@@ -19,10 +19,66 @@ class PipeSpec extends SparkSpec {
     assert(Pipe(spark.emptyDataFrame).isEmpty)
   }
 
-  test("rscript is a documented unsupported stub") {
-    intercept[UnsupportedOperationException] {
-      Pipe(Seq(1).toDF("v")).rscript("x <- 1")
+  test("throughCommand pipes partitions through an external binary") {
+    val out = Pipe(Seq((1L, "a"), (2L, "b"), (30L, "c")).toDF("n", "s"))
+      .throughCommand(
+        Seq("awk", "-F", "\t", "{printf \"%d\\t%s\\n\", $1*2, $2}"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n2",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.StringType))))
+      .df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((2L, "a"), (4L, "b"), (60L, "c")))
+  }
+
+  test("throughCommand surfaces a non-zero exit as a task failure") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Pipe(Seq(1, 2, 3).toDF("v"))
+        .throughCommand(Seq("sh", "-c", "cat > /dev/null; exit 3"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.IntegerType))))
+        .df.count()
     }
+    assert(e.getMessage.contains("exited with 3") ||
+      Option(e.getCause).exists(_.getMessage.contains("exited with 3")))
+  }
+
+  /** Stand-in R interpreter: accepts Rscript's `-e <program>` calling
+    * convention and applies a fixed matrix transform to the stdin TSV
+    * (col1*2, col2+1). Exercises ALL of the rscript plumbing — process
+    * spawn per partition, stdin feed, TSV parse, double cast — with only
+    * the interpreter itself faked (no R runtime in this environment). */
+  private def fakeRscript(): String = {
+    val p = java.nio.file.Paths.get("target", "fake_rscript.sh").toAbsolutePath
+    java.nio.file.Files.writeString(p,
+      "#!/bin/sh\nexec awk -F'\\t' '{printf \"%s\\t%s\\n\", $1*2, $2+1}'\n")
+    p.toFile.setExecutable(true)
+    p.toString
+  }
+
+  test("rscript pipes partitions through an R-style interpreter") {
+    val out = Pipe(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y"))
+      .rscript("res <- $_ * 1", outCols = 2, binary = fakeRscript())
+      .df.collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((2.0, 11.0), (4.0, 21.0), (6.0, 31.0)))
+  }
+
+  test("Pig RSCRIPT statement routes through the configured interpreter") {
+    val csv = java.nio.file.Files.createTempDirectory("graft_rs").toString
+    Seq((1.0, 10.0), (2.0, 20.0)).toDF("x", "y")
+      .write.mode("overwrite").option("delimiter", ",").csv(csv)
+    spark.conf.set("graft.rscript.binary", fakeRscript())
+    try {
+      val res = graft.piglatin.PigScript.run(spark,
+        s"""a = LOAD '$csv' USING PigStorage(',') AS (x:double, y:double);
+           |b = RSCRIPT a USING 'res <- dbscan($$_, eps=0.42)';
+           |""".stripMargin).relation("b")
+      val rows = res.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq((2.0, 11.0), (4.0, 21.0)))
+    } finally spark.conf.unset("graft.rscript.binary")
   }
 
   test("split branches cover the predicate space") {
