@@ -28,7 +28,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: session init, parquet footer reads, first codegen
     graft.core.Tables(spark, sfDir, "lineitem").limit(10).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts to named queries (local
+    // iteration aid; the driver never sets it so round benches stay full)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() evaluates the FULL projection: a DataFrame count()

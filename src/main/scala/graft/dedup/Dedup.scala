@@ -211,8 +211,9 @@ object Dedup {
         col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = vecs.select(col("id"),
-      posexplode(array(planeSets.map(p =>
-        Similarity.lshBucket(col("v"), p)): _*)).as(Seq("band", "bucket")))
+      // single native pass per vector (see HyperplaneBands scaladoc)
+      posexplode(graft.functions.LshExpressions.hyperplaneBands(
+        col("v"), planeSets)).as(Seq("band", "bucket")))
     val cands = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .where(col("l.id") < col("r.id"))

@@ -212,11 +212,16 @@ object Similarity {
       widen(df0).select(col(id).as(out),
           col(vecCol).cast(ArrayType(DoubleType)).as(s"${out}_v"))
         .select(col(out),
-          posexplode(array(planeSets.map(p =>
-            lshBucket(col(s"${out}_v"), p)): _*)).as(Seq("band", "bucket")))
+          // one native pass per vector — the per-band Column fold ran
+          // bands×bits interpreted HOF dot products per row
+          posexplode(graft.functions.LshExpressions.hyperplaneBands(
+            col(s"${out}_v"), planeSets)).as(Seq("band", "bucket")))
     val cb = banded(corpus, idCol, "id")
     val qb = banded(queries, qidCol, "qid")
-    cb.join(qb, Seq("band", "bucket"))
+    // queries are the broadcast-small side (the ANN regime): the banded
+    // CORPUS must never shuffle for candidate generation — at scale it is
+    // the table
+    cb.join(broadcast(qb), Seq("band", "bucket"))
       .select(col("qid"), col("id")).distinct()
   }
 
