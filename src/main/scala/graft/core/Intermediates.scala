@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Lifecycle registry for the DataFrames graft persists INTERNALLY
+  * (rank/zip partition-offset inputs, dedup shingle/band tables, …).
+  *
+  * `DataFrame.persist` pins blocks in the CacheManager until an explicit
+  * `unpersist` — there is no GC-driven cleanup as with raw RDDs — so a
+  * long-lived session issuing many rank/zip/dedup calls would accumulate
+  * cache blocks until eviction pressure degrades every later job. graft
+  * can't unpersist eagerly itself: the returned (lazy) plan still reads
+  * the cached data, and for range-sorted inputs the cache is
+  * load-bearing for CORRECTNESS (two executions of an unpersisted
+  * range-sort may sample different partition bounds than the offsets
+  * collected from the first). So every internal persist registers here,
+  * and the application calls [[release]] at its natural boundary —
+  * after consuming one query's results, before starting the next (the
+  * bench does exactly this between queries). */
+object Intermediates {
+  private val tracked =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
+  private[graft] def track(df: DataFrame): DataFrame = {
+    tracked.add(df)
+    df
+  }
+
+  /** Number of internally-persisted intermediates currently tracked. */
+  def trackedCount: Int = tracked.size()
+
+  /** Unpersist every internally-persisted intermediate. Call only when
+    * all results derived from prior graft calls have been consumed. */
+  def release(blocking: Boolean = false): Unit = {
+    val snapshot = tracked.synchronized {
+      val s = new java.util.ArrayList[DataFrame](tracked)
+      tracked.clear()
+      s
+    }
+    snapshot.forEach(df => df.unpersist(blocking))
+  }
+}

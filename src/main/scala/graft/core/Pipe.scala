@@ -177,10 +177,12 @@ final case class Pipe(df: DataFrame) {
     // distributed prefix rank over the distinct keys: range-partition by
     // the sort keys, running sum within each partition, then add the
     // (numPartitions-sized, driver-side) cumulative partition offsets
-    val sorted = dist.repartitionByRange(ordering: _*)
+    // persist is load-bearing (offsets below must see the same partition
+    // bounds); registered with Intermediates for app-boundary release
+    val sorted = Intermediates.track(dist.repartitionByRange(ordering: _*)
       .sortWithinPartitions(ordering: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = sorted.groupBy(col("__pid")).agg(sum(col("__cnt")).as("__tot"))
       .orderBy(col("__pid")).collect()
     val offsets: Map[Int, Long] = {
@@ -218,8 +220,9 @@ final case class Pipe(df: DataFrame) {
     * 2^33 rows per partition (monotonic-id local counter width). */
   def zipWithIndex(ordering: Seq[Column], idxName: String = "index"): Pipe = {
     val sorted = if (ordering.nonEmpty) df.orderBy(ordering: _*) else df
-    val mid = sorted.withColumn("__mid", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mid = Intermediates.track(
+      sorted.withColumn("__mid", monotonically_increasing_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pid = shiftrightunsigned(col("__mid"), 33).cast("int")
     val local = col("__mid").bitwiseAND(lit((1L << 33) - 1))
     val counts = mid.groupBy(pid.as("__pid")).agg(count(lit(1)).as("__cnt"))
@@ -245,7 +248,13 @@ final case class Pipe(df: DataFrame) {
   def zipWith(other: Pipe, thisOrdering: Seq[Column],
               otherOrdering: Seq[Column]): Pipe = {
     val l = zipWithIndex(thisOrdering, "__zip_idx").df
-    val r = other.zipWithIndex(otherOrdering, "__zip_idx").df
+    val r0 = other.zipWithIndex(otherOrdering, "__zip_idx").df
+    // zipping two same-schema bags is the common Pig case: disambiguate
+    // clashing right-side names (Pig's alias::field analog) or every
+    // downstream by-name access throws AMBIGUOUS_REFERENCE
+    val taken = l.columns.toSet
+    val r = r0.columns.foldLeft(r0)((d, c) =>
+      if (c != "__zip_idx" && taken(c)) d.withColumnRenamed(c, s"${c}_r") else d)
     Pipe(l.join(r, "__zip_idx").drop("__zip_idx"))
   }
 
@@ -264,7 +273,9 @@ final case class Pipe(df: DataFrame) {
     * `outSchema`. Fully distributed — no driver collect; a writer thread
     * feeds stdin concurrently so neither pipe buffer can deadlock. A
     * non-zero exit status fails the task (and with it the job) rather
-    * than silently truncating output. */
+    * than silently truncating output; so does a command that closes its
+    * stdin before the partition is fully fed (`head`-style filters are
+    * not supported — truncation must never look like success). */
   def throughCommand(cmd: Seq[String], outSchema: StructType,
                      fieldSep: String = "\t",
                      env: Map[String, String] = Map.empty): Pipe = {
@@ -282,6 +293,12 @@ final case class Pipe(df: DataFrame) {
         envL.foreach { case (k, v) => pb.environment().put(k, v) }
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
+        // a command that closes stdin early (e.g. `head`) breaks the pipe
+        // mid-write; that means part of the partition never reached it, so
+        // the failure must surface on the task thread, not die silently
+        // with the daemon writer
+        val writerError =
+          new java.util.concurrent.atomic.AtomicReference[Throwable](null)
         val writer = new Thread(() => {
           val os = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
             proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
@@ -291,25 +308,35 @@ final case class Pipe(df: DataFrame) {
                 .mkString(sep))
               os.newLine()
             }
-          } finally os.close()
+            os.close()
+          } catch { case t: Throwable => writerError.set(t) }
         }, "graft-stream-through-writer")
         writer.setDaemon(true)
         writer.start()
         val br = new java.io.BufferedReader(new java.io.InputStreamReader(
           proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        // the separator is a LITERAL delimiter on both directions ('|' or
+        // '.' as a Pig delimiter must not be treated as a regex)
+        val sepPattern = java.util.regex.Pattern.compile(
+          java.util.regex.Pattern.quote(sep))
         new Iterator[Row] {
           private var nextLine: String = br.readLine()
           override def hasNext: Boolean = {
             if (nextLine == null) {
               // drained: reap the process and surface failures as task errors
               val code = proc.waitFor()
+              writer.join(10000)
               if (code != 0) throw new RuntimeException(
                 s"external command ${cmdL.mkString(" ")} exited with $code")
+              val we = writerError.get()
+              if (we != null) throw new RuntimeException(
+                s"external command ${cmdL.mkString(" ")} stopped reading " +
+                  "before the partition was fully fed (input truncated)", we)
               false
             } else true
           }
           override def next(): Row = {
-            val fields = nextLine.split(sep, -1)
+            val fields = sepPattern.split(nextLine, -1)
               .padTo(strSchema.length, "").take(strSchema.length)
             nextLine = br.readLine()
             Row.fromSeq(fields.toSeq.map(s => if (s.isEmpty) null else s))

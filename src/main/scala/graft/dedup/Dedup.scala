@@ -107,8 +107,9 @@ object Dedup {
     // sh feeds three plan branches (both band-join sides + the refine);
     // persist it — a few bytes per shingle — or every branch re-tokenizes
     // the corpus and re-compiles the signature codegen
-    val sh = hashedShingleDF(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.core.Intermediates.track(
+      hashedShingleDF(df, idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
     // band hash per signature slice; the band join is METADATA-ONLY —
     // (id, band, bh) rows, never the shingle arrays (8× array replication
@@ -117,6 +118,7 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Intermediates.track(banded)
     // alias self-join over the persisted bands: each side reads the cache
     val cands = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
@@ -172,13 +174,15 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.6,
                    maxDocFreq: Int = 100): DataFrame = {
-    val sh = hashedShingleDF(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.core.Intermediates.track(
+      hashedShingleDF(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val inv = sh.select(col("id"), explode(col("sh")).as("g"))
     val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq && col("df") >= 2)
-    val filtered = inv.join(rare.select("g"), Seq("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered = graft.core.Intermediates.track(
+      inv.join(rare.select("g"), Seq("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cands = filtered.as("l").join(filtered.as("r"),
         col("l.g") === col("r.g"))
       .where(col("l.id") < col("r.id"))
@@ -207,9 +211,10 @@ object Dedup {
     val dim = Similarity.dimOf(df, vecCol)
     val planeSets = (0 until bands).map(b =>
       Similarity.hyperplanes(planes, dim, seed + b))
-    val vecs = widen(df).select(col(idCol).as("id"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = graft.core.Intermediates.track(
+      widen(df).select(col(idCol).as("id"),
+          col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = vecs.select(col("id"),
       // single native pass per vector (see HyperplaneBands scaladoc)
       posexplode(graft.functions.LshExpressions.hyperplaneBands(

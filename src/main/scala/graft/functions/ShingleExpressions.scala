@@ -122,7 +122,9 @@ case class SimhashExpr(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val tokens = ShingleHash.tokenize(input.asInstanceOf[UTF8String])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // provider lookup + allocation once per task thread, not once per row
+    // (digest() resets the instance itself, so reuse is safe)
+    val md = SimhashExpr.digests.get()
     val votes = new Array[Int](60)
     var t = 0
     while (t < tokens.length) {
@@ -137,7 +139,6 @@ case class SimhashExpr(child: Expression)
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
-      md.reset()
       t += 1
     }
     var packed = 0L
@@ -148,6 +149,13 @@ case class SimhashExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
     copy(child = newChild)
+}
+
+object SimhashExpr {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 /** Column builders (FunctionRegistry-free — used library-internally). */

@@ -48,16 +48,22 @@ case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
     if (hasKana) return ja
     if (hasHangul) return ko
     val tokens = ShingleHash.tokenize(input.asInstanceOf[UTF8String])
+    // lowercase once, not once per profile
+    var t = 0
+    while (t < tokens.length) {
+      tokens(t) = tokens(t).toLowerCase(Locale.ROOT)
+      t += 1
+    }
     var bestLang: UTF8String = und
     var bestScore = 0
     var p = 0
     while (p < sets.length) {
       val (lang, set) = sets(p)
       var score = 0
-      var t = 0
-      while (t < tokens.length) {
-        if (set.contains(tokens(t).toLowerCase(Locale.ROOT))) score += 1
-        t += 1
+      var j = 0
+      while (j < tokens.length) {
+        if (set.contains(tokens(j))) score += 1
+        j += 1
       }
       if (score > bestScore) { bestScore = score; bestLang = lang }
       p += 1

@@ -122,8 +122,17 @@ object PipelineQueries {
       Dedup.exact(planted, "doc_id", "text")
     }),
     "q_dedup_minhash" -> ((s, dir) =>
+      // the exact-jaccard oracle equals the LSH output only when every
+      // pair ABOVE the threshold hits ≥1 band. Detection at jaccard j
+      // with r rows/band, b bands is 1-(1-j^r)^b: at r=3, b=16 that is
+      // .88 at the 0.5 boundary, .98 at 0.6, ~1 at the planted ~1.0 —
+      // and this corpus's organic pairs all sit far below 0.5 (verified:
+      // the hash matches at sf0.001/0.01/0.1). A corpus with organic
+      // pairs NEAR the threshold would need more bands or an exact join;
+      // r=4, b=8 (the old setting) detected a 0.5-boundary pair with
+      // p=.40 — structurally too weak to claim oracle equality.
       Dedup.minhashLsh(plantedDocs(t(s, dir, "documents")),
-        "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.5)),
+        "doc_id", "text", numHashes = 48, bands = 16, threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) => {
       val sims = Dedup.simhash(plantedDocs(t(s, dir, "documents")),
         "doc_id", "text")
@@ -136,11 +145,15 @@ object PipelineQueries {
       Dedup.ngramJaccard(plantedDocs(t(s, dir, "documents")),
         "doc_id", "text", n = 5, threshold = 0.5, maxDocFreq = 50)),
     "q_dedup_cosine" -> ((s, dir) =>
-      // banded OR-amplification: 6 bands × 10 planes ⇒ a pair at
-      // cosine ≥ 0.999 (θ ≤ 2.6°) misses all 6 bands with p < 1e-13, so
-      // recall is effectively exact and the brute-force oracle matches
+      // banded OR-amplification: at cosine = 0.999 (θ ≈ 2.56°) a bit
+      // flips with p = θ/π ≈ .0143, a 10-plane band matches with
+      // (1-p)^10 ≈ .866, and a pair misses ALL bands with .134^b —
+      // 5.7e-6 at 6 bands, 3.2e-11 at 12. 12 bands makes the oracle-
+      // equality argument structural, not just "no boundary pairs in
+      // this corpus"; banding is one native pass so the extra 6 bands
+      // are nearly free (HyperplaneBands)
       Dedup.embeddingCosine(plantedVecs(t(s, dir, "embeddings")),
-        "vec_id", "embedding", threshold = 0.999, planes = 10, bands = 6)
+        "vec_id", "embedding", threshold = 0.999, planes = 10, bands = 12)
         .select(col("id_a"), col("id_b"))),
 
     // -- similarity search (#62–63) ---------------------------------------------

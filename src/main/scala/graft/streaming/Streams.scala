@@ -33,12 +33,7 @@ object Streams {
       .option("host", host).option("port", port).load()
     mode match {
       case "" => raw
-      case "zmq" =>
-        raw.where(col("value").startsWith(subscribe))
-          .select(
-            substring_index(col("value"), " ", 1).as("topic"),
-            // payload = everything after the first space (may contain spaces)
-            expr("substring(value, instr(value, ' ') + 1)").as("value"))
+      case "zmq" => zmqFrames(raw, subscribe)
       case other => throw new IllegalArgumentException(
         s"unknown socket mode '$other' (expected '' or 'zmq')")
     }
@@ -50,7 +45,12 @@ object Streams {
     lines.where(col("value").startsWith(subscribe))
       .select(
         substring_index(col("value"), " ", 1).as("topic"),
-        expr("substring(value, instr(value, ' ') + 1)").as("value"))
+        // payload = everything after the first space (may itself contain
+        // spaces); a topic-only frame has NO space — its payload is empty,
+        // not a copy of the topic
+        when(expr("instr(value, ' ')") === 0, lit(""))
+          .otherwise(expr("substring(value, instr(value, ' ') + 1)"))
+          .as("value"))
 
   /** Rate source — the deterministic load-generator analog of piglet's
     * simulated streams. */
@@ -78,20 +78,62 @@ object Streams {
   /** WINDOW ... APPLY fn (reference: op/WindowApply.scala — run an
     * ARBITRARY relational subplan per window, not just an aggregation).
     *
-    * Events get their event-time window assigned up front; each
-    * micro-batch then flows through `f`, which sees the windowed relation
-    * (payload + `window` struct column) and may group/join/sort/top-k BY
-    * `window` — any Pipe/DataFrame op, the full relational surface. The
-    * per-window results are pushed to `sink` (foreachBatch: the
-    * exactly-once arbitrary-sink hatch). The subplan runs distributed per
-    * batch — no per-window driver loop. */
+    * True event-time window semantics ACROSS micro-batches: rows are
+    * staged (with their window assigned) in a bounded parquet spool until
+    * the watermark — max event time seen minus `watermarkDelay` — passes
+    * the window end; only then does the window's COMPLETE relation flow
+    * through `f` (which may group/join/sort/top-k BY the `window` struct
+    * column — the full relational surface) and reach `sink`, exactly
+    * once. Rows arriving after their window closed are dropped as late,
+    * so a window can never emit twice with conflicting contents (the
+    * failure of the naive run-`f`-per-batch formulation). The spool holds
+    * only OPEN windows — state is bounded by the watermark horizon, the
+    * same bound Spark's own stateful aggregation keeps; the subplan runs
+    * distributed, no per-window driver loop.
+    *
+    * The watermark and spool generation live on the driver: a query
+    * RESTART starts them fresh (the production path would checkpoint
+    * both next to the spool). `sink` must consume its DataFrame eagerly,
+    * as with any foreachBatch sink. */
   def windowApply(stream: DataFrame, tsCol: String, windowDur: String,
-                  watermarkDelay: String, name: String)
+                  watermarkDelay: String, name: String,
+                  spoolDir: Option[String] = None)
                  (f: DataFrame => DataFrame)
                  (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val windowed = stream.withWatermark(tsCol, watermarkDelay)
-      .withColumn("window", window(col(tsCol), windowDur))
-    foreachBatchSink(windowed, name) { (batch, id) => sink(f(batch), id) }
+    val spark0 = stream.sparkSession
+    val spool = spoolDir.getOrElse(java.nio.file.Files
+      .createTempDirectory(s"graft_winapply_$name").toString)
+    // driver-held stream state (monotonic watermark + ping-pong generation)
+    var wm: java.sql.Timestamp = null
+    var gen = 0
+    foreachBatchSink(stream, name) { (batch, id) =>
+      val prevDir = s"$spool/g${gen % 2}"
+      val nextDir = s"$spool/g${(gen + 1) % 2}"
+      val bw = batch.withColumn("window", window(col(tsCol), windowDur))
+      // drop late rows: their window already closed and emitted
+      val fresh = if (wm == null) bw else bw.where(col("window.end") > lit(wm))
+      val openPrev =
+        if (gen == 0) None
+        else Some(spark0.read.parquet(prevDir))
+      val all = openPrev.fold(fresh)(fresh.unionByName(_))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // advance the watermark with this batch's max event time (monotonic,
+      // as Spark's own watermark is)
+      val mxRow = batch
+        .agg(expr(s"max($tsCol) - INTERVAL $watermarkDelay").as("w")).head()
+      if (!mxRow.isNullAt(0)) {
+        val mx = mxRow.getTimestamp(0)
+        if (wm == null || mx.after(wm)) wm = mx
+      }
+      val (closed, open) =
+        if (wm == null) (None, all)
+        else (Some(all.where(col("window.end") <= lit(wm))),
+              all.where(col("window.end") > lit(wm)))
+      open.write.mode("overwrite").parquet(nextDir)
+      gen += 1
+      closed.foreach { c => if (!c.isEmpty) sink(f(c), id) }
+      all.unpersist()
+    }
   }
 
   // ---- sinks (reference: op/SocketWrite.scala, op/Store on streams) --------

@@ -148,10 +148,23 @@ class StreamingSpec extends SparkSpec {
       }
     }
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
-    input.addData((ts(1), "a", 5L), (ts(2), "b", 9L), (ts(12), "c", 3L))
+    // window [0,10) fills ACROSS two batches — the subplan must see the
+    // complete window once, not a conflicting partial top-1 per batch
+    input.addData((ts(1), "a", 5L))
+    q.processAllAvailable()
+    input.addData((ts(2), "b", 9L))
+    q.processAllAvailable()
+    assert(results.isEmpty) // [0,10) still open: nothing may emit yet
+    input.addData((ts(12), "c", 3L)) // watermark 12 closes [0,10)
+    q.processAllAvailable()
+    assert(results.toList == List((0L, "b", 9L)))
+    input.addData((ts(3), "late", 99L)) // after [0,10) closed: dropped
+    q.processAllAvailable()
+    input.addData((ts(25), "d", 7L)) // watermark 25 closes [10,20)
     q.processAllAvailable()
     q.stop()
-    assert(results.toSet == Set((0L, "b", 9L), (10L, "c", 3L)))
+    // exactly one result per closed window; the late row never resurfaces
+    assert(results.toList == List((0L, "b", 9L), (10L, "c", 3L)))
   }
 
   test("zmq-mode frames filter by subscription and split topic/payload") {
