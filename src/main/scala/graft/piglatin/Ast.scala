@@ -81,6 +81,7 @@ object Ast {
                                code: String) extends Stmt
   final case class Materialize(alias: String) extends Stmt
   final case class SetCmd(key: String, value: String) extends Stmt
+  final case class FsCmd(cmd: String, params: List[String]) extends Stmt
   final case class Register(path: String) extends Stmt
   final case class DefineAlias(name: String, target: String) extends Stmt
 

@@ -528,6 +528,8 @@ class PigCompiler(spark: SparkSession) {
       env(a) = Rel(() => df)
 
     case SetCmd(k, v) => spark.conf.set(k, v)
+    case FsCmd(c, ps) =>
+      graft.core.FsOps.process(spark.sparkContext.hadoopConfiguration, c, ps)
     case Register(_) => () // jars are on the classpath in graft
     case DefineAlias(n, t) =>
       udos.get(t.toUpperCase).foreach(f => udos(n.toUpperCase) = f)

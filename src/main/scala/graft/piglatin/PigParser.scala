@@ -268,6 +268,11 @@ object PigParser extends RegexParsers {
     kw("set") ~> """[A-Za-z0-9_.]+""".r ~ (quoted | """\S+""".r) ^^ {
       case k ~ v => SetCmd(k, v) }
 
+  // reference: op/cmd/HdfsCmd.scala — `fs -mkdir /data;` etc.
+  private def fsCmd: Parser[Stmt] =
+    kw("fs") ~> "-" ~> """[A-Za-z]+""".r ~ rep("""[^;\s]+""".r) ^^ {
+      case c ~ ps => FsCmd(c, ps) }
+
   private def register: Parser[Stmt] =
     kw("register") ~> (quoted | """\S+""".r) ^^ Register.apply
 
@@ -373,7 +378,7 @@ object PigParser extends RegexParsers {
   private def stmt: Parser[Stmt] =
     (load | store | dump | describe | filter | foreach | group | join |
      cross | union | distinctS | limit | orderBy | sample | split | rank |
-     accumulate | intersection | difference | streamThrough | rscriptStmt | materialize |
+     accumulate | intersection | difference | streamThrough | rscriptStmt | materialize | fsCmd |
      matchEvent | windowStmt | socketRead | socketWrite | rdfLoad | tuplify |
      bgpFilter | spatialFilter | spatialJoin | partitionStmt |
      setCmd | register | defineAlias) <~ rep1(";")

@@ -424,4 +424,32 @@ class MatrixSpec extends SparkSpec {
       .select("block").as[Seq[Double]].head()
     assert(got == rowMajor(A * B)) // (19, 22, 43, 50)
   }
+
+  test("fs statements run Hadoop filesystem commands (HdfsCmd analog)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "a.txt"), "one\ntwo\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "b.txt"), "three\n")
+    PigScript.run(spark,
+      s"""fs -mkdir $base/sub;
+         |fs -getmerge $base/a.txt $base/b.txt $base/merged.txt;
+         |fs -copyToLocal $base/a.txt $base/sub/a_copy.txt;
+         |fs -rm $base/b.txt;
+         |""".stripMargin)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(base, "sub")))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, "merged.txt")) == "one\ntwo\nthree\n")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "sub", "a_copy.txt")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "b.txt")))
+    val listed = graft.core.FsOps.process(
+      spark.sparkContext.hadoopConfiguration, "ls", List(base))
+    assert(listed.exists(_.contains("merged.txt")))
+    val shown = graft.core.FsOps.process(
+      spark.sparkContext.hadoopConfiguration, "cat", List(s"$base/a.txt"))
+    assert(shown == Seq("one", "two"))
+  }
 }
