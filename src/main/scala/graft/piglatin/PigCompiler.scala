@@ -124,7 +124,19 @@ class PigCompiler(spark: SparkSession) {
         case "matches" =>
           // Pig MATCHES is String.matches — anchored full-string match
           a.rlike("^(?:" + r.asInstanceOf[Lit].v.toString + ")$")
-        case "+" => a + b
+        case "+" =>
+          // piglet types '+' statically: a chararray literal operand, or
+          // an all-chararray expression, makes it string concatenation
+          // (reference spatialfilter.pig: "POINT("+lat+" "+lon+")");
+          // numeric otherwise — untyped (bytearray) fields stay numeric,
+          // matching Pig's bytearray arithmetic coercion (macro1.pig)
+          def isStrLit(x: Expr) = x match {
+            case Lit(_: String) => true; case _ => false }
+          lazy val bothStr =
+            df.select(a, b).schema.forall(_.dataType == StringType)
+          if (isStrLit(l) || isStrLit(r) || bothStr)
+            concat(a.cast(StringType), b.cast(StringType))
+          else a + b
         case "-" => a - b
         case "*" => a * b
         case "/" => a / b
@@ -182,8 +194,17 @@ class PigCompiler(spark: SparkSession) {
       // geometry + matrix constructors (reference spatial / matrix dialect)
       case "GEOMETRY" => graft.spatial.Spatial.wktPoint(a0)
       case "DDMATRIX" | "DIMATRIX" | "SDMATRIX" | "SIMATRIX" =>
-        graft.matrix.MatrixOps.matrix(compileExpr(df, args(0)),
-          compileExpr(df, args(1)), compileExpr(df, args(2)))
+        // piglet's matrix constructor takes the value bag in COLUMN-major
+        // order (Breeze's layout — reference truth/simple-matrix-res.data);
+        // graft's matrix struct is row-major, so permute at construction
+        val rows = compileExpr(df, args(0)).cast(IntegerType)
+        val cols = compileExpr(df, args(1)).cast(IntegerType)
+        val cm = compileExpr(df, args(2))
+        val rm = transform(sequence(lit(0), rows * cols - 1), idx =>
+          element_at(cm,
+            (pmod(idx, cols) * rows + (idx / cols).cast(IntegerType) + 1)
+              .cast(IntegerType)))
+        graft.matrix.MatrixOps.matrix(rows, cols, rm)
       // aggregate names appearing in ROW context = bag functions on arrays
       case "COUNT" => size(a0).cast(LongType)
       case "SUM" => aggregate(a0, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
@@ -371,12 +392,23 @@ class PigCompiler(spark: SparkSession) {
           env(a) = Rel(() => out.select(proj: _*))
         case _ =>
           val df = rel.df()
-          env(a) = Rel(() => compileForeach(df, items))
+          if (isGlobalAggForeach(df, items))
+            env(a) = Rel(() => globalAgg(in, df, items))
+          else
+            env(a) = Rel(() => compileForeach(df, items))
       }
 
-    case ForeachNested(a, in, assigns, items) =>
+    case ForeachNested(a, in, assigns, items0) =>
       val rel = env(in)
       val base = rel.grouped.map(materializeGroup).getOrElse(rel.df())
+      // `*` in a nested FOREACH means the INPUT relation's columns — not
+      // the nested aliases added below (reference nforeach2.pig:
+      // GENERATE *, COUNT(r1) emits (group, bag, cnt), not the temp bags)
+      val items = items0.flatMap {
+        case GenItem(Star, None) =>
+          base.columns.toSeq.map(c => GenItem(FieldRef(Seq(c)), None))
+        case other => Seq(other)
+      }
       env(a) = Rel(() => {
         // derived bags as temp array columns, then generate
         val withBags = assigns.foldLeft(base) { case (d, (name, op)) =>
@@ -488,18 +520,7 @@ class PigCompiler(spark: SparkSession) {
 
     case Accumulate(a, in, items) =>
       val df = relation(in)
-      // global aggregation without GROUP ALL (reference: op/Accumulate.scala)
-      val g = GroupedRel(df, Nil, keyIsStruct = false, bagName = in)
-      val aggs = items.map { i =>
-        val rewritten = i.expr match {
-          // accumulate refers to bare fields: min(f1) ≡ min(in.f1)
-          case FuncCall(fn, Seq(FieldRef(p))) if !p.headOption.contains(in) =>
-            FuncCall(fn, Seq(FieldRef(in +: p)))
-          case other => other
-        }
-        compileAgg(g, rewritten, i.as)
-      }
-      env(a) = Rel(() => df.agg(aggs.head, aggs.tail: _*))
+      env(a) = Rel(() => globalAgg(in, df, items))
 
     case IntersectStmt(a, l, r) =>
       env(a) = Rel(() => relation(l).intersect(relation(r)))
@@ -622,7 +643,10 @@ class PigCompiler(spark: SparkSession) {
 
     // ---- RDF (reference: op/RDFLoad/Tuplify/BGPFilter.scala) ---------------
     case RdfLoad(a, uri) =>
-      env(a) = Rel(() => graft.rdf.Rdf.loadNTriples(spark, uri)
+      // the DIALECT keeps raw N-Triples tokens (reference groupforeach/
+      // nforeach2 truths filter on bracketed IRIs); the graft API's
+      // loadNTriples is the cleaned variant
+      env(a) = Rel(() => graft.rdf.Rdf.loadNTriplesRaw(spark, uri)
         .toDF("subject", "predicate", "object"))
 
     case TuplifyStmt(a, in, on) =>
@@ -679,10 +703,18 @@ class PigCompiler(spark: SparkSession) {
         case other => sys.error(s"expected numeric literal, got $other")
       }
       val cond = name match {
-        case "CONTAINEDBY" =>
-          val FuncCall("BOX", box) = args(1): @unchecked
-          Spatial.inBox(compileExpr(df, args.head),
-            num(box(0)), num(box(1)), num(box(2)), num(box(3)))
+        case "CONTAINEDBY" => args(1) match {
+          case FuncCall("BOX", box) =>
+            Spatial.inBox(compileExpr(df, args.head),
+              num(box(0)), num(box(1)), num(box(2)), num(box(3)))
+          // point-in-point containment (reference spatialfilter.pig:
+          // containedby(loc, geometry("POINT(..)"))) = coordinate equality
+          case geom =>
+            val g = compileExpr(df, geom)
+            val p = compileExpr(df, args.head)
+            p.getField("x") === g.getField("x") &&
+              p.getField("y") === g.getField("y")
+        }
         case "DWITHIN" =>
           val FuncCall("POINT", pt) = args(1): @unchecked
           Spatial.dist(compileExpr(df, args.head),
@@ -692,13 +724,23 @@ class PigCompiler(spark: SparkSession) {
       env(a) = Rel(() => df.filter(cond))
 
     case SpatialJoinStmt(a, l, r, FuncCall(pname, pargs)) =>
-      val ld = relation(l)
-      val rd = relation(r)
-      def geomName(e: Expr) = e match {
-        case FieldRef(p) => p.mkString(".")
+      // piglet disambiguates spatial-join output as l::col / r::col, and
+      // the ON fields resolve first-arg-to-left, second-arg-to-right
+      // (reference spatialjoin.pig: ON containedby(loc, loc) then
+      // GENERATE b1::name, b2::name)
+      val ld0 = relation(l)
+      val rd0 = relation(r)
+      val ld = ld0.columns.foldLeft(ld0)((d, c) =>
+        d.withColumnRenamed(c, s"$l::$c"))
+      val rd = rd0.columns.foldLeft(rd0)((d, c) =>
+        d.withColumnRenamed(c, s"$r::$c"))
+      def geomName(e: Expr, rel: String) = e match {
+        case FieldRef(p) =>
+          val n = p.mkString("::")
+          if (n.startsWith(s"$rel::")) n else s"$rel::$n"
         case other => sys.error(s"spatial join needs geometry fields, got $other")
       }
-      val (lg, rg) = (geomName(pargs(0)), geomName(pargs(1)))
+      val (lg, rg) = (geomName(pargs(0), l), geomName(pargs(1), r))
       pname match {
         case "DWITHIN" =>
           val radius = pargs(2) match {
@@ -727,6 +769,41 @@ class PigCompiler(spark: SparkSession) {
   private def isGroupRef(e: Expr): Boolean = e match {
     case FieldRef(p) => p.head == "group"
     case _ => false
+  }
+
+  /** Global aggregation without GROUP ALL (reference: op/Accumulate.scala;
+    * also piglet's aggregate-without-grouping FOREACH —
+    * src/it/resources/aggrwogrouping.pig). One partial-agg pass, no bag. */
+  private def globalAgg(in: String, df: DataFrame,
+                        items: Seq[GenItem]): DataFrame = {
+    val g = GroupedRel(df, Nil, keyIsStruct = false, bagName = in)
+    val aggs = items.map { i =>
+      val rewritten = i.expr match {
+        // bare-field refs: min(f1) ≡ min(in.f1)
+        case FuncCall(fn, Seq(FieldRef(p))) if !p.headOption.contains(in) =>
+          FuncCall(fn, Seq(FieldRef(in +: p)))
+        case other => other
+      }
+      compileAgg(g, rewritten, i.as)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A FOREACH over an UNGROUPED relation whose generators are all
+    * aggregate calls on scalar fields is piglet's aggregate-without-
+    * grouping form — a global agg. Row-context COUNT/SUM over ARRAY (bag)
+    * columns keeps the bag-function meaning. */
+  private def isGlobalAggForeach(df: DataFrame, items: Seq[GenItem]): Boolean = {
+    def scalarField(e: Expr): Boolean = e match {
+      case FieldRef(Seq(f)) => df.columns.contains(f) &&
+        !df.schema(f).dataType.isInstanceOf[ArrayType]
+      case _ => false
+    }
+    items.nonEmpty && items.forall(_.expr match {
+      case FuncCall(fn, Seq(arg)) if aggFns(fn) => scalarField(arg)
+      case FuncCall(fn, Seq(Star)) => fn == "COUNT" || fn == "COUNT_STAR"
+      case _ => false
+    })
   }
 
   /** Element predicate for nested FILTER: refs resolve against the array
@@ -809,17 +886,35 @@ class PigCompiler(spark: SparkSession) {
       case "TextLoader" => spark.read.text(path)
       case "JsonStorage" => spark.read.json(path)
       case "BinStorage" | "ParquetStorage" => spark.read.parquet(path)
-      case "RDFFileStorage" => graft.rdf.Rdf.loadNTriples(spark, path)
+      case "RDFFileStorage" => graft.rdf.Rdf.loadNTriplesRaw(spark, path)
+      // reference jdbc.pig: LOAD 'table' USING JdbcStorage(driver, url)
+      case "JdbcStorage" =>
+        spark.read.format("jdbc")
+          .option("driver", args(0)).option("url", args(1))
+          .option("dbtable", path).load()
       case other => spark.read.format(other.toLowerCase).load(path)
     }
     schema.fold(raw) { fs =>
-      // schemas apply POSITIONALLY and extra source fields are ignored
+      // complex AS types (tuple/bag/map) keep the source's own nested
+      // type — a cast to a flat SQL type would destroy the structure
+      val complex = Set("tuple", "bag", "map")
+      // self-describing sources (JsonStorage) resolve the AS clause BY
+      // NAME; positional otherwise: extra source fields are ignored
       // (reference PigStorage: a split line's trailing tokens beyond the
-      // AS clause — e.g. N-Triples' terminating '.' — are dropped)
-      val taken = raw.select(raw.columns.take(fs.length).map(col).toIndexedSeq: _*)
-      val renamed = taken.toDF(fs.map(_.name): _*)
-      renamed.select(fs.map(f =>
-        col(f.name).cast(sparkType(f.typeName)).as(f.name)): _*)
+      // AS clause — e.g. N-Triples' terminating '.' — are dropped) and
+      // MISSING trailing fields load as nulls (PigStorage pads short rows)
+      val named =
+        if (fs.forall(f => raw.columns.contains(f.name)))
+          raw.select(fs.map(f => col(s"`${f.name}`")).toIndexedSeq: _*)
+        else {
+          val pad = Seq.fill(math.max(0, fs.length - raw.columns.length))(lit(null))
+          raw.select((raw.columns.take(fs.length).map(col) ++ pad).toIndexedSeq: _*)
+            .toDF(fs.map(_.name): _*)
+        }
+      named.select(fs.map { f =>
+        if (complex(f.typeName)) col(s"`${f.name}`")
+        else col(s"`${f.name}`").cast(sparkType(f.typeName)).as(f.name)
+      }.toIndexedSeq: _*)
     }
   }
 

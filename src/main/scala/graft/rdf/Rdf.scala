@@ -27,6 +27,22 @@ object Rdf {
         strip(col("o")).as("o"))
   }
 
+  /** RDFLOAD with piglet's token fidelity: IRIs keep their `<>`, literals
+    * keep their quotes; only a typed literal's `^^<datatype>` suffix is
+    * dropped (reference truth/groupedrdf.data renders `"2000-07-04"` for
+    * an `^^xsd:date` literal). [[loadNTriples]] is the cleaned
+    * Spark-native variant the graft API exposes. */
+  def loadNTriplesRaw(spark: SparkSession, path: String): DataFrame = {
+    val line = spark.read.text(path)
+    val pat = """^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s*\.\s*$"""
+    line.select(
+        regexp_extract(col("value"), pat, 1).as("s"),
+        regexp_extract(col("value"), pat, 2).as("p"),
+        regexp_replace(regexp_extract(col("value"), pat, 3),
+          "\\^\\^<[^>]*>$", "").as("o"))
+      .where(col("s") =!= "" && col("p") =!= "")
+  }
+
   private def strip(c: Column): Column =
     when(c.startsWith("<") && c.endsWith(">"), c.substr(lit(2), length(c) - 2))
       // typed ("5"^^<xsd:int>) and language-tagged ("x"@en) literals keep

@@ -23,6 +23,20 @@ class ItCompatSpec extends SparkSpec {
     case null => ""
     // Pig's untyped default is bytearray; piglet renders its content
     case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    // geometry columns print as piglet's STObject wrapper with JTS WKT
+    // (truth/spatialfilter.data: `STObject(POINT (50.1 10.2),None)`)
+    case r: Row if r.schema != null &&
+        r.schema.fieldNames.sameElements(Array("x", "y")) =>
+      s"STObject(POINT (${render(r.get(0))} ${render(r.get(1))}),None)"
+    // matrix columns print one MATRIX row per output line, each value
+    // followed by two spaces (truth/simple-matrix-res.data); graft stores
+    // row-major so rows are contiguous slices
+    case r: Row if r.schema != null &&
+        r.schema.fieldNames.sameElements(Array("rows", "cols", "values")) =>
+      val rows = r.getInt(0); val cols = r.getInt(1)
+      val vs = r.getSeq[Double](2)
+      (0 until rows).map(i =>
+        (0 until cols).map(j => s"${vs(i * cols + j)}  ").mkString).mkString("\n")
     case r: Row => "(" + r.toSeq.map(render).mkString(",") + ")"
     // collected array columns are mutable.ArraySeq — NOT immutable.Seq,
     // which is what a bare `Seq` pattern means under Scala 2.13.
@@ -41,14 +55,17 @@ class ItCompatSpec extends SparkSpec {
 
   private val storeRe = """(?im)^\s*STORE\s+([A-Za-z_]\w*)\s+INTO\s+'[^']*'\s*;\s*""".r
 
-  private def runScript(name: String): Seq[String] = {
-    val raw = Files.readString(Paths.get(s"$base/$name"))
+  private def runScript(name: String): Seq[String] =
+    runScriptText(Files.readString(Paths.get(s"$base/$name")))
+
+  private def runScriptText(raw: String): Seq[String] = {
     val storeAlias = storeRe.findFirstMatchIn(raw)
-      .getOrElse(sys.error(s"$name has no STORE")).group(1)
+      .getOrElse(sys.error("script has no STORE")).group(1)
     val noStore = storeRe.replaceAllIn(raw, "")
     val compiler = PigScript.run(spark, noStore,
       params = Map("inbase" -> base), importBase = Some(base))
-    compiler.relation(storeAlias).collect().toSeq.map(renderRow)
+    compiler.relation(storeAlias).collect().toSeq
+      .flatMap(r => renderRow(r).split("\n", -1))
   }
 
   private def truthLines(name: String): Seq[String] =
@@ -57,9 +74,20 @@ class ItCompatSpec extends SparkSpec {
 
   /** (script, truth, inOrder) — the mapping from the reference's own IT
     * table (SparkCompileIt.scala). Excluded from that table: sampling
-    * (nondeterministic), jdbc (needs an H2 driver this build lacks),
-    * rscript (needs R), spatial*/
+    * (nondeterministic seeds), rscript (needs an R binary). jdbc runs
+    * below against embedded Derby (no H2 driver in this build); json runs
+    * below against the projection the script actually STOREs (the
+    * reference marks json.pig "not working yet" and its truth file is the
+    * un-projected relation). */
   private val cases: Seq[(String, String, Boolean)] = Seq(
+    ("groupforeach.pig", "groupedrdf.data", false),
+    ("nforeach2.pig", "rdf.data", false),
+    ("aggrwogrouping.pig", "aggrwogrouping.data", true),
+    ("simple_matrix.pig", "simple-matrix-res.data", true),
+    ("spatialfilter.pig", "spatialfilter.data", false),
+    ("spatialfilterwithindex.pig", "spatialfilter.data", false),
+    ("spatialjoin.pig", "spatialjoin.data", false),
+    ("spatialjoinwithindex.pig", "spatialjoin.data", false),
     ("load.pig", "result1.data", true),
     ("load2.pig", "result2.data", true),
     ("load3.pig", "result3.data", true),
@@ -104,5 +132,38 @@ class ItCompatSpec extends SparkSpec {
       else assert(got.sorted == want.sorted,
         s"\ngot:  ${got.sorted.take(5).mkString(" | ")}\nwant: ${want.sorted.take(5).mkString(" | ")}")
     }
+  }
+
+  test("reference IT: jdbc.pig matches truth/jdbc-data.data (embedded Derby " +
+      "standing in for the H2 driver this build lacks)") {
+    val dbDir = Files.createTempDirectory("graft-it-derby")
+    val url = s"jdbc:derby:${dbDir.resolve("itdb")}"
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE data(col1 INT, col2 VARCHAR(20))")
+      Seq("One", "Two", "Three", "Four", "Five", "Six").zipWithIndex.foreach {
+        case (w, i) =>
+          st.execute(s"INSERT INTO data VALUES (${i + 1}, '$w')")
+      }
+      st.close()
+    } finally conn.close()
+    // same script, storage swapped: H2 driver+URL → Derby driver+URL
+    val raw = Files.readString(Paths.get(s"$base/jdbc.pig"))
+      .replaceAll("""JdbcStorage\('[^']*',\s*'[^']*'\)""",
+        s"JdbcStorage('org.apache.derby.jdbc.EmbeddedDriver', '$url')")
+    val got = runScriptText(raw)
+    assert(got.sorted == truthLines("jdbc-data.data").sorted)
+  }
+
+  test("reference IT: json.pig executes end-to-end (JsonStorage + nested " +
+      "tuple schema + dot projection)") {
+    // The reference's own harness tags json.pig "not working yet"
+    // (SparkCompileIt.scala:64) and its truth file json.data is the
+    // UN-projected relation A in JSON-document field order. The script
+    // stores B = FOREACH A GENERATE address.city, address.zipcode, name —
+    // assert that projection's Pig-semantics result instead.
+    assert(runScript("json.pig") == Seq("Ilmenau,98693,Hage"))
   }
 }

@@ -227,13 +227,15 @@ class PigLatinSpec extends SparkSpec {
     val c = PigScript.run(spark,
       s"""t = RDFLOAD('$dir/d.nt');
          |g = TUPLIFY t ON subject;
-         |n = BGP_FILTER t BY { ?x "urn:name" ?who };""".stripMargin)
+         |n = BGP_FILTER t BY { ?x "<urn:name>" ?who };""".stripMargin)
     assert(c.relation("t").count() == 3)
     assert(c.relation("g").count() == 2)
     // single-pattern BGP_FILTER is a FILTER in the reference (its IT
-    // truth keeps the triple schema); the names land in `object`
+    // truth keeps the triple schema); the names land in `object`.
+    // RDFLOAD keeps raw N-Triples tokens (brackets, quotes) — the
+    // reference's own IT constants are written bracketed
     val names = c.relation("n").select("object").as[String].collect().toSet
-    assert(names == Set("Ann", "Bob"))
+    assert(names == Set("\"Ann\"", "\"Bob\""))
     assert(c.relation("n").columns.toSeq == Seq("subject", "predicate", "object"))
   }
 
