@@ -32,9 +32,10 @@ object Bench {
     // iteration aid; the driver never sets it so round benches stay full)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
+      case Some(names) => all.filter(kv => names(kv._1))
+      case None => all
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
@@ -50,7 +51,10 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries persist their own intermediates; drop them so later
-        // runs/queries aren't taxed by accumulated cache blocks
+        // runs/queries aren't taxed by accumulated cache blocks — and
+        // drain the driver-side registry too, or its plan references
+        // accumulate across 68 queries × 3 runs
+        graft.core.Intermediates.release()
         spark.sqlContext.clearCache()
         if (ok) Some(dt) else None
       }

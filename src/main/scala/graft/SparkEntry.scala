@@ -16,4 +16,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++ EventQueries.oracles ++ MiscQueries.oracles
+
+  /** Benchmark-only variants (production presets of queries whose
+    * `queries` entry deliberately over-provisions for structural oracle
+    * equality). Bench times these alongside `queries`; the correctness
+    * gate doesn't run them — their accuracy contract is spec'd
+    * probabilistically instead (PipelineSpec recall specs). */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineQueries.benchOnly
 }

@@ -35,17 +35,18 @@ object FsOps {
         fs.copyFromLocalFile(p(params.head), p(params(1))); Nil
       case "getmerge" =>
         // all inputs concatenated into ONE local file (reference
-        // mergeToLocal): params = src... dst
+        // mergeToLocal): params = src... dst. Raw byte copy — line-based
+        // IO would re-encode in the platform charset, append a newline to
+        // files lacking one, and corrupt non-text files
         val dst = params.last
-        val out = new java.io.BufferedWriter(new java.io.FileWriter(dst))
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(dst))
         try params.dropRight(1).foreach { src =>
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(p(src)), "UTF-8"))
+          val in = fs.open(p(src))
           try {
-            var line = in.readLine()
-            while (line != null) {
-              out.write(line); out.newLine(); line = in.readLine()
-            }
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
           } finally in.close()
         } finally out.close()
         Nil

@@ -39,6 +39,18 @@ final case class Pipe(df: DataFrame) {
   def sampleRows(fraction: Double, seed: Long = 42L): Pipe =
     Pipe(df.sample(withReplacement = false, fraction, seed))
 
+  /** Deterministic sample: keep rows whose md5-derived bucket (0–99) of
+    * the key columns falls under `percent`. Engine-independent (md5 of
+    * the same key string buckets identically everywhere — unlike seeded
+    * Bernoulli RNG streams), stable across retries/partitionings, no
+    * shuffle; the reproducible-sampling idiom for production pipelines. */
+  def sampleByHash(percent: Int, keys: Column*): Pipe = {
+    val bucket = conv(substring(md5(
+      concat_ws("_", keys: _*).cast(org.apache.spark.sql.types.BinaryType)),
+      1, 8), 16, 10).cast(org.apache.spark.sql.types.LongType) % 100
+    Pipe(df.where(bucket < percent))
+  }
+
   /** reference: op/OrderBy.scala — range-partitioned total sort (scales:
     * each partition sorts locally after the range exchange). */
   def orderByCols(cols: Column*): Pipe = Pipe(df.orderBy(cols: _*))
@@ -315,6 +327,15 @@ final case class Pipe(df: DataFrame) {
         writer.start()
         val br = new java.io.BufferedReader(new java.io.InputStreamReader(
           proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        // downstream operators may abandon this iterator before it drains
+        // (limit/take, task kill, speculation): reap the child at task
+        // completion, or the process, its pipes, and the blocked writer
+        // thread leak until the executor JVM exits
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (proc.isAlive) proc.destroyForcibly()
+            try br.close() catch { case _: java.io.IOException => () }
+          })
         // the separator is a LITERAL delimiter on both directions ('|' or
         // '.' as a Pig delimiter must not be treated as a regex)
         val sepPattern = java.util.regex.Pattern.compile(

@@ -203,10 +203,18 @@ object Dedup {
     * (1-θ/π)^planes of a single bucket) + exact cosine refine. The band
     * join is METADATA-ONLY — (id, band, bucket) rows, never the vectors;
     * vectors re-attach to surviving candidates only (late fetch). See
-    * [[graft.sim.Similarity]] for the signature primitives. */
+    * [[graft.sim.Similarity]] for the signature primitives.
+    *
+    * Default (PRODUCTION) preset: 10 planes × 6 bands. A pair at cosine c
+    * with flip prob p = acos(c)/π matches one band with (1-p)^10 and
+    * misses all 6 with (1-(1-p)^10)^6 — boundary recall ≈ 0.92 at
+    * c = 0.95, ≈ 1 - 6e-6 at c = 0.999; precision is exact (cosine
+    * refine). The structural-equality oracle query overrides to 12 bands
+    * (miss prob 3e-11 — see q_dedup_cosine's scaladoc); production dedup
+    * should not pay those extra 6 self-join passes. */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double = 0.95, planes: Int = 12,
-                      bands: Int = 4, seed: Long = 42L): DataFrame = {
+                      threshold: Double = 0.95, planes: Int = 10,
+                      bands: Int = 6, seed: Long = 42L): DataFrame = {
     import graft.sim.Similarity
     val dim = Similarity.dimOf(df, vecCol)
     val planeSets = (0 until bands).map(b =>
@@ -263,8 +271,12 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
-      val anyChanged = updated.where(col("changed")).limit(1).count() > 0
-      labels = ckpt(updated.select("id", "label"))
+      // checkpoint FIRST (with the tiny `changed` flag aboard), then test
+      // convergence on the checkpointed frame — testing the raw plan would
+      // evaluate the iteration's join twice per loop
+      val materialized = ckpt(updated)
+      val anyChanged = materialized.where(col("changed")).limit(1).count() > 0
+      labels = materialized.select("id", "label")
       converged = !anyChanged
       iter += 1
     }

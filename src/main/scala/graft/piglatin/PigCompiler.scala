@@ -632,8 +632,16 @@ class PigCompiler(spark: SparkSession) {
       def push(batch: DataFrame): Unit = {
         val sock = new java.net.Socket(host, port.toInt)
         try {
-          val out = new java.io.PrintWriter(sock.getOutputStream, true)
-          batch.toJSON.collect().foreach(out.println)
+          val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(sock.getOutputStream,
+              java.nio.charset.StandardCharsets.UTF_8)))
+          // toLocalIterator streams one partition at a time to the driver
+          // — a single TCP endpoint is inherently driver-throughput-bound,
+          // but memory stays bounded by the largest partition, never the
+          // whole relation (a collect() here OOMs on large relations)
+          val it = batch.toJSON.toLocalIterator()
+          while (it.hasNext) out.println(it.next())
+          out.flush()
         } finally sock.close()
       }
       if (df.isStreaming)

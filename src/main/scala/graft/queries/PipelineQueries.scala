@@ -155,6 +155,9 @@ object PipelineQueries {
       Dedup.embeddingCosine(plantedVecs(t(s, dir, "embeddings")),
         "vec_id", "embedding", threshold = 0.999, planes = 10, bands = 12)
         .select(col("id_a"), col("id_b"))),
+    // the PRODUCTION preset (6 bands — Dedup.embeddingCosine defaults) is
+    // benchmarked separately via benchOnly: same shape, half the band
+    // passes; its recall contract is spec'd, not oracled
 
     // -- similarity search (#62–63) ---------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
@@ -188,6 +191,17 @@ object PipelineQueries {
     })
   )
 
+  /** Benchmark-only production presets (see SparkEntry.benchOnly):
+    * q_dedup_cosine_prod is the 6-band default of Dedup.embeddingCosine —
+    * half the band self-join passes of the 12-band oracle variant, recall
+    * ≈ 1 - 6e-6 at this threshold (contract spec'd in PipelineSpec). */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_cosine_prod" -> ((s, dir) =>
+      Dedup.embeddingCosine(plantedVecs(t(s, dir, "embeddings")),
+        "vec_id", "embedding", threshold = 0.999)
+        .select(col("id_a"), col("id_b")))
+  )
+
   // ======================= oracle SQL builders ==============================
 
   private val stopList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -208,7 +222,17 @@ object PipelineQueries {
 
   /** Brute-force shingle-Jaccard pair oracle (mirrors Dedup.shingles +
     * jaccard refine: distinct word n-grams, whole-doc shingle for short
-    * docs, |∩|/|∪| as double, id_a < id_b, empty docs dropped). */
+    * docs, |∩|/|∪| as double, id_a < id_b, empty docs dropped).
+    *
+    * RECALL PRECONDITION (the analog of the minhash banding note at
+    * q_dedup_minhash): the engine only generates candidates from shingles
+    * with 2 ≤ df ≤ maxDocFreq (50), so a qualifying pair whose EVERY
+    * shared shingle sits in > 50 documents would appear here but not in
+    * the engine output. Equality therefore relies on the corpus: 5-gram
+    * shingles on this corpus are near-unique (median df = 1; planted
+    * copies raise their shingles to df 2, far under the cap), verified by
+    * the hash matches at sf0.001/0.01/0.1. A corpus with ubiquitous
+    * boilerplate shingles would need the cap raised or replicated here. */
   private def jaccardPairsSql(n: Int, threshold: Double): String =
     s"""WITH docs AS ($plantedDocsSql),
        tok AS (SELECT doc_id, $toksExpr AS toks

@@ -160,7 +160,11 @@ object RelationalQueries {
         .generate(col("s_suppkey"), col("s_name"), col("s_acctbal")).df),
     // -- SAMPLE (#18; rows-only — seeded sampling differs across engines) ----------------------------
     "q_sample" -> ((s, dir) =>
-      Pipe(t(s, dir, "lineitem")).sampleRows(0.1)
+      // deterministic hash-mod sampler — unlike seeded Bernoulli (whose
+      // RNG stream is engine-private, so no cross-engine oracle can
+      // exist), the md5 bucket reproduces exactly in DuckDB
+      Pipe(t(s, dir, "lineitem"))
+        .sampleByHash(10, col("l_orderkey"), col("l_linenumber"))
         .generate(col("l_orderkey"), col("l_linenumber")).df),
     // -- SPLIT INTO (#19) ------------------------------------------------------------------------------
     "q_split" -> ((s, dir) => {
@@ -263,6 +267,12 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact replica of sampleByHash: same key string, same md5 prefix
+    // bucket — deterministic sampling is cross-engine reproducible
+    "q_sample" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '_' ||
+                 l_linenumber::VARCHAR), 1, 8))::BIGINT % 100 < 10""",
     "q_load_csv" -> "SELECT r_regionkey, r_name FROM region",
     "q_load_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_store_roundtrip" -> "SELECT s_suppkey, s_name, s_acctbal FROM supplier",

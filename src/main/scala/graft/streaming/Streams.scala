@@ -91,10 +91,17 @@ object Streams {
     * same bound Spark's own stateful aggregation keeps; the subplan runs
     * distributed, no per-window driver loop.
     *
-    * The watermark and spool generation live on the driver: a query
-    * RESTART starts them fresh (the production path would checkpoint
-    * both next to the spool). `sink` must consume its DataFrame eagerly,
-    * as with any foreachBatch sink. */
+    * The watermark and spool generation are CHECKPOINTED next to the
+    * spool (`$spool/state`, written atomically after each batch's sink
+    * completes) and reloaded on start: a restarted query resumes with the
+    * prior watermark, so an already-emitted window cannot re-emit when a
+    * late row arrives post-restart, and still-open windows keep their
+    * spooled rows. Delivery is at-least-once across hard crashes (a crash
+    * BETWEEN sink completion and the state write re-emits that batch's
+    * closed windows on recovery — the unavoidable window for a
+    * non-transactional sink); a graceful stop/restart is exactly-once.
+    * `sink` must consume its DataFrame eagerly, as with any foreachBatch
+    * sink. */
   def windowApply(stream: DataFrame, tsCol: String, windowDur: String,
                   watermarkDelay: String, name: String,
                   spoolDir: Option[String] = None)
@@ -103,9 +110,25 @@ object Streams {
     val spark0 = stream.sparkSession
     val spool = spoolDir.getOrElse(java.nio.file.Files
       .createTempDirectory(s"graft_winapply_$name").toString)
-    // driver-held stream state (monotonic watermark + ping-pong generation)
+    // stream state (monotonic watermark + ping-pong generation), restored
+    // from the spool checkpoint when one exists
+    val stateFile = java.nio.file.Paths.get(spool, "state")
     var wm: java.sql.Timestamp = null
     var gen = 0
+    if (java.nio.file.Files.exists(stateFile)) {
+      val Array(g, w) = java.nio.file.Files.readString(stateFile).trim.split(",", 2)
+      gen = g.toInt
+      wm = if (w == "-") null
+           else java.sql.Timestamp.from(java.time.Instant.parse(w))
+    }
+    def persistState(): Unit = {
+      val tmp = java.nio.file.Paths.get(spool, "state.tmp")
+      java.nio.file.Files.writeString(tmp,
+        s"$gen,${if (wm == null) "-" else wm.toInstant.toString}")
+      java.nio.file.Files.move(tmp, stateFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     foreachBatchSink(stream, name) { (batch, id) =>
       val prevDir = s"$spool/g${gen % 2}"
       val nextDir = s"$spool/g${(gen + 1) % 2}"
@@ -132,6 +155,10 @@ object Streams {
       open.write.mode("overwrite").parquet(nextDir)
       gen += 1
       closed.foreach { c => if (!c.isEmpty) sink(f(c), id) }
+      // checkpoint AFTER the sink: a failure before this line leaves the
+      // previous (gen, wm) on disk, so recovery re-reads the old spool
+      // generation and re-emits rather than losing a closed window
+      persistState()
       all.unpersist()
     }
   }

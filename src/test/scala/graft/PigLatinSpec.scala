@@ -250,6 +250,37 @@ class PigLatinSpec extends SparkSpec {
     assert(c.relation("j").count() == 2) // each point matches itself only
   }
 
+  test("SOCKET_WRITE streams a multi-partition relation without collecting " +
+      "it to the driver") {
+    // toLocalIterator pulls one partition at a time; this drives a
+    // many-partition relation through a live socket end-to-end and checks
+    // every row arrives (the old collect() path materialized the whole
+    // relation driver-side first)
+    val server = new java.net.ServerSocket(0)
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    val reader = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      var line = in.readLine()
+      while (line != null) {
+        received.synchronized { received += line }
+        line = in.readLine()
+      }
+      s.close(); server.close()
+    })
+    reader.setDaemon(true); reader.start()
+    val df = spark.range(0, 1000).toDF("id").repartition(8)
+    assert(df.rdd.getNumPartitions > 1)
+    PigScript.run(spark,
+      s"socket_write r to 'localhost:${server.getLocalPort}';",
+      tables = Map("r" -> df))
+    reader.join(15000)
+    val ids = received.synchronized {
+      received.map(l => """\d+""".r.findFirstIn(l).get.toLong).toSet }
+    assert(ids == (0L until 1000L).toSet)
+  }
+
   test("embedded Scala code block defines usable functions (embedded.pig shape)") {
     val df = Seq((1, 2), (3, 4)).toDF("f1", "f2")
     val out = PigScript.query(spark,

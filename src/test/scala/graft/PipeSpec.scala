@@ -32,6 +32,35 @@ class PipeSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, "a"), (4L, "b"), (60L, "c")))
   }
 
+  test("throughCommand reaps its child when the iterator is abandoned " +
+      "(limit stops consuming mid-partition)") {
+    // limit(1) abandons the partition iterators before they drain; the
+    // task-completion listener must destroy the spawned processes — an
+    // unreaped child (plus its pipes and blocked writer thread) would
+    // linger until the executor JVM exits. The sentinel arg makes OUR
+    // children greppable in this JVM's process table.
+    val sentinel = s"graft_reap_${System.nanoTime()}"
+    val taken = Pipe(spark.range(0, 10000).toDF("v").repartition(4))
+      .throughCommand(Seq("sh", "-c", s": $sentinel; cat"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+      .df.limit(1).collect()
+    assert(taken.length == 1)
+    val deadline = System.currentTimeMillis() + 10000
+    def alive(): Int = {
+      val p = new ProcessBuilder("sh", "-c",
+        s"ps -ef | grep '$sentinel' | grep -v grep | wc -l").start()
+      val n = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim.toInt
+      p.waitFor(); n
+    }
+    var n = alive()
+    while (n > 0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200); n = alive()
+    }
+    assert(n == 0, s"$n external processes still alive after abandonment")
+  }
+
   test("throughCommand surfaces a non-zero exit as a task failure") {
     val e = intercept[org.apache.spark.SparkException] {
       Pipe(Seq(1, 2, 3).toDF("v"))

@@ -104,19 +104,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
 
-  test("embedding cosine finds planted perturbed vectors") {
+  test("embedding cosine PRODUCTION preset (6 bands) recovers planted " +
+      "pairs with near-exact recall") {
+    // the default preset is the production setting the bench times as
+    // q_dedup_cosine_prod: at cosine ≈ 0.999 a pair misses all 6 bands
+    // with (1-(1-.0143)^10)^6 ≈ 6e-6, so recall on the planted pairs is
+    // statistically indistinguishable from 1; precision is structural
+    // (exact cosine refine). Assert ≥ 0.99 — a band-math regression
+    // (fewer effective bands, broken bucketing) lands far below that.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val planted = PipelineQueries.plantedVecs(emb)
     val pairs = Dedup.embeddingCosine(planted, "vec_id", "embedding",
-      threshold = 0.999, planes = 10)
+      threshold = 0.999)
     val recovered = pairs.where(col("id_b") === col("id_a") + 1000000L).count()
-    assert(recovered >= (emb.count() * 0.7).toLong,
-      s"recall too low: $recovered")
+    assert(recovered >= (emb.count() * 0.99).toLong,
+      s"production-preset recall too low: $recovered of ${emb.count()}")
   }
 
   test("connected components collapse transitive chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val ccDf = Dedup.connectedComponents(pairs)
+    // the returned frame must READ the checkpointed final iteration —
+    // a plan that still contains the label-propagation join would
+    // re-derive it (and the convergence test would have paid it twice)
+    assert(!ccDf.queryExecution.optimizedPlan.toString.contains("Join"),
+      "result should scan the checkpoint, not recompute the iteration join")
+    val cc = ccDf.as[(Long, Long)].collect().toMap
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
     assert(cc(10L) == 10L && cc(11L) == 10L)
   }

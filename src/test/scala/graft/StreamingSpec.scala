@@ -167,6 +167,45 @@ class StreamingSpec extends SparkSpec {
     assert(results.toList == List((0L, "b", 9L), (10L, "c", 3L)))
   }
 
+  test("windowApply survives a query restart: open windows keep their rows, " +
+      "closed windows emit exactly once, the watermark does not reset") {
+    implicit val sqlCtx = spark.sqlContext
+    val spool = java.nio.file.Files.createTempDirectory("graft_wa_restart").toString
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def start(input: MemoryStream[(java.sql.Timestamp, String, Long)]) =
+      Streams.windowApply(input.toDF().toDF("ts", "etype", "amount"),
+        "ts", "10 seconds", "0 seconds", "wa_restart", Some(spool)) { w =>
+        graft.core.Pipe(w)
+          .topPerGroup(1, Seq(col("window")), Seq(col("amount").desc))
+          .generate(unix_timestamp(col("window.start")).as("ws"),
+                    col("etype"), col("amount")).df
+      } { (out, _) =>
+        results.synchronized { results ++= out.as[(Long, String, Long)].collect() }
+      }
+    // phase 1: window [0,10) opens, query killed mid-window
+    val in1 = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q1 = start(in1)
+    in1.addData((ts(1), "a", 5L)); q1.processAllAvailable(); q1.stop()
+    assert(results.isEmpty)
+    // phase 2 (fresh query, same spool): the pre-restart row must still
+    // be in [0,10) when the watermark closes it — and it emits ONCE
+    val in2 = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q2 = start(in2)
+    in2.addData((ts(2), "b", 9L)); q2.processAllAvailable()
+    in2.addData((ts(12), "c", 3L)); q2.processAllAvailable() // wm 12 closes [0,10)
+    q2.stop()
+    assert(results.toList == List((0L, "b", 9L)))
+    // phase 3: restart AFTER the emit — the persisted watermark must
+    // reject a late [0,10) row instead of re-opening + re-emitting it
+    val in3 = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q3 = start(in3)
+    in3.addData((ts(3), "late", 99L)); q3.processAllAvailable()
+    in3.addData((ts(25), "d", 7L)); q3.processAllAvailable() // wm 25 closes [10,20)
+    q3.stop()
+    assert(results.toList == List((0L, "b", 9L), (10L, "c", 3L)))
+  }
+
   test("zmq-mode frames filter by subscription and split topic/payload") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
