@@ -594,15 +594,23 @@ class PigCompiler(spark: SparkSession) {
     case WindowStmt(a, in, rows, size, unit, slide, slideUnit) =>
       val df = relation(in)
       if (!rows) {
-        val tsCol = df.schema.fields
-          .find(_.dataType == TimestampType).map(_.name)
-          .getOrElse(sys.error("WINDOW RANGE needs a timestamp column"))
-        // Spark's TimeWindowing rule expands this projection (exploding
-        // rows into overlapping windows for sliding specs)
-        val w = window(col(tsCol), s"$size $unit", s"$slide $slideUnit")
-        env(a) = Rel(() => df.select((col("*") +: Seq(
-          w.getField("start").as("w_start"),
-          w.getField("end").as("w_end"))): _*))
+        df.schema.fields.find(_.dataType == TimestampType).map(_.name) match {
+          case Some(tsCol) =>
+            // Spark's TimeWindowing rule expands this projection (exploding
+            // rows into overlapping windows for sliding specs)
+            val w = window(col(tsCol), s"$size $unit", s"$slide $slideUnit")
+            env(a) = Rel(() => df.select((col("*") +: Seq(
+              w.getField("start").as("w_start"),
+              w.getField("end").as("w_end"))): _*))
+          case None =>
+            // no event-time column: piglet's streaming windows cut on
+            // ARRIVAL time. Over a bounded batch every row shares the one
+            // processing-time window, so the windowed relation is the
+            // relation itself — the semantics the reference's own
+            // streaming IT relies on (SparksCompileIt compares
+            // windowFilter/windowSort/... against the plain batch truths)
+            env(a) = Rel(() => df)
+        }
       } else {
         require(slide == size, "ROWS windows support tumbling (slide == size)")
         val orderCol = df.schema.fields

@@ -121,7 +121,23 @@ class ItCompatSpec extends SparkSpec {
     ("construct.pig", "construct.data", true),
     ("bgpfilter.pig", "bgpfilter.data", false),
     ("rdf_starjoin_plain.pig", "rdf_starjoin_plain.data", false),
-    ("rdf_pathjoin_plain.pig", "rdf_pathjoin_plain.data", false))
+    ("rdf_pathjoin_plain.pig", "rdf_pathjoin_plain.data", false),
+    // ---- the reference's STREAMING-backend IT table (SparksCompileIt
+    // .scala): PigStream loads + arrival-time WINDOW statements. On a
+    // bounded batch all rows share one processing-time window, so the
+    // reference compares these against the plain batch truths — exactly
+    // the semantics graft's WINDOW takes for timestamp-less relations.
+    ("stream_load.pig", "result1.data", false),
+    ("stream_load2.pig", "result2.data", false),
+    ("stream_foreach1.pig", "distances.data", false),
+    ("stream_filter.pig", "filtered.data", false),
+    ("windowJoin.pig", "joined.data", false),
+    ("windowGrouping.pig", "grouping.data", false),
+    ("windowNforeach.pig", "nested.data", false),
+    ("windowFilter.pig", "filtered.data", false),
+    ("windowCount.pig", "marycount.data", false),
+    ("windowDistinct.pig", "unique.data", false),
+    ("windowSort.pig", "sorted.data", true))
 
   cases.foreach { case (script, truth, inOrder) =>
     test(s"reference IT: $script matches truth/$truth") {
