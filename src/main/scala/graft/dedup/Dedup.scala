@@ -176,8 +176,21 @@ object Dedup {
                    maxDocFreq: Int = 100): DataFrame = {
     val sh = graft.core.Intermediates.track(
       hashedShingleDF(df, idCol, textCol, n)
+        // global element order (by hash value) for the prefix filter below
+        .select(col("id"), array_sort(col("sh")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    // AllPairs/PPJoin prefix filter (Bayardo et al. WWW'07, Xiao et al.
+    // WWW'08): a pair with jaccard >= t must share an element within each
+    // side's first |x| - ceil(t*|x|) + 1 elements under any global order,
+    // so indexing ONLY prefixes is LOSSLESS for qualifying pairs while
+    // shrinking the inverted index ~(1-t)x and random candidate
+    // collisions ~(1-t)^2 x. (A qualifying pair's shared prefix element
+    // has prefix-df >= 2 by the same lemma, so the rare-shingle floor
+    // below still admits it.)
+    val plen = size(col("sh")) -
+      ceil(size(col("sh")) * threshold).cast(IntegerType) + 1
+    val inv = sh.select(col("id"),
+      explode(slice(col("sh"), lit(1), plen)).as("g"))
     val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq && col("df") >= 2)
     val filtered = graft.core.Intermediates.track(

@@ -225,10 +225,11 @@ object PipelineQueries {
     * docs, |∩|/|∪| as double, id_a < id_b, empty docs dropped).
     *
     * RECALL PRECONDITION (the analog of the minhash banding note at
-    * q_dedup_minhash): the engine only generates candidates from shingles
-    * with 2 ≤ df ≤ maxDocFreq (50), so a qualifying pair whose EVERY
-    * shared shingle sits in > 50 documents would appear here but not in
-    * the engine output. Equality therefore relies on the corpus: 5-gram
+    * q_dedup_minhash): the engine only generates candidates from PREFIX
+    * shingles (lossless AllPairs filter — see Dedup.ngramJaccard) with
+    * 2 ≤ prefix-df ≤ maxDocFreq (50), so a qualifying pair whose EVERY
+    * shared prefix shingle sits in > 50 document prefixes would appear
+    * here but not in the engine output. Equality therefore relies on the corpus: 5-gram
     * shingles on this corpus are near-unique (median df = 1; planted
     * copies raise their shingles to df 2, far under the cap), verified by
     * the hash matches at sf0.001/0.01/0.1. A corpus with ubiquitous
