@@ -39,6 +39,22 @@ final case class Pipe(df: DataFrame) {
   def sampleRows(fraction: Double, seed: Long = 42L): Pipe =
     Pipe(df.sample(withReplacement = false, fraction, seed))
 
+  /** DELAY (reference: op/Delay.scala + codegen/spark/DelayEmitter):
+    * pass `samplePct`% of rows and hold each partition `waitMs` before
+    * processing — a stream-rate simulation / profiling aid. The sleep
+    * runs ON EXECUTORS once per partition (the reference's mapPartitions
+    * emission), never on the driver. */
+  def delay(waitMs: Long, samplePct: Int): Pipe = {
+    val sampled =
+      if (samplePct >= 100) df
+      else df.sample(withReplacement = false, samplePct / 100.0, 42L)
+    if (waitMs <= 0) Pipe(sampled)
+    else {
+      val enc = org.apache.spark.sql.Encoders.row(sampled.schema)
+      Pipe(sampled.mapPartitions { it => Thread.sleep(waitMs); it }(enc))
+    }
+  }
+
   /** Deterministic sample: keep rows whose md5-derived bucket (0–99) of
     * the key columns falls under `percent`. Engine-independent (md5 of
     * the same key string buckets identically everywhere — unlike seeded

@@ -129,4 +129,13 @@ object Ast {
   /** c = PARTITION b ON geom USING grid(...) (reference op/Partition). */
   final case class PartitionStmt(alias: String, in: String,
                                  geomField: String) extends Stmt
+  /** b = DELAY a BY (wtime, samplePct) — stream-rate simulation
+    * (reference op/Delay.scala). */
+  final case class DelayStmt(alias: String, in: String, waitMs: Long,
+                             samplePct: Int) extends Stmt
+  /** VISUALIZE a BY field INTO 'img.png' [WITH POINTSIZE n] AS (w, h)
+    * (reference op/Visualize.scala). */
+  final case class VisualizeStmt(in: String, field: Expr, path: String,
+                                 pointSize: Option[Int], width: Int,
+                                 height: Int) extends Stmt
 }

@@ -775,6 +775,15 @@ class PigCompiler(spark: SparkSession) {
         case other => sys.error(s"unsupported spatial join predicate $other")
       }
 
+    case DelayStmt(a, in, waitMs, pct) =>
+      val df = relation(in)
+      env(a) = Rel(() => graft.core.Pipe(df).delay(waitMs, pct).df)
+
+    case VisualizeStmt(in, field, path, ps, w, h) =>
+      val df = relation(in)
+      graft.spatial.Visualize.scatter(df, compileExpr(df, field), path,
+        w, h, ps.getOrElse(1))
+
     case PartitionStmt(a, in, geomField) =>
       val df = relation(in)
       env(a) = Rel(() => graft.spatial.Spatial.spatialIndex(

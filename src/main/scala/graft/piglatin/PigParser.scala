@@ -370,6 +370,30 @@ object PigParser extends RegexParsers {
       (kw("on") ~> funcCall) <~ opt(indexClause) ^^ {
       case a ~ l ~ r ~ (f: FuncCall) => SpatialJoinStmt(a, l, r, f) }
 
+  /** `b = DELAY a BY (wtime, samplePct)` — wtime is an ISO-8601 duration
+    * body ('0.5S', '2M') or plain milliseconds (reference delayStmt). */
+  private def delayStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("delay")) ~ ident ~
+      (kw("by") ~> "(" ~> (quoted ^^ (Left(_)) | number ^^ (Right(_))) ~
+        ("," ~> number) <~ ")") ^^ {
+      case a ~ in ~ (w ~ s) =>
+        val ms = w match {
+          case Left(iso) => java.time.Duration.parse(s"PT$iso").toMillis
+          case Right(n) => n.toDouble.toLong
+        }
+        DelayStmt(a, in, ms, s.toDouble.toInt)
+    }
+
+  private def visualizeStmt: Parser[Stmt] =
+    kw("visualize") ~> ident ~ (kw("by") ~> (fieldRef | posRef)) ~
+      (kw("into") ~> quoted) ~
+      opt(kw("with") ~> kw("pointsize") ~> number) ~
+      (kw("as") ~> "(" ~> number ~ ("," ~> number) <~ ")") ^^ {
+      case in ~ f ~ path ~ ps ~ (w ~ h) =>
+        VisualizeStmt(in, f, path, ps.map(_.toDouble.toInt),
+          w.toDouble.toInt, h.toDouble.toInt)
+    }
+
   private def partitionStmt: Parser[Stmt] =
     (ident <~ "=" <~ kw("partition")) ~ ident ~ (kw("on") ~> fieldRef) <~
       opt(indexClause) ^^ {
@@ -381,6 +405,7 @@ object PigParser extends RegexParsers {
      accumulate | intersection | difference | streamThrough | rscriptStmt | materialize | fsCmd |
      matchEvent | windowStmt | socketRead | socketWrite | rdfLoad | tuplify |
      bgpFilter | spatialFilter | spatialJoin | partitionStmt |
+     delayStmt | visualizeStmt |
      setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

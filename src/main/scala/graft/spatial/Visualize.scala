@@ -1,0 +1,56 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** VISUALIZE (reference: op/Visualize.scala, whose Spark backend
+  * delegates to the STARK library's RDD.visualize): scatter-render a
+  * point-geometry column to an image file.
+  *
+  * Scale design: the points reduce to PER-PIXEL counts on the executors
+  * (`groupBy(px, py)`), so the driver collects at most width×height rows
+  * no matter the input size — an image can't show more detail than its
+  * pixels, so nothing is lost. Density maps to opacity. JDK-only
+  * rendering (headless AWT + ImageIO), no extra dependencies. */
+object Visualize {
+
+  def scatter(df: DataFrame, pt: Column, path: String,
+              width: Int, height: Int, pointSize: Int = 1): Unit = {
+    require(width > 0 && height > 0, s"bad image size ${width}x$height")
+    val xy = df.select(pt.getField("x").cast(DoubleType).as("x"),
+        pt.getField("y").cast(DoubleType).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val b = xy.agg(min("x"), max("x"), min("y"), max("y")).head()
+    if (b.isNullAt(0)) return // empty relation: nothing to draw
+    val (minX, maxX) = (b.getDouble(0), b.getDouble(1))
+    val (minY, maxY) = (b.getDouble(2), b.getDouble(3))
+    val sx = if (maxX > minX) (width - 1) / (maxX - minX) else 0.0
+    val sy = if (maxY > minY) (height - 1) / (maxY - minY) else 0.0
+    // y flips: image row 0 is the TOP (max y)
+    val pixels = xy.select(
+        floor((col("x") - minX) * sx).cast("int").as("px"),
+        floor((lit(maxY) - col("y")) * sy).cast("int").as("py"))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+      .collect()
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, height)
+      val maxN = pixels.iterator.map(_.getLong(2)).foldLeft(1L)(math.max)
+      val d = math.max(1, pointSize)
+      pixels.foreach { r =>
+        val alpha = (55L + 200L * r.getLong(2) / maxN).toInt
+        g.setColor(new java.awt.Color(30, 60, 160, alpha))
+        g.fillOval(r.getInt(0) - d / 2, r.getInt(1) - d / 2, d, d)
+      }
+    } finally g.dispose()
+    val dot = path.lastIndexOf('.')
+    val ext = if (dot > 0 && dot < path.length - 1) path.substring(dot + 1)
+              else "png"
+    javax.imageio.ImageIO.write(img, ext, new java.io.File(path))
+    ()
+  }
+}

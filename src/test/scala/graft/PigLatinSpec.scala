@@ -250,6 +250,36 @@ class PigLatinSpec extends SparkSpec {
     assert(c.relation("j").count() == 2) // each point matches itself only
   }
 
+  test("DELAY samples and holds partitions on the executors") {
+    val df = spark.range(0, 1000).toDF("v")
+    val c = PigScript.run(spark,
+      """b = delay a by ('0.05S', 50);
+        |c = delay a by (1, 100);""".stripMargin,
+      tables = Map("a" -> df))
+    val sampled = c.relation("b").count()
+    assert(sampled > 300 && sampled < 700, s"50% sample gave $sampled")
+    assert(c.relation("b").columns.toSeq == Seq("v"))
+    assert(c.relation("c").count() == 1000) // 100% passes everything
+  }
+
+  test("VISUALIZE renders a point column to a density image") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_viz").toString
+    val pts = Seq((1L, 0.0, 0.0), (2L, 9.0, 9.0), (3L, 9.0, 9.0))
+      .toDF("id", "x", "y")
+      .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    PigScript.run(spark,
+      s"VISUALIZE p BY pt INTO '$dir/pts.png' WITH POINTSIZE 3 AS (64, 32);",
+      tables = Map("p" -> pts))
+    val img = javax.imageio.ImageIO.read(new java.io.File(s"$dir/pts.png"))
+    assert(img.getWidth == 64 && img.getHeight == 32)
+    // corners carry the two point clusters: bottom-left (0,0) and
+    // top-right (9,9) — both must be non-white; the center must be white
+    def nonWhite(px: Int, py: Int) = (img.getRGB(px, py) & 0xFFFFFF) != 0xFFFFFF
+    assert(nonWhite(0, 31) || nonWhite(1, 30), "origin cluster missing")
+    assert(nonWhite(63, 0) || nonWhite(62, 1), "far cluster missing")
+    assert(!nonWhite(32, 16), "center should be empty")
+  }
+
   test("SOCKET_WRITE streams a multi-partition relation without collecting " +
       "it to the driver") {
     // toLocalIterator pulls one partition at a time; this drives a
