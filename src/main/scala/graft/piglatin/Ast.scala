@@ -129,6 +129,18 @@ object Ast {
   /** c = PARTITION b ON geom USING grid(...) (reference op/Partition). */
   final case class PartitionStmt(alias: String, in: String,
                                  geomField: String) extends Stmt
+  /** b = ZIP a WITH INDEX (reference zipWithIndexStmt). */
+  final case class ZipIndexStmt(alias: String, in: String) extends Stmt
+  /** b = ZIP a, c, d — positional zip of ≥2 relations (reference
+    * zipWithBagsStmt). */
+  final case class ZipBagsStmt(alias: String, ins: Seq[String]) extends Stmt
+  /** b = CACHE a [storageLevel] (reference cacheStmt / op/Cache.scala). */
+  final case class CacheStmt(alias: String, in: String,
+                             mode: Option[String]) extends Stmt
+  /** b = INDEX a ON field USING rtree(...) (reference indexStmt /
+    * op/IndexOp.scala). */
+  final case class IndexStmt(alias: String, in: String,
+                             field: String) extends Stmt
   /** b = DELAY a BY (wtime, samplePct) — stream-rate simulation
     * (reference op/Delay.scala). */
   final case class DelayStmt(alias: String, in: String, waitMs: Long,

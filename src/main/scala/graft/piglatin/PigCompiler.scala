@@ -775,6 +775,37 @@ class PigCompiler(spark: SparkSession) {
         case other => sys.error(s"unsupported spatial join predicate $other")
       }
 
+    case ZipIndexStmt(a, in) =>
+      val df = relation(in)
+      env(a) = Rel(() =>
+        graft.core.Pipe(df).zipWithIndex(Nil, "index").df)
+
+    case ZipBagsStmt(a, ins) =>
+      // positional zip of ≥2 relations: chained index-joins, truncating
+      // to the shortest input (reference Zip withIndex=false semantics)
+      env(a) = Rel(() => ins.map(relation).map(graft.core.Pipe(_))
+        .reduceLeft((l, r) => l.zipWith(r, Nil, Nil)).df)
+
+    case CacheStmt(a, in, mode) =>
+      val df = relation(in)
+      // reference CacheMode names ARE Spark storage levels; NONE = the
+      // session default (MEMORY_AND_DISK, Dataset.cache's level)
+      val level = mode.map(_.toUpperCase).filter(_ != "NONE")
+        .map(org.apache.spark.storage.StorageLevel.fromString)
+        .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cached = df.persist(level)
+      env(a) = Rel(() => cached)
+
+    case IndexStmt(a, in, field) =>
+      // the RTREE index analog: a grid-cell index column + co-partition
+      // (same runtime as PARTITION — the reference's IndexOp materializes
+      // an index the later spatial ops probe; graft's grid join does the
+      // probing via cell equi-joins)
+      val df = relation(in)
+      env(a) = Rel(() => graft.spatial.Spatial.spatialIndex(
+        df, field, cellSize = 1.0,
+        partitions = spark.sparkContext.defaultParallelism))
+
     case DelayStmt(a, in, waitMs, pct) =>
       val df = relation(in)
       env(a) = Rel(() => graft.core.Pipe(df).delay(waitMs, pct).df)

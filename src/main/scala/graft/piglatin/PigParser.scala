@@ -141,7 +141,9 @@ object PigParser extends RegexParsers {
     kw("store") ~> ident ~ (kw("into") ~> quoted) ~ opt(usingClause) ^^ {
       case a ~ p ~ u => Store(a, p, u) }
 
-  private def dump: Parser[Stmt] = kw("dump") ~> ident ^^ Dump.apply
+  // DISPLAY is the reference's pretty-print variant of DUMP (op/Display)
+  private def dump: Parser[Stmt] =
+    (kw("dump") | kw("display")) ~> ident ^^ Dump.apply
   private def describe: Parser[Stmt] = kw("describe") ~> ident ^^ Describe.apply
 
   private def filter: Parser[Stmt] =
@@ -370,6 +372,26 @@ object PigParser extends RegexParsers {
       (kw("on") ~> funcCall) <~ opt(indexClause) ^^ {
       case a ~ l ~ r ~ (f: FuncCall) => SpatialJoinStmt(a, l, r, f) }
 
+  /** `b = ZIP a WITH INDEX` | `b = ZIP a, c, d` (reference zipStmt). */
+  private def zipStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("zip")) ~ ident ~ (
+      kw("with") ~> kw("index") ^^ (_ => Left(())) |
+      rep1("," ~> ident) ^^ (Right(_))) ^^ {
+      case a ~ in ~ Left(_) => ZipIndexStmt(a, in)
+      case a ~ in ~ Right(others) => ZipBagsStmt(a, in +: others)
+    }
+
+  /** `b = CACHE a [MEMORY_ONLY|MEMORY_AND_DISK|...]` (reference cacheStmt). */
+  private def cacheStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("cache")) ~ ident ~ opt(ident) ^^ {
+      case a ~ in ~ mode => CacheStmt(a, in, mode) }
+
+  /** `b = INDEX a ON field USING rtree(order=2)` (reference indexStmt). */
+  private def indexStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("index")) ~ ident ~ (kw("on") ~> fieldRef) <~
+      indexClause ^^ {
+      case a ~ in ~ FieldRef(p) => IndexStmt(a, in, p.mkString(".")) }
+
   /** `b = DELAY a BY (wtime, samplePct)` — wtime is an ISO-8601 duration
     * body ('0.5S', '2M') or plain milliseconds (reference delayStmt). */
   private def delayStmt: Parser[Stmt] =
@@ -404,8 +426,8 @@ object PigParser extends RegexParsers {
      cross | union | distinctS | limit | orderBy | sample | split | rank |
      accumulate | intersection | difference | streamThrough | rscriptStmt | materialize | fsCmd |
      matchEvent | windowStmt | socketRead | socketWrite | rdfLoad | tuplify |
-     bgpFilter | spatialFilter | spatialJoin | partitionStmt |
-     delayStmt | visualizeStmt |
+     bgpFilter | spatialFilter | spatialJoin | indexStmt | partitionStmt |
+     zipStmt | cacheStmt | delayStmt | visualizeStmt |
      setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

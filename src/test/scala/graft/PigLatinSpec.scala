@@ -250,6 +250,28 @@ class PigLatinSpec extends SparkSpec {
     assert(c.relation("j").count() == 2) // each point matches itself only
   }
 
+  test("ZIP WITH INDEX, multi-ZIP, CACHE and INDEX statements") {
+    val a = Seq("x", "y", "z").toDF("v")
+    val b = Seq(10, 20).toDF("n")
+    val c = PigScript.run(spark,
+      """zi = ZIP a WITH INDEX;
+        |zb = ZIP a, b;
+        |ca = CACHE a MEMORY_ONLY;""".stripMargin,
+      tables = Map("a" -> a, "b" -> b))
+    assert(c.relation("zi").columns.contains("index"))
+    assert(c.relation("zi").count() == 3)
+    assert(c.relation("zb").count() == 2) // truncates to the shorter input
+    assert(c.relation("ca").storageLevel ==
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    c.relation("ca").unpersist()
+    val pts = Seq((1L, 1.0, 2.0)).toDF("id", "x", "y")
+      .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    val ci = PigScript.run(spark,
+      "ix = INDEX p ON pt USING rtree(order=2);",
+      tables = Map("p" -> pts))
+    assert(ci.relation("ix").columns.contains("cell"))
+  }
+
   test("DELAY samples and holds partitions on the executors") {
     val df = spark.range(0, 1000).toDF("v")
     val c = PigScript.run(spark,
