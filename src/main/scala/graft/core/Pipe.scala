@@ -59,10 +59,19 @@ final case class Pipe(df: DataFrame) {
     * the key columns falls under `percent`. Engine-independent (md5 of
     * the same key string buckets identically everywhere — unlike seeded
     * Bernoulli RNG streams), stable across retries/partitionings, no
-    * shuffle; the reproducible-sampling idiom for production pipelines. */
+    * shuffle; the reproducible-sampling idiom for production pipelines.
+    *
+    * Key encoding: each key casts to string with nulls mapped to a
+    * sentinel (concat_ws would silently DROP nulls, making (null, x) and
+    * (x) collide), joined on the 0x1F unit separator so composite keys
+    * containing ordinary text cannot alias each other. Replicate the
+    * same encoding in any cross-engine oracle (see q_sample's SQL). */
   def sampleByHash(percent: Int, keys: Column*): Pipe = {
+    val encoded = keys.map(k => coalesce(
+      k.cast(org.apache.spark.sql.types.StringType), lit("\u001E")))
     val bucket = conv(substring(md5(
-      concat_ws("_", keys: _*).cast(org.apache.spark.sql.types.BinaryType)),
+      concat_ws("\u001F", encoded: _*)
+        .cast(org.apache.spark.sql.types.BinaryType)),
       1, 8), 16, 10).cast(org.apache.spark.sql.types.LongType) % 100
     Pipe(df.where(bucket < percent))
   }
@@ -279,10 +288,21 @@ final case class Pipe(df: DataFrame) {
     val r0 = other.zipWithIndex(otherOrdering, "__zip_idx").df
     // zipping two same-schema bags is the common Pig case: disambiguate
     // clashing right-side names (Pig's alias::field analog) or every
-    // downstream by-name access throws AMBIGUOUS_REFERENCE
-    val taken = l.columns.toSet
-    val r = r0.columns.foldLeft(r0)((d, c) =>
-      if (c != "__zip_idx" && taken(c)) d.withColumnRenamed(c, s"${c}_r") else d)
+    // downstream by-name access throws AMBIGUOUS_REFERENCE. The free-name
+    // probe matters for CHAINED zips (ZIP a, b, c): the second zip's
+    // right side must not reuse the `v_r` the first already minted
+    val taken = scala.collection.mutable.Set(l.columns: _*)
+    val r = r0.columns.foldLeft(r0) { (d, c) =>
+      if (c == "__zip_idx" || !taken(c)) d
+      else {
+        var cand = s"${c}_r"
+        var i = 2
+        while (taken(cand) || r0.columns.contains(cand)) {
+          cand = s"${c}_r$i"; i += 1 }
+        taken += cand
+        d.withColumnRenamed(c, cand)
+      }
+    }
     Pipe(l.join(r, "__zip_idx").drop("__zip_idx"))
   }
 

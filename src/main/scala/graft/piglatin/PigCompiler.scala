@@ -125,16 +125,20 @@ class PigCompiler(spark: SparkSession) {
           // Pig MATCHES is String.matches — anchored full-string match
           a.rlike("^(?:" + r.asInstanceOf[Lit].v.toString + ")$")
         case "+" =>
-          // piglet types '+' statically: a chararray literal operand, or
-          // an all-chararray expression, makes it string concatenation
-          // (reference spatialfilter.pig: "POINT("+lat+" "+lon+")");
-          // numeric otherwise — untyped (bytearray) fields stay numeric,
-          // matching Pig's bytearray arithmetic coercion (macro1.pig)
-          def isStrLit(x: Expr) = x match {
-            case Lit(_: String) => true; case _ => false }
-          lazy val bothStr =
-            df.select(a, b).schema.forall(_.dataType == StringType)
-          if (isStrLit(l) || isStrLit(r) || bothStr)
+          // piglet types '+' statically: a chararray LITERAL anywhere in
+          // the '+' chain makes the whole chain string concatenation
+          // (reference spatialfilter.pig: "POINT("+lat+" "+lon+")" — the
+          // later `+ lon` steps see no literal directly, so the test must
+          // recurse); numeric otherwise. Untyped (bytearray) fields stay
+          // numeric, matching Pig's bytearray arithmetic coercion
+          // (macro1.pig's $0 + $p) — including schema-less loads, whose
+          // string-typed columns must NOT flip '+' to concat.
+          def chainHasStrLit(x: Expr): Boolean = x match {
+            case Lit(_: String) => true
+            case BinOp("+", cl, cr) => chainHasStrLit(cl) || chainHasStrLit(cr)
+            case _ => false
+          }
+          if (chainHasStrLit(l) || chainHasStrLit(r))
             concat(a.cast(StringType), b.cast(StringType))
           else a + b
         case "-" => a - b
@@ -200,10 +204,14 @@ class PigCompiler(spark: SparkSession) {
         val rows = compileExpr(df, args(0)).cast(IntegerType)
         val cols = compileExpr(df, args(1)).cast(IntegerType)
         val cm = compileExpr(df, args(2))
-        val rm = transform(sequence(lit(0), rows * cols - 1), idx =>
-          element_at(cm,
-            (pmod(idx, cols) * rows + (idx / cols).cast(IntegerType) + 1)
-              .cast(IntegerType)))
+        // sequence(0, -1) would yield [0, -1] (negative default step), so
+        // a zero-dimension matrix must short-circuit to an empty array
+        val rm = when(rows * cols === 0,
+            array().cast(ArrayType(DoubleType)))
+          .otherwise(transform(sequence(lit(0), rows * cols - 1), idx =>
+            element_at(cm,
+              (pmod(idx, cols) * rows + (idx / cols).cast(IntegerType) + 1)
+                .cast(IntegerType))))
         graft.matrix.MatrixOps.matrix(rows, cols, rm)
       // aggregate names appearing in ROW context = bag functions on arrays
       case "COUNT" => size(a0).cast(LongType)
@@ -603,6 +611,15 @@ class PigCompiler(spark: SparkSession) {
               w.getField("start").as("w_start"),
               w.getField("end").as("w_end"))): _*))
           case None =>
+            // a column NAMED like event time but not typed as one is
+            // almost certainly a forgotten ':datetime' — silently falling
+            // back to arrival time would window wrongly with no signal
+            df.columns.find(_.toLowerCase.matches(
+                "ts|time|timestamp|datetime|event_time")).foreach(c =>
+              sys.error(s"WINDOW RANGE: column '$c' is not a timestamp — " +
+                "declare it ':datetime' in the AS clause for event-time " +
+                "windows (arrival-time windowing applies only to " +
+                "relations with no time-named column)"))
             // no event-time column: piglet's streaming windows cut on
             // ARRIVAL time. Over a bounded batch every row shares the one
             // processing-time window, so the windowed relation is the
@@ -954,13 +971,15 @@ class PigCompiler(spark: SparkSession) {
       // complex AS types (tuple/bag/map) keep the source's own nested
       // type — a cast to a flat SQL type would destroy the structure
       val complex = Set("tuple", "bag", "map")
-      // self-describing sources (JsonStorage) resolve the AS clause BY
-      // NAME; positional otherwise: extra source fields are ignored
-      // (reference PigStorage: a split line's trailing tokens beyond the
-      // AS clause — e.g. N-Triples' terminating '.' — are dropped) and
-      // MISSING trailing fields load as nulls (PigStorage pads short rows)
+      // JsonStorage resolves the AS clause BY NAME (a JSON object has no
+      // positional order — Spark surfaces keys alphabetically); every
+      // other loader binds POSITIONALLY even when names coincide, per Pig
+      // semantics: extra source fields are ignored (reference PigStorage:
+      // a split line's trailing tokens beyond the AS clause — e.g.
+      // N-Triples' terminating '.' — are dropped) and MISSING trailing
+      // fields load as nulls (PigStorage pads short rows)
       val named =
-        if (fs.forall(f => raw.columns.contains(f.name)))
+        if (name == "JsonStorage" && fs.forall(f => raw.columns.contains(f.name)))
           raw.select(fs.map(f => col(s"`${f.name}`")).toIndexedSeq: _*)
         else {
           val pad = Seq.fill(math.max(0, fs.length - raw.columns.length))(lit(null))

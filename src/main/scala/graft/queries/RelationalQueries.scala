@@ -267,11 +267,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // exact replica of sampleByHash: same key string, same md5 prefix
-    // bucket — deterministic sampling is cross-engine reproducible
+    // exact replica of sampleByHash: same key encoding (0x1F-joined
+    // strings, nulls → 0x1E — both keys here are non-null NOT NULL ints,
+    // so no coalesce needed), same md5 prefix bucket — deterministic
+    // sampling is cross-engine reproducible
     "q_sample" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
-         WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '_' ||
+         WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || chr(31) ||
                  l_linenumber::VARCHAR), 1, 8))::BIGINT % 100 < 10""",
     "q_load_csv" -> "SELECT r_regionkey, r_name FROM region",
     "q_load_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
