@@ -62,6 +62,32 @@ class PigCompiler(spark: SparkSession) {
     case _ => StringType
   }
 
+  /** Marks a column whose chararray type was DECLARED in an AS schema —
+    * distinguishes it from schema-less loads' default string columns,
+    * which Pig treats as bytearray (numeric '+' coercion). */
+  private val chararrayMeta =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("pig.chararray", true).build()
+
+  private def declaredChararray(df: DataFrame, e: Expr): Boolean = e match {
+    case FieldRef(p) =>
+      val cols = df.columns
+      def named(n: String): Option[String] = cols.find(_ == n).orElse {
+        val s = cols.filter(_.endsWith(s"::${n}"))
+        if (s.length == 1) Some(s.head) else None
+      }
+      named(p.mkString("::")).orElse(if (p.length == 1) None else named(p.head))
+        .exists { c =>
+          val f = df.schema(c)
+          f.dataType == StringType && f.metadata.contains("pig.chararray")
+        }
+    case PosRef(i) if i < df.schema.length =>
+      val f = df.schema.fields(i)
+      f.dataType == StringType && f.metadata.contains("pig.chararray")
+    case CastExpr("chararray", _) => true
+    case _ => false
+  }
+
   // ---- column resolution ---------------------------------------------------
   /** Resolve a dotted path against a schema: exact column; unique
     * `alias::name` suffix; struct field access; bag (array<struct>)
@@ -132,13 +158,16 @@ class PigCompiler(spark: SparkSession) {
           // recurse); numeric otherwise. Untyped (bytearray) fields stay
           // numeric, matching Pig's bytearray arithmetic coercion
           // (macro1.pig's $0 + $p) — including schema-less loads, whose
-          // string-typed columns must NOT flip '+' to concat.
+          // string-typed columns must NOT flip '+' to concat. Two
+          // DECLARED chararray fields (AS clause, tracked via column
+          // metadata) also concat, as piglet's static typing would.
           def chainHasStrLit(x: Expr): Boolean = x match {
             case Lit(_: String) => true
             case BinOp("+", cl, cr) => chainHasStrLit(cl) || chainHasStrLit(cr)
             case _ => false
           }
-          if (chainHasStrLit(l) || chainHasStrLit(r))
+          if (chainHasStrLit(l) || chainHasStrLit(r) ||
+              (declaredChararray(df, l) && declaredChararray(df, r)))
             concat(a.cast(StringType), b.cast(StringType))
           else a + b
         case "-" => a - b
@@ -646,7 +675,9 @@ class PigCompiler(spark: SparkSession) {
         val delim = loader.flatMap(_._2.headOption).getOrElse(",")
         val parts = split(col("value"), java.util.regex.Pattern.quote(delim))
         raw.select(fs.zipWithIndex.map { case (f, i) =>
-          element_at(parts, i + 1).cast(sparkType(f.typeName)).as(f.name)
+          val cast = element_at(parts, i + 1).cast(sparkType(f.typeName))
+          if (f.typeName == "chararray") cast.as(f.name, chararrayMeta)
+          else cast.as(f.name)
         }: _*)
       }
       env(a) = Rel(() => df)
@@ -761,6 +792,13 @@ class PigCompiler(spark: SparkSession) {
       // the ON fields resolve first-arg-to-left, second-arg-to-right
       // (reference spatialjoin.pig: ON containedby(loc, loc) then
       // GENERATE b1::name, b2::name)
+      // the l::/r:: output disambiguation requires distinct aliases — a
+      // self-join (same alias both sides) would rename both inputs to
+      // identical names and fail downstream with AMBIGUOUS_REFERENCE;
+      // fail here with an actionable message instead
+      if (l == r) sys.error(
+        s"SPATIAL_JOIN: both sides are '$l'; assign one side a new " +
+        s"alias first (e.g. ${l}2 = FOREACH $l GENERATE *;)")
       val ld0 = relation(l)
       val rd0 = relation(r)
       val ld = ld0.columns.foldLeft(ld0)((d, c) =>
@@ -805,13 +843,19 @@ class PigCompiler(spark: SparkSession) {
 
     case CacheStmt(a, in, mode) =>
       val df = relation(in)
-      // reference CacheMode names ARE Spark storage levels; NONE = the
-      // session default (MEMORY_AND_DISK, Dataset.cache's level)
-      val level = mode.map(_.toUpperCase).filter(_ != "NONE")
-        .map(org.apache.spark.storage.StorageLevel.fromString)
-        .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cached = df.persist(level)
-      env(a) = Rel(() => cached)
+      // reference CacheMode.NONE means "do not cache" (its
+      // MaterializationManager skips inserting the Cache op for NONE),
+      // so explicit `CACHE a NONE` is a pass-through; no mode given =
+      // Dataset.cache's default level
+      mode.map(_.toUpperCase) match {
+        case Some("NONE") => env(a) = Rel(() => df)
+        case m =>
+          val level = m
+            .map(org.apache.spark.storage.StorageLevel.fromString)
+            .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cached = df.persist(level)
+          env(a) = Rel(() => cached)
+      }
 
     case IndexStmt(a, in, field) =>
       // the RTREE index analog: a grid-cell index column + co-partition
@@ -988,7 +1032,11 @@ class PigCompiler(spark: SparkSession) {
         }
       named.select(fs.map { f =>
         if (complex(f.typeName)) col(s"`${f.name}`")
-        else col(s"`${f.name}`").cast(sparkType(f.typeName)).as(f.name)
+        else {
+          val cast = col(s"`${f.name}`").cast(sparkType(f.typeName))
+          if (f.typeName == "chararray") cast.as(f.name, chararrayMeta)
+          else cast.as(f.name)
+        }
       }.toIndexedSeq: _*)
     }
   }

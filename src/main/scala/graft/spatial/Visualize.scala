@@ -50,7 +50,17 @@ object Visualize {
     val dot = path.lastIndexOf('.')
     val ext = if (dot > 0 && dot < path.length - 1) path.substring(dot + 1)
               else "png"
-    javax.imageio.ImageIO.write(img, ext, new java.io.File(path))
-    ()
+    // ImageIO.write returns false when no writer accepts the image (e.g.
+    // ARGB to jpeg on many JDKs) — retry with the alpha channel dropped,
+    // then fail loudly rather than "succeed" with no file written
+    if (!javax.imageio.ImageIO.write(img, ext, new java.io.File(path))) {
+      val rgb = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = rgb.createGraphics()
+      try g2.drawImage(img, 0, 0, java.awt.Color.WHITE, null)
+      finally g2.dispose()
+      if (!javax.imageio.ImageIO.write(rgb, ext, new java.io.File(path)))
+        sys.error(s"VISUALIZE: no image writer for extension '$ext' ($path)")
+    }
   }
 }

@@ -537,4 +537,62 @@ class MatrixSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration, "cat", List(s"$base/a.txt"))
     assert(shown == Seq("one", "two"))
   }
+
+  test("CACHE with mode NONE is a pass-through (reference CacheMode.NONE " +
+      "= do not cache)") {
+    val a = Seq(1, 2, 3).toDF("v")
+    val c = PigScript.run(spark, "cn = CACHE a NONE;", tables = Map("a" -> a))
+    val out = c.relation("cn")
+    assert(out.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(out.count() == 3)
+  }
+
+  test("'+' on two DECLARED chararray fields concats; schema-less string " +
+      "fields stay numeric") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_concat").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "in.csv"), "ab,cd\nef,gh\n")
+    val c = PigScript.run(spark,
+      s"""a = load '$dir/in.csv' using PigStorage(',')
+         |    as (f1:chararray, f2:chararray);
+         |b = foreach a generate f1 + f2 as j;""".stripMargin)
+    assert(c.relation("b").as[String].collect().toSet == Set("abcd", "efgh"))
+    // control: the same '+' over a SCHEMA-LESS load keeps Pig's bytearray
+    // numeric coercion (strings that don't parse as numbers → null)
+    val n = PigScript.run(spark,
+      s"""a = load '$dir/in.csv' using PigStorage(',');
+         |b = foreach a generate $$0 + $$1 as j;""".stripMargin)
+    assert(n.relation("b").collect().forall(_.isNullAt(0)))
+  }
+
+  test("VISUALIZE falls back to RGB for jpg (ImageIO rejects ARGB) and " +
+      "errors on an unknown extension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_viz2").toString
+    val pts = Seq((1L, 0.0, 0.0), (2L, 5.0, 5.0)).toDF("id", "x", "y")
+      .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    PigScript.run(spark,
+      s"VISUALIZE p BY pt INTO '$dir/pts.jpg' WITH POINTSIZE 2 AS (32, 32);",
+      tables = Map("p" -> pts))
+    val f = new java.io.File(s"$dir/pts.jpg")
+    assert(f.exists() && f.length() > 0, "jpg output missing or empty")
+    assert(javax.imageio.ImageIO.read(f).getWidth == 32)
+    val err = intercept[RuntimeException] {
+      PigScript.run(spark,
+        s"VISUALIZE p BY pt INTO '$dir/pts.nosuch' AS (16, 16);",
+        tables = Map("p" -> pts))
+    }
+    assert(err.getMessage.contains("no image writer"))
+  }
+
+  test("SPATIAL_JOIN with the same alias on both sides fails with an " +
+      "actionable error, not AMBIGUOUS_REFERENCE") {
+    val pts = Seq((1L, 1.0, 1.0)).toDF("id", "x", "y")
+      .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    val err = intercept[RuntimeException] {
+      PigScript.run(spark,
+        "j = SPATIAL_JOIN p, p ON dwithin(pt, pt, 2.0);",
+        tables = Map("p" -> pts))
+    }
+    assert(err.getMessage.contains("alias"))
+  }
 }
