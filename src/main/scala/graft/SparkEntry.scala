@@ -10,12 +10,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries ++ MiscQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries ++ MiscQueries.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles ++ EventQueries.oracles ++ MiscQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++ EventQueries.oracles ++ MiscQueries.oracles ++ StreamQueries.oracles
 
   /** Benchmark-only variants (production presets of queries whose
     * `queries` entry deliberately over-provisions for structural oracle

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+import graft.streaming.Streams
+
+/** Streaming coverage AS oracled queries (SURVEY.md §2 rows 42/43/47/47b).
+  *
+  * Each query runs a REAL Structured Streaming query — file source,
+  * watermark, stateful operator, sink — bounded with
+  * `Trigger.AvailableNow()` so it terminates after processing the
+  * table's files. The result is deterministic, so the same DuckDB SQL
+  * that oracles the batch operators oracles the streaming dataflow:
+  * this is the strongest correctness statement available for the
+  * streaming layer without a live unbounded source (which Verify cannot
+  * host). The reference's own streaming IT suite compares against batch
+  * truth files the same way (ref: piglet SparksCompileIt).
+  */
+object StreamQueries {
+
+  /** File-stream over the events table (one micro-batched file source;
+    * same nanos→micros normalization as `Tables`). */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    // the file-stream source monitors a DIRECTORY; the testdata tables
+    // are single parquet files — stage a symlink dir (no data copy)
+    val path =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(src))) src
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("part-0.parquet"), java.nio.file.Paths.get(src))
+        d.toString
+      }
+    val schema = s.read.parquet(src).schema
+    val raw = Streams.fileStream(s, path, schema)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) into a memory
+    * sink and return the static result table. */
+  private def runBounded(df: DataFrame, name: String,
+                         mode: OutputMode): DataFrame = {
+    val s = df.sparkSession
+    val q = df.writeStream.queryName(name).outputMode(mode)
+      .format("memory").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- #47 file stream → #43 watermarked tumbling window, end-to-end ------
+    "q_stream_window" -> ((s, dir) => {
+      val agg = Streams.windowedAgg(eventStream(s, dir), "ts", "1 hour",
+        slideDur = None, watermarkDelay = "30 minutes",
+        groupCols = Seq("event_type"),
+        aggs = Seq(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value")))
+      // Complete mode emits every window of the bounded run (append mode
+      // would withhold windows the final watermark never passed)
+      runBounded(agg, "q_stream_window_sink", OutputMode.Complete())
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("cnt"), col("sum_value"))
+    }),
+    // -- #42 CEP on a stream: flatMapGroupsWithState signup→purchase --------
+    "q_stream_cep" -> ((s, dir) => {
+      import s.implicits._
+      val evs = eventStream(s, dir).select(
+          col("user_id").as("key"),
+          unix_micros(col("ts")).as("tsMicros"),
+          col("event_type").as("etype"),
+          col("event_id").as("id"),
+          col("value"))
+        .as[graft.cep.Matcher.Event]
+      val m = Streams.streamMatchSeq(evs, "signup", "purchase",
+        withinMicros = 3600L * 1000000L)
+      runBounded(m.toDF(), "q_stream_cep_sink", OutputMode.Append())
+        .select(col("key").as("user_id"), col("startId").as("start_id"),
+          col("endId").as("next_id"))
+    }),
+    // -- #47b WINDOW … APPLY: arbitrary relational subplan per closed window.
+    // The subplan here is a per-window top-1 (group → window rank) — NOT an
+    // aggregation Spark's windowed groupBy could express, which is the
+    // operator's reason to exist. Only windows the final watermark closed
+    // emit; the oracle applies the same bound.
+    "q_stream_winapply" -> ((s, dir) => {
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_swa_out").toString
+      val q = Streams.windowApply(eventStream(s, dir), "ts", "1 hour",
+        watermarkDelay = "30 minutes", name = "q_stream_winapply",
+        trigger = Trigger.AvailableNow()) { w =>
+        import org.apache.spark.sql.expressions.Window
+        w.groupBy(col("window"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(Window.partitionBy("window")
+            .orderBy(desc("cnt"), col("event_type"))))
+          .where(col("rn") === 1).drop("rn")
+      } { (out, _) => out.write.mode("append").parquet(outDir) }
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("cnt"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical aggregation to the batch q_window_tumbling oracle — the
+    // streaming run must reproduce the batch answer exactly
+    "q_stream_window" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+         event_type, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // streamMatchSeq semantics: events ordered by (ts, event_id); every
+    // open signup matches the FIRST purchase after it within 1h
+    // (inclusive), same-timestamp pairs ordered by event_id
+    "q_stream_cep" ->
+      """WITH cand AS (
+           SELECT a.user_id, a.event_id AS start_id, b.event_id AS next_id,
+             row_number() OVER (PARTITION BY a.event_id
+               ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id
+            AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+            AND epoch(b.ts) - epoch(a.ts) <= 3600
+           WHERE a.event_type = 'signup' AND b.event_type = 'purchase')
+         SELECT user_id, start_id, next_id FROM cand WHERE rn = 1""",
+    // the windowApply emission bound: a window emits iff its end passed
+    // the final watermark (max event time - 30 min), inclusive
+    "q_stream_winapply" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         c AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+                 event_type, COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2),
+         r AS (SELECT ws, event_type, cnt,
+                 row_number() OVER (PARTITION BY ws
+                   ORDER BY cnt DESC, event_type) AS rn
+               FROM c)
+         SELECT ws, event_type, cnt FROM r, mx
+         WHERE rn = 1 AND ws + 3600 <= epoch(m) - 1800"""
+  )
+}

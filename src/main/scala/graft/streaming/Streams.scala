@@ -104,7 +104,8 @@ object Streams {
     * sink. */
   def windowApply(stream: DataFrame, tsCol: String, windowDur: String,
                   watermarkDelay: String, name: String,
-                  spoolDir: Option[String] = None)
+                  spoolDir: Option[String] = None,
+                  trigger: Trigger = Trigger.ProcessingTime(0L))
                  (f: DataFrame => DataFrame)
                  (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark0 = stream.sparkSession
@@ -129,7 +130,7 @@ object Streams {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    foreachBatchSink(stream, name) { (batch, id) =>
+    foreachBatchSink(stream, name, trigger) { (batch, id) =>
       val prevDir = s"$spool/g${gen % 2}"
       val nextDir = s"$spool/g${(gen + 1) % 2}"
       val bw = batch.withColumn("window", window(col(tsCol), windowDur))
@@ -167,11 +168,12 @@ object Streams {
   /** SOCKET_WRITE analog: each micro-batch is pushed through a writer
     * callback (foreachBatch — the exactly-once escape hatch Spark offers
     * for arbitrary sinks like sockets/ZMQ). */
-  def foreachBatchSink(df: DataFrame, name: String)
+  def foreachBatchSink(df: DataFrame, name: String,
+                       trigger: Trigger = Trigger.ProcessingTime(0L))
                       (write: (DataFrame, Long) => Unit): StreamingQuery =
     df.writeStream.queryName(name)
       .outputMode(OutputMode.Update())
-      .trigger(Trigger.ProcessingTime(0L))
+      .trigger(trigger)
       .foreachBatch(write)
       .start()
 
