@@ -154,6 +154,20 @@ object MiscQueries {
           cellSize = 40.0)
         .select(col("poly_id"), col("c_custkey"))
     }),
+    // INDEX (#51): the grid-cell index column itself is the oracled
+    // output — DuckDB recomputes the cell arithmetic per point
+    "q_spatial_index" -> ((s, dir) =>
+      Spatial.spatialIndex(custPoints(s, dir), "pt", cellSize = 8.0,
+          partitions = s.sparkContext.defaultParallelism)
+        .select(col("c_custkey"), col("cell.cx").as("cx"),
+          col("cell.cy").as("cy"))),
+    // PARTITION (#27): explicit co-partitioning must preserve the
+    // relation bit-for-bit (the operator's correctness contract; the
+    // partitioning itself is asserted exchange-free in PipeSpec)
+    "q_partition" -> ((s, dir) =>
+      graft.core.Pipe(t(s, dir, "customer"))
+        .partitionBy(32, col("c_nationkey")).df
+        .select(col("c_custkey"), col("c_nationkey"))),
 
     // -- reference IT scripts, DuckDB-oracled (the same scripts the
     //    ItCompatSpec runs against the reference's truth files) ---------------
@@ -249,6 +263,12 @@ object MiscQueries {
          FROM customer CROSS JOIN supplier
          WHERE sqrt(power(CAST(c_custkey % 97 AS DOUBLE) - (s_suppkey % 97), 2)
                   + power(CAST((c_nationkey * 7) % 89 AS DOUBLE) - ((s_nationkey * 11) % 89), 2)) <= 5.0""",
+    "q_spatial_index" ->
+      """SELECT c_custkey,
+         CAST(floor(CAST(c_custkey % 97 AS DOUBLE) / 8.0) AS BIGINT) AS cx,
+         CAST(floor(CAST((c_nationkey * 7) % 89 AS DOUBLE) / 8.0) AS BIGINT) AS cy
+         FROM customer""",
+    "q_partition" -> "SELECT c_custkey, c_nationkey FROM customer",
     "q_spatial_poly_join" -> {
       val branches = testPolys.map { case (id, vs) =>
         s"SELECT $id AS poly_id, c_custkey FROM pts WHERE ${rayCastSql(vs)}"

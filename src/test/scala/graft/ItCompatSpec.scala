@@ -73,13 +73,16 @@ class ItCompatSpec extends SparkSpec {
       .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
 
   /** (script, truth, inOrder) — the mapping from the reference's own IT
-    * table (SparkCompileIt.scala). Excluded from that table: sampling
-    * (nondeterministic seeds), rscript (needs an R binary). jdbc runs
+    * table (SparkCompileIt.scala). Excluded from that table: rscript
+    * (needs an R binary). jdbc runs
     * below against embedded Derby (no H2 driver in this build); json runs
     * below against the projection the script actually STOREs (the
     * reference marks json.pig "not working yet" and its truth file is the
     * un-projected relation). */
   private val cases: Seq[(String, String, Boolean)] = Seq(
+    // SAMPLE A 1.0 keeps every row — Bernoulli with p=1.0 is the one
+    // deterministic sample, and the reference's truth file IS the input
+    ("sampling.pig", "sampling.data", false),
     ("groupforeach.pig", "groupedrdf.data", false),
     ("nforeach2.pig", "rdf.data", false),
     ("aggrwogrouping.pig", "aggrwogrouping.data", true),
