@@ -169,14 +169,25 @@ class PigCompiler(spark: SparkSession) {
           if (chainHasStrLit(l) || chainHasStrLit(r) ||
               (declaredChararray(df, l) && declaredChararray(df, r)))
             concat(a.cast(StringType), b.cast(StringType))
-          else a + b
-        case "-" => a - b
-        case "*" => a * b
-        case "/" => a / b
-        case "%" => a % b
+          else numericize(df, a) + numericize(df, b)
+        case "-" => numericize(df, a) - numericize(df, b)
+        case "*" => numericize(df, a) * numericize(df, b)
+        case "/" => numericize(df, a) / numericize(df, b)
+        case "%" => numericize(df, a) % numericize(df, b)
       }
     case FuncCall(name, args) => compileFunc(df, name, args)
   }
+
+  /** Pig's bytearray arithmetic coercion: a string-typed operand of a
+    * numeric operator casts to double, with non-numeric values becoming
+    * null (Pig warns-and-nulls; ANSI `string op string` would fail
+    * analysis outright, and an ANSI implicit cast would THROW on the
+    * first non-numeric row instead of nulling it — hence try_cast). */
+  private def numericize(df: DataFrame, c: Column): Column =
+    df.select(c).schema.head.dataType match {
+      case StringType => c.try_cast(DoubleType)
+      case _ => c
+    }
 
   private def expr_tail(c: Column): Column = c.substr(lit(2), length(c) - 1)
 
