@@ -494,25 +494,62 @@ final case class Pipe(df: DataFrame) {
     * executor-side, no driver collect).
     *
     * `outCols` sets the result arity (reference results are Double
-    * matrices; columns are named c0..c{n-1}). `binary` exists so
-    * environments without R are testable against a stand-in interpreter
-    * — the process plumbing is identical. */
+    * matrices; columns are named c0..c{n-1}); pass `outCols <= 0` to infer
+    * it by probing the script on a bounded sample of head rows. `binary`
+    * selects the engine: an external interpreter command, or the sentinel
+    * `"builtin"` for [[graft.r.MiniR]] — an in-JVM evaluator for the
+    * R-matrix subset the reference's scripts use (with `fpc::dbscan`
+    * backed by a real DBSCAN, [[graft.ml.Dbscan]]) so R-less environments
+    * run the reference's rscript workloads honestly. */
   def rscript(script: String, outCols: Int, resObj: String = "res",
               global: Boolean = false, binary: String = "Rscript"): Pipe = {
     import org.apache.spark.sql.types.{DoubleType, StructField}
     val userCode = script.replace("$_", "inp")
-    // shipped as a -e argument (not a script file) so it reaches every
-    // executor with the task — a driver-local temp file would not
-    val program = Seq(
-      """con <- file("stdin")""",
-      """inp <- as.matrix(read.table(con, sep="\t"))""",
-      userCode,
-      s"""write.table($resObj, stdout(), sep="\\t", """ +
-        "row.names=FALSE, col.names=FALSE)").mkString("; ")
-    val outSchema = StructType((0 until outCols).map(i =>
+    val nOut =
+      if (outCols > 0) outCols
+      else if (binary != "builtin")
+        sys.error("rscript: outCols inference (outCols <= 0) needs the " +
+          "builtin engine; pass outCols explicitly for an external interpreter")
+      else {
+        // schema probe: run the script on <=32 head rows. Arity is
+        // data-independent for matrix-in/matrix-out scripts; the probe is
+        // bounded and driver-side only.
+        val sample = df.limit(32).collect()
+          .map(_.toSeq.map(toDoubleLossy).toArray)
+        if (sample.isEmpty) df.columns.length
+        else graft.r.MiniR.run(userCode, sample, resObj)
+          .headOption.map(_.length).getOrElse(df.columns.length)
+      }
+    val outSchema = StructType((0 until nOut).map(i =>
       StructField(s"c$i", DoubleType, nullable = true)))
     val in = if (global) Pipe(df.coalesce(1)) else this
-    in.throughCommand(Seq(binary, "-e", program), outSchema)
+    if (binary == "builtin") {
+      val code = userCode
+      val res = resObj
+      Pipe(in.df.mapPartitions { it =>
+        val m = it.map(r => r.toSeq.map(toDoubleLossy).toArray).toArray
+        if (m.isEmpty) Iterator.empty
+        else graft.r.MiniR.run(code, m, res).iterator
+          .map(a => org.apache.spark.sql.Row(a.map(Double.box).toIndexedSeq: _*))
+      }(org.apache.spark.sql.Encoders.row(outSchema)))
+    } else {
+      // shipped as a -e argument (not a script file) so it reaches every
+      // executor with the task — a driver-local temp file would not
+      val program = Seq(
+        """con <- file("stdin")""",
+        """inp <- as.matrix(read.table(con, sep="\t"))""",
+        userCode,
+        s"""write.table($resObj, stdout(), sep="\\t", """ +
+          "row.names=FALSE, col.names=FALSE)").mkString("; ")
+      in.throughCommand(Seq(binary, "-e", program), outSchema)
+    }
+  }
+
+  private def toDoubleLossy(v: Any): Double = v match {
+    case null => Double.NaN
+    case n: java.lang.Number => n.doubleValue()
+    case s: String => try s.toDouble catch { case _: NumberFormatException => Double.NaN }
+    case other => sys.error(s"rscript: non-numeric input value $other")
   }
 
   // ---- STORE ------------------------------------------------------------------------

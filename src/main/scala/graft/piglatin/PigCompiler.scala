@@ -582,14 +582,19 @@ class PigCompiler(spark: SparkSession) {
 
     case RScriptStmt(a, in, code) =>
       val df = relation(in)
-      // result arity defaults to the input arity (reference scripts are
-      // matrix-in/matrix-out); the interpreter binary is overridable so
-      // R-less environments can point at a stand-in
+      // the Pig RSCRIPT statement is whole-matrix like the reference
+      // (sparklib RScriptOp.scala collects the relation into one R matrix);
+      // graft keeps it executor-side via coalesce(1) instead of a driver
+      // collect. The engine comes from graft.rscript.binary: an external
+      // interpreter command, or "builtin" for the in-JVM MiniR evaluator
+      // (result arity then inferred by a bounded probe; external engines
+      // default to input arity as before)
       env(a) = Rel(() => {
         val binary = spark.conf.getOption("graft.rscript.binary")
           .getOrElse("Rscript")
+        val nOut = if (binary == "builtin") -1 else df.columns.length
         graft.core.Pipe(df)
-          .rscript(code, outCols = df.columns.length, binary = binary).df
+          .rscript(code, outCols = nOut, global = true, binary = binary).df
       })
 
     case Materialize(a) =>

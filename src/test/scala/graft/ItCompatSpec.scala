@@ -73,12 +73,12 @@ class ItCompatSpec extends SparkSpec {
       .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
 
   /** (script, truth, inOrder) — the mapping from the reference's own IT
-    * table (SparkCompileIt.scala). Excluded from that table: rscript
-    * (needs an R binary). jdbc runs
+    * table (SparkCompileIt.scala). All 43 cases run: jdbc runs
     * below against embedded Derby (no H2 driver in this build); json runs
     * below against the projection the script actually STOREs (the
     * reference marks json.pig "not working yet" and its truth file is the
-    * un-projected relation). */
+    * un-projected relation); rscript runs below on the builtin MiniR
+    * engine (real DBSCAN, no R runtime in this environment). */
   private val cases: Seq[(String, String, Boolean)] = Seq(
     // SAMPLE A 1.0 keeps every row — Bernoulli with p=1.0 is the one
     // deterministic sample, and the reference's truth file IS the input
@@ -174,6 +174,24 @@ class ItCompatSpec extends SparkSpec {
         s"JdbcStorage('org.apache.derby.jdbc.EmbeddedDriver', '$url')")
     val got = runScriptText(raw)
     assert(got.sorted == truthLines("jdbc-data.data").sorted)
+  }
+
+  test("reference IT: rscript.pig matches truth/cluster.data (builtin " +
+      "MiniR engine + real DBSCAN standing in for the R runtime this " +
+      "environment lacks)") {
+    // the script's LOAD path is relative to the reference repo root, not
+    // $inbase — rebase it, exactly as the reference harness runs from its
+    // own checkout
+    val raw = Files.readString(Paths.get(s"$base/rscript.pig"))
+      .replace("'src/it/resources/input/cluster-data.csv'",
+        s"'$base/input/cluster-data.csv'")
+    spark.conf.set("graft.rscript.binary", "builtin")
+    try {
+      val got = runScriptText(raw)
+      val want = truthLines("cluster.data")
+      assert(got == want,
+        s"\ngot:  ${got.take(5).mkString(" | ")}\nwant: ${want.take(5).mkString(" | ")}")
+    } finally spark.conf.unset("graft.rscript.binary")
   }
 
   test("reference IT: json.pig executes end-to-end (JsonStorage + nested " +

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.r.MiniR
+import graft.ml.Dbscan
+
+/** The builtin RSCRIPT engine: an in-JVM evaluator for the R-matrix
+  * subset the reference's scripts use, with fpc::dbscan backed by a real
+  * DBSCAN (reference: src/it/resources/rscript.pig, truth/cluster.data). */
+class MiniRSpec extends AnyFunSuite {
+
+  private val m = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+
+  test("elementwise arithmetic with scalar broadcasting") {
+    assert(MiniR.run("res = inp * 2 + 1", m).map(_.toSeq).toSeq ==
+      Seq(Seq(3.0, 5.0), Seq(7.0, 9.0)))
+    assert(MiniR.run("res <- (inp - inp) + .5", m).map(_.toSeq).toSeq ==
+      Seq(Seq(0.5, 0.5), Seq(0.5, 0.5)))
+  }
+
+  test("cbind appends columns; data.frame/data.matrix pass through") {
+    val out = MiniR.run(
+      "a = cbind(inp, data.frame(inp * 0 + 7)); res = data.matrix(a)", m)
+    assert(out.map(_.toSeq).toSeq ==
+      Seq(Seq(1.0, 2.0, 7.0, 7.0), Seq(3.0, 4.0, 7.0, 7.0)))
+  }
+
+  test("t/nrow/ncol and rbind") {
+    assert(MiniR.run("res = t(inp)", m).map(_.toSeq).toSeq ==
+      Seq(Seq(1.0, 3.0), Seq(2.0, 4.0)))
+    assert(MiniR.run("res = cbind(nrow(inp), ncol(inp))", m).head.toSeq ==
+      Seq(2.0, 2.0))
+    assert(MiniR.run("res = rbind(inp, inp)", m).length == 4)
+  }
+
+  test("library is a no-op; dbscan returns a list with $cluster") {
+    // two tight groups of 3 (minPts=3, eps wide enough within groups only)
+    val pts = Array(
+      Array(0.0, 0.0), Array(0.1, 0.0), Array(0.0, 0.1),
+      Array(5.0, 5.0), Array(5.1, 5.0), Array(5.0, 5.1),
+      Array(9.9, 0.0)) // isolated → noise
+    val out = MiniR.run(
+      "library(fpc); db = dbscan(inp, eps=.3, MinPts=3); " +
+        "res = data.matrix(cbind(inp, data.frame(db$cluster + 1L)))", pts)
+    assert(out.map(_(2)).toSeq == Seq(2.0, 2.0, 2.0, 3.0, 3.0, 3.0, 1.0))
+  }
+
+  test("unsupported functions fail loudly") {
+    val e = intercept[RuntimeException](MiniR.run("res = lm(inp)", m))
+    assert(e.getMessage.contains("unsupported function"))
+  }
+
+  test("Dbscan absorbs earlier noise as border of a later cluster") {
+    // p0 has only 3 eps-neighbors (self, p3, p5) < minPts, so it is not
+    // core — it must still join the cluster as a border point when the
+    // core p3 reaches it during expansion
+    val pts = Array(
+      Array(0.55, 0.05), // border: reachable from p3/p5 only
+      Array(9.0, 9.0), // true noise
+      Array(0.0, 0.0), Array(0.1, 0.0), Array(0.0, 0.1), Array(0.1, 0.1))
+    val labels = Dbscan.fit(pts, eps = 0.5, minPts = 4)
+    assert(labels.toSeq == Seq(1, 0, 1, 1, 1, 1))
+  }
+
+  test("Dbscan reproduces the reference truth file exactly (fpc semantics)") {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      "/root/reference/src/it/resources/input/cluster-data.csv"))
+    val pts = lines.toArray(Array.empty[String]).filter(_.nonEmpty)
+      .map(_.split(",").map(_.toDouble))
+    val truth = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      "/root/reference/src/it/resources/truth/cluster.data"))
+      .toArray(Array.empty[String]).filter(_.nonEmpty)
+      .map(_.split(",")(2).toDouble.toInt - 1) // truth stores cluster+1
+    assert(Dbscan.fit(pts, eps = 0.3, minPts = 5).toSeq == truth.toSeq)
+  }
+}
