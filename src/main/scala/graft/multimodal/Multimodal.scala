@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   *  - decode/feature-extract runs per-partition in batches via
   *    `mapPartitions` over a typed Dataset — the Scala analog of a
   *    batched `mapInPandas` — so per-record codec setup amortizes;
-  *  - the actual codec is STUBBED (no image/audio libs in this
-  *    environment): [[Decoder.Fake]] derives deterministic pseudo-decoded
-  *    metadata/features from the payload bytes. The Spark-side plumbing —
-  *    schema, encoders, batching, partitioning — is real and tested.
+  *  - image and audio codecs are REAL (pure-JDK: `javax.imageio` for
+  *    PNG/JPEG/GIF/BMP, `javax.sound.sampled` for PCM WAV — see
+  *    [[Decoder.Image]]/[[Decoder.Wav]]/[[Decoder.Auto]]); only video
+  *    decode is a documented deterministic stand-in ([[Decoder.Fake]] —
+  *    no video codec ships with the JVM or this environment).
   */
 object Multimodal {
 
@@ -38,16 +39,23 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("durationMs", LongType, nullable = false)))
 
-  /** Pluggable batched decoder. A real implementation wraps a JNI/FFI codec
-    * initialized once per partition; `Fake` is the deterministic stand-in. */
+  /** Pluggable batched decoder, initialized once per partition.
+    *
+    * REAL codecs ship for images and audio — the JDK itself carries them:
+    * [[Decoder.Image]] decodes PNG/JPEG/GIF/BMP via `javax.imageio` and
+    * [[Decoder.Wav]] decodes PCM WAV via `javax.sound.sampled`. Only video
+    * remains a documented stand-in ([[Decoder.Fake]] — no video codec in
+    * the JVM or this environment). [[Decoder.Auto]] sniffs the container
+    * magic and routes. */
   trait Decoder extends Serializable {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float])
   }
 
   object Decoder {
-    /** Deterministic fake: "decodes" dims + a feature vector from a rolling
-      * hash of the payload — stable across runs/partitionings, so specs can
-      * assert exact values. Swap for a real codec in production. */
+    /** Deterministic fake for modalities with no JVM codec (video):
+      * "decodes" dims + a feature vector from a rolling hash of the
+      * payload — stable across runs/partitionings, so specs can assert
+      * exact values. */
     object Fake extends Decoder {
       def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
         var h = 1125899906842597L
@@ -60,6 +68,114 @@ object Multimodal {
           (math.floorMod(hj, 1000L).toFloat / 1000f) - 0.5f
         }
         (w, ht, feats)
+      }
+    }
+
+    /** REAL image decode (javax.imageio — PNG/JPEG/GIF/BMP): returns the
+      * true pixel dimensions and an 8-dim feature vector
+      * [meanR, meanG, meanB, meanLuma, stdLuma, aspect, log10(area), 0]
+      * computed over the full raster (channel means in 0..1). */
+    object Image extends Decoder {
+      def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) sys.error("ImageIO: unreadable image payload")
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            val l = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val meanL = sl / n
+        val varL = math.max(0.0, sl2 / n - meanL * meanL)
+        (w, h, Array(
+          (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+          (sb / n / 255.0).toFloat, (meanL / 255.0).toFloat,
+          (math.sqrt(varL) / 255.0).toFloat,
+          (w.toDouble / h).toFloat, math.log10(n).toFloat, 0f))
+      }
+
+      /** REAL resize (Graphics2D bilinear): returns re-encoded PNG bytes. */
+      def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (src == null) sys.error("ImageIO: unreadable image payload")
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(dst, "png", out))
+          sys.error("ImageIO: no PNG writer")
+        out.toByteArray
+      }
+    }
+
+    /** REAL audio decode (javax.sound.sampled — PCM WAV): returns
+      * (sampleRateHz, channels) in the two int slots and an 8-dim feature
+      * vector [durationSec, rms, peak, zeroCrossRate, channels,
+      * sampleRate/1e3, 0, 0] over normalized samples in -1..1. */
+    object Wav extends Decoder {
+      def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val frames = in.getFrameLength
+          val data = in.readAllBytes()
+          val n = data.length / bytesPerSample
+          var i = 0; var s2 = 0.0; var peak = 0.0; var zc = 0; var prev = 0.0
+          while (i < n) {
+            val off = i * bytesPerSample
+            val raw: Double = (fmt.getSampleSizeInBits, fmt.isBigEndian) match {
+              case (16, false) =>
+                ((data(off + 1) << 8) | (data(off) & 0xff)).toShort / 32768.0
+              case (16, true) =>
+                ((data(off) << 8) | (data(off + 1) & 0xff)).toShort / 32768.0
+              case (8, _) => ((data(off) & 0xff) - 128) / 128.0
+              case (bits, _) => sys.error(s"WAV: unsupported sample size $bits")
+            }
+            s2 += raw * raw; if (math.abs(raw) > peak) peak = math.abs(raw)
+            if (i > 0 && (raw >= 0) != (prev >= 0)) zc += 1
+            prev = raw
+            i += 1
+          }
+          val durSec = frames.toDouble / fmt.getFrameRate
+          (fmt.getSampleRate.toInt, fmt.getChannels, Array(
+            durSec.toFloat, math.sqrt(s2 / math.max(1, n)).toFloat,
+            peak.toFloat, (zc.toDouble / math.max(1, n)).toFloat,
+            fmt.getChannels.toFloat, (fmt.getSampleRate / 1e3).toFloat, 0f, 0f))
+        } finally in.close()
+      }
+    }
+
+    /** Magic-byte sniffing router: PNG/JPEG/GIF/BMP → [[Image]], RIFF-WAVE
+      * → [[Wav]], anything else (video containers, unknown) → [[Fake]]. */
+    object Auto extends Decoder {
+      def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+        def at(i: Int): Int = if (i < payload.length) payload(i) & 0xff else -1
+        val isImage =
+          (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') ||
+          (at(0) == 0xff && at(1) == 0xd8) || // JPEG SOI
+          (at(0) == 'G' && at(1) == 'I' && at(2) == 'F') ||
+          (at(0) == 'B' && at(1) == 'M')
+        val isWav = at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+          at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E'
+        if (isImage) Image.decode(payload)
+        else if (isWav) Wav.decode(payload)
+        else Fake.decode(payload)
       }
     }
   }
@@ -118,6 +234,22 @@ object Multimodal {
     * through untouched and un-shuffled). */
   def resizeMeta(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("width", lit(w)).withColumn("height", lit(h))
+
+  /** REAL distributed image resize: payloads re-encoded per-partition
+    * (Graphics2D bilinear → PNG), never shuffled — the narrow map stays in
+    * the same stage as the scan. Non-image payloads pass through. */
+  def resizeImages(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.modality == "image")
+          a.copy(payload = Decoder.Image.resize(a.payload, w, h),
+            format = "png", width = w, height = h)
+        else a
+      }
+    }
+  }
 
   /** Late-fetch join pattern: run the wide op on metadata only, then
     * re-attach payloads by id — keeps multi-MB binaries out of the

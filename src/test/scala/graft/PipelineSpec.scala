@@ -240,4 +240,90 @@ class MultimodalSpec extends SparkSpec {
     val joined = Multimodal.lateFetch(meta, assets)
     assert(joined.where(col("payload").isNull).count() == 0)
   }
+
+  // ---- REAL codecs (pure JDK: javax.imageio / javax.sound.sampled) -------
+
+  /** Encode a solid-color PNG in memory. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  /** Encode a mono 16-bit PCM WAV sine in memory. */
+  private def wavBytes(sampleRate: Float, seconds: Double, freqHz: Double,
+                       amplitude: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate) *
+        32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("REAL image decode: dims + channel means off true PNG bytes, distributed") {
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "image", pngBytes(32, 16, 0xff0000), "png", 0, 0, 0L),
+      Multimodal.Asset(2L, "image", pngBytes(8, 8, 0x00ff00), "png", 0, 0, 0L),
+      Multimodal.Asset(3L, "image", pngBytes(4, 4, 0x406080), "png", 0, 0, 0L)))
+      .repartition(3)
+    val rows = Multimodal.decodeFeatures(assets, Multimodal.Decoder.Auto)
+      .orderBy("id").collect()
+    assert(rows(0).getInt(2) == 32 && rows(0).getInt(3) == 16)
+    val f1 = rows(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(math.abs(f1(0) - 1f) < 1e-3 && f1(1) < 1e-3 && f1(2) < 1e-3) // solid red
+    assert(math.abs(f1(4)) < 1e-3) // solid color → zero luma stddev
+    val f3 = rows(2).getAs[scala.collection.Seq[Float]]("features")
+    assert(math.abs(f3(0) - 0x40 / 255f) < 1e-3 &&
+      math.abs(f3(1) - 0x60 / 255f) < 1e-3 && math.abs(f3(2) - 0x80 / 255f) < 1e-3)
+  }
+
+  test("REAL image resize: payload re-encoded, round-trips at the new dims") {
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "image", pngBytes(64, 32, 0x123456), "png", 64, 32, 0L),
+      Multimodal.Asset(2L, "audio", wavBytes(8000f, 0.1, 440, 0.5), "wav", 0, 0, 100L)))
+    val resized = Multimodal.resizeImages(assets, 16, 16).collect()
+    val img = resized.find(_.modality == "image").get
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(img.payload))
+    assert(decoded.getWidth == 16 && decoded.getHeight == 16)
+    // solid color survives bilinear resampling
+    assert((decoded.getRGB(8, 8) & 0xffffff) == 0x123456)
+    // non-image payloads pass through untouched
+    val wav = resized.find(_.modality == "audio").get
+    assert(wav.payload.sameElements(wavBytes(8000f, 0.1, 440, 0.5)))
+  }
+
+  test("REAL audio decode: sample rate, duration, RMS off true WAV bytes") {
+    val amp = 0.5
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "audio", wavBytes(16000f, 0.25, 440, amp), "wav", 0, 0, 0L)))
+    val row = Multimodal.decodeFeatures(assets, Multimodal.Decoder.Auto).collect()(0)
+    assert(row.getInt(2) == 16000 && row.getInt(3) == 1) // (sampleRate, channels)
+    val f = row.getAs[scala.collection.Seq[Float]]("features")
+    assert(math.abs(f(0) - 0.25f) < 1e-3) // duration sec
+    assert(math.abs(f(1) - amp / math.sqrt(2)) < 0.01) // sine RMS = A/√2
+    assert(math.abs(f(2) - amp) < 0.01) // peak
+  }
+
+  test("Auto decoder routes by magic bytes and falls back to Fake for video") {
+    val payload = "not-a-real-container".getBytes("UTF-8")
+    val (aw, ah, af) = Multimodal.Decoder.Auto.decode(payload)
+    val (fw, fh, ff) = Multimodal.Decoder.Fake.decode(payload)
+    assert(aw == fw && ah == fh && af.sameElements(ff))
+  }
 }
