@@ -76,6 +76,27 @@ final case class Pipe(df: DataFrame) {
     Pipe(df.where(bucket < percent))
   }
 
+  /** Stratified deterministic sample: per-stratum keep-percentages over
+    * the same md5 bucket as [[sampleByHash]] — the quota-sampling idiom
+    * for training-data curation (e.g. keep 100% of scarce languages, 5%
+    * of the dominant one). Strata not named in `rates` keep
+    * `defaultPercent`. Pure narrow filter: no shuffle, no per-stratum
+    * pass — one scan whatever the stratum count, reproducible across
+    * engines/retries/partitionings. */
+  def stratifiedSampleByHash(strata: Column, rates: Map[String, Int],
+                             defaultPercent: Int, keys: Column*): Pipe = {
+    val encoded = keys.map(k => coalesce(
+      k.cast(org.apache.spark.sql.types.StringType), lit("")))
+    val bucket = conv(substring(md5(
+      concat_ws("", encoded: _*)
+        .cast(org.apache.spark.sql.types.BinaryType)),
+      1, 8), 16, 10).cast(org.apache.spark.sql.types.LongType) % 100
+    val pct = rates.foldLeft(lit(defaultPercent)) { case (acc, (k, p)) =>
+      when(strata === k, lit(p)).otherwise(acc)
+    }
+    Pipe(df.where(bucket < pct))
+  }
+
   /** reference: op/OrderBy.scala — range-partitioned total sort (scales:
     * each partition sorts locally after the range exchange). */
   def orderByCols(cols: Column*): Pipe = Pipe(df.orderBy(cols: _*))
@@ -192,6 +213,70 @@ final case class Pipe(df: DataFrame) {
   def topPerGroupPartial(n: Int, groupKeys: Seq[Column],
                          ordering: Seq[Column]): Pipe =
     Pipe(graft.plans.TopK.topKPerGroup(df, groupKeys, ordering, n))
+
+  /** Skyline: the Pareto-optimal set over `dims` — row p survives unless
+    * some row q is at-least-as-good on EVERY dim and strictly better on
+    * one (reference: src/it/resources/skyline.pig streams events through
+    * an eventlib Skyline UDO; that jar is not in the reference tree, so
+    * the dominance semantics here are the standard skyline definition).
+    * Dims minimize by default; name a dim in `maximize` to flip it. Rows
+    * with a null dim never dominate and never survive.
+    *
+    * Distributed two-phase, same shape as the custom TopK operator: a
+    * per-partition LOCAL skyline first (a locally-dominated row cannot be
+    * in the global skyline — dominance is transitive), then a final pass
+    * over the union of local skylines on one partition. At scale the
+    * local phase prunes each partition to ~skyline-cardinality rows
+    * (polylog n for independent dims), so the single-partition merge sees
+    * sum-of-local-skylines, not n. */
+  def skyline(dims: Seq[String], maximize: Set[String] = Set.empty): Pipe = {
+    val idx = dims.map { d =>
+      val i = df.columns.indexOf(d)
+      require(i >= 0, s"skyline: no column $d")
+      i
+    }.toArray
+    val sign = dims.map(d => if (maximize(d)) -1.0 else 1.0).toArray
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+
+    def keysOf(r: org.apache.spark.sql.Row): Array[Double] = {
+      val k = new Array[Double](idx.length)
+      var i = 0
+      while (i < idx.length) {
+        if (r.isNullAt(idx(i))) return null
+        k(i) = sign(i) * (r.get(idx(i)) match {
+          case n: java.lang.Number => n.doubleValue()
+          case other => sys.error(s"skyline: non-numeric dim value $other")
+        })
+        i += 1
+      }
+      k
+    }
+    // a dominates b: <= everywhere, < somewhere (after maximize sign flip)
+    def dominates(a: Array[Double], b: Array[Double]): Boolean = {
+      var strict = false; var i = 0
+      while (i < a.length) {
+        if (a(i) > b(i)) return false
+        if (a(i) < b(i)) strict = true
+        i += 1
+      }
+      strict
+    }
+    def localSkyline(it: Iterator[org.apache.spark.sql.Row])
+        : Iterator[org.apache.spark.sql.Row] = {
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Array[Double], org.apache.spark.sql.Row)]
+      it.foreach { r =>
+        val k = keysOf(r)
+        if (k != null && !rows.exists(e => dominates(e._1, k))) {
+          rows.filterInPlace(e => !dominates(k, e._1))
+          rows += ((k, r))
+        }
+      }
+      rows.iterator.map(_._2)
+    }
+    val local = df.mapPartitions(localSkyline _)(enc)
+    Pipe(local.coalesce(1).mapPartitions(localSkyline _)(enc))
+  }
 
   /** Pig `RANK a BY f` (ties share a rank). A naive global window would
     * collapse to ONE partition; instead the distinct key set is ranked by

@@ -166,6 +166,14 @@ object RelationalQueries {
       Pipe(t(s, dir, "lineitem"))
         .sampleByHash(10, col("l_orderkey"), col("l_linenumber"))
         .generate(col("l_orderkey"), col("l_linenumber")).df),
+    // stratified quota sampling (training-data curation: oversample scarce
+    // strata, downsample dominant ones) — same deterministic md5 bucket
+    "q_stratified_sample" -> ((s, dir) =>
+      Pipe(t(s, dir, "orders"))
+        .stratifiedSampleByHash(col("o_orderpriority"),
+          Map("1-URGENT" -> 50, "2-HIGH" -> 20), defaultPercent = 5,
+          col("o_orderkey"))
+        .generate(col("o_orderkey"), col("o_orderpriority")).df),
     // -- SPLIT INTO (#19) ------------------------------------------------------------------------------
     "q_split" -> ((s, dir) => {
       val branches = Pipe(t(s, dir, "orders")).splitInto(
@@ -189,6 +197,12 @@ object RelationalQueries {
         .topPerGroup(3, Seq(col("o_orderpriority")),
                      Seq(col("o_totalprice").desc, col("o_orderkey")))
         .generate(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")).df),
+    // -- SKYLINE (reference skyline.pig; Pareto-dominance operator) ---------------------------------------
+    "q_skyline" -> ((s, dir) =>
+      // cheapest-and-smallest parts: minimize retail price, minimize size
+      Pipe(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+        .skyline(Seq("p_retailprice", "p_size")).df),
     // -- INTERSECTION / DIFFERENCE (#21, #22) -----------------------------------------------------------------
     "q_intersect" -> ((s, dir) =>
       Pipe(t(s, dir, "customer")).generate(col("c_nationkey").as("nationkey"))
@@ -275,6 +289,11 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber FROM lineitem
          WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || chr(31) ||
                  l_linenumber::VARCHAR), 1, 8))::BIGINT % 100 < 10""",
+    "q_stratified_sample" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 100
+           < CASE WHEN o_orderpriority = '1-URGENT' THEN 50
+                  WHEN o_orderpriority = '2-HIGH' THEN 20 ELSE 5 END""",
     "q_load_csv" -> "SELECT r_regionkey, r_name FROM region",
     "q_load_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_store_roundtrip" -> "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
@@ -342,6 +361,11 @@ object RelationalQueries {
     "q_top" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+             AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))""",
     "q_top_per_group_partial" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
          QUALIFY row_number() OVER

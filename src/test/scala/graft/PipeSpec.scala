@@ -270,4 +270,51 @@ class PipeSpec extends SparkSpec {
       .partitionBy(4, col("k"))
     assert(p.df.rdd.getNumPartitions == 4)
   }
+
+  test("stratified hash sample applies per-stratum rates deterministically") {
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "big" else "rare"))
+      .toDF("id", "grp")
+    val out = Pipe(df).stratifiedSampleByHash(col("grp"),
+      Map("rare" -> 100), defaultPercent = 10, col("id")).df
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp("rare") == 1000L) // 100% of the rare stratum survives
+    assert(byGrp("big") > 50L && byGrp("big") < 200L) // ~10% of 1000
+    // deterministic: same rows on a different partitioning
+    val again = Pipe(df.repartition(13)).stratifiedSampleByHash(col("grp"),
+      Map("rare" -> 100), defaultPercent = 10, col("id")).df
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
+  test("skyline keeps exactly the Pareto-optimal set, any partitioning") {
+    // (1,5)..(5,1) form the Pareto front; the rest are dominated
+    val rows = Seq((1, 1.0, 5.0), (2, 2.0, 4.0), (3, 3.0, 3.0),
+      (4, 4.0, 2.0), (5, 5.0, 1.0), // front
+      (6, 5.0, 5.0), (7, 2.0, 4.5), (8, 3.0, 3.0001))
+    val df = rows.toDF("id", "price", "size")
+    Seq(df, df.repartition(7)).foreach { in =>
+      val got = Pipe(in).skyline(Seq("price", "size")).df
+        .select("id").as[Int].collect().toSet
+      assert(got == Set(1, 2, 3, 4, 5))
+    }
+  }
+
+  test("skyline maximize flips a dimension; null dims never survive") {
+    // minimize price, MAXIMIZE quality
+    val df = Seq(
+      (1, 1.0, java.lang.Double.valueOf(1.0)),
+      (2, 2.0, java.lang.Double.valueOf(9.0)),
+      (3, 3.0, java.lang.Double.valueOf(5.0)), // dominated by 2
+      (4, 0.5, null.asInstanceOf[java.lang.Double])) // null dim → excluded
+      .toDF("id", "price", "quality")
+    val got = Pipe(df).skyline(Seq("price", "quality"), maximize = Set("quality"))
+      .df.select("id").as[Int].collect().toSet
+    assert(got == Set(1, 2))
+  }
+
+  test("skyline ties: equal points do not dominate each other, both survive") {
+    val df = Seq((1, 2.0, 2.0), (2, 2.0, 2.0), (3, 2.0, 3.0)).toDF("id", "a", "b")
+    val got = Pipe(df).skyline(Seq("a", "b")).df.select("id").as[Int].collect().toSet
+    assert(got == Set(1, 2))
+  }
 }
