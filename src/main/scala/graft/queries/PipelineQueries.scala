@@ -112,6 +112,24 @@ object PipelineQueries {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
+    "q_pii_scrub" -> ((s, dir) => {
+      // plant deterministic PII per doc so the redaction is actually
+      // exercised (the corpus itself carries none); the oracle plants
+      // the identical strings and replays the same regex chain
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn 123-45-6789 done"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.scrubPii(planted).as("clean"))
+    }),
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.repetitionRatio(col("text"), 1).as("tok_rep"),
+        TextOps.repetitionRatio(col("text"), 2).as("bigram_rep"))),
 
     // -- dedup (#57–61) ---------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
@@ -418,6 +436,37 @@ object PipelineQueries {
         """SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
            FROM documents""",
+      "q_pii_scrub" -> {
+        // the same pattern chain TextOps.scrubPii folds, built from the
+        // same source list (drift would break the hash compare)
+        // DuckDB single-quoted literals are escape-free, so the Java
+        // pattern string embeds verbatim
+        val scrubbed = TextOps.piiPatterns.foldLeft("text") {
+          case (inner, (pat, rep)) =>
+            s"regexp_replace($inner, '$pat', '$rep', 'g')"
+        }
+        s"""WITH planted AS (SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@mail.example.com or call 555-' ||
+             lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+             ' ssn 123-45-6789 done' AS text
+           FROM documents)
+           SELECT doc_id, $scrubbed AS clean FROM planted"""
+      },
+      "q_repetition" ->
+        """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents)
+           SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks) END
+               AS tok_rep,
+             CASE WHEN len(toks) < 2 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(list_transform(
+                         range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]
+                       )))::DOUBLE / (len(toks) - 1) END AS bigram_rep
+           FROM tok""",
       "q_lang_id" -> langIdSql,
       "q_dedup_exact" ->
         """WITH planted AS (

@@ -89,6 +89,41 @@ object TextOps {
       (lit(1.0) - punctRatio) * 0.3
   }
 
+  // --- PII scrubbing --------------------------------------------------------
+  /** PII patterns shared with the oracle SQL (q_pii_scrub): simple
+    * RE2-and-Java-compatible regexes (no lookaround/backrefs) so Spark
+    * and DuckDB replace identically. Order matters — emails first (their
+    * local parts may contain digit runs), then phone, then SSN-style ids. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b""" -> "<PHONE>",
+    """\b\d{3}-\d{2}-\d{4}\b""" -> "<ID>")
+
+  /** Redact emails / phone numbers / SSN-style ids — the pre-training
+    * scrub pass. Pure codegen'd regexp_replace chain: narrow, no shuffle,
+    * linear scan at any scale. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  // --- repetition / boilerplate detection -----------------------------------
+  /** Fraction of repeated word n-grams in the document: 1 − distinct/total
+    * (0 for docs shorter than n tokens). High values flag boilerplate,
+    * keyword stuffing and degenerate generations — a standard
+    * training-data quality gate. Narrow per-row transform. */
+  def repetitionRatio(text: Column, n: Int = 1): Column = {
+    val toks = tokens(text)
+    val grams =
+      if (n <= 1) toks
+      else when(size(toks) < n, slice(toks, 1, 0)) // typed empty array
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast(DoubleType)
+        / size(grams).cast(DoubleType))
+  }
+
   // --- fingerprinting -------------------------------------------------------
   /** Canonical content fingerprint: md5 of whitespace-normalized text. */
   def fingerprint(text: Column): Column =

@@ -46,6 +46,24 @@ class TextOpsSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("scrubPii redacts emails, phones and ssn-style ids, leaves prose") {
+    val got = Seq("mail a.b+c@x-corp.io or 555-123-4567, ssn 123-45-6789; " +
+      "v2.0 costs 12-34 dollars").toDF("text")
+      .select(TextOps.scrubPii(col("text"))).as[String].head()
+    assert(got == "mail <EMAIL> or <PHONE>, ssn <ID>; v2.0 costs 12-34 dollars")
+  }
+
+  test("repetitionRatio: distinct text 0, repeated text high, short docs 0") {
+    val rows = Seq("a b c d", "spam spam spam spam", "x", "")
+    val got = rows.toDF("text").select(
+      TextOps.repetitionRatio(col("text"), 1).as("t1"),
+      TextOps.repetitionRatio(col("text"), 2).as("t2"))
+      .as[(Double, Double)].collect()
+    assert(got(0) == (0.0, 0.0))
+    assert(got(1)._1 == 0.75 && got(1)._2 == 1.0 - 1.0 / 3) // 3 identical bigrams
+    assert(got(2) == (0.0, 0.0) && got(3) == (0.0, 0.0))
+  }
+
   test("rolling fingerprint is edit-local") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val local = base.replace("kappa", "KAPPA") // tail edit
