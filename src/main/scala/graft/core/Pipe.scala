@@ -275,7 +275,11 @@ final case class Pipe(df: DataFrame) {
       rows.iterator.map(_._2)
     }
     val local = df.mapPartitions(localSkyline _)(enc)
-    Pipe(local.coalesce(1).mapPartitions(localSkyline _)(enc))
+    // repartition — NOT coalesce: coalesce(1) would fuse the local phase
+    // into the single final task (no stage boundary), serializing the
+    // whole scan; the shuffle keeps phase 1 wide and moves only the
+    // pruned local skylines
+    Pipe(local.repartition(1).mapPartitions(localSkyline _)(enc))
   }
 
   /** Pig `RANK a BY f` (ties share a rank). A naive global window would

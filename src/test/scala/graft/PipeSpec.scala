@@ -293,9 +293,12 @@ class PipeSpec extends SparkSpec {
       (6, 5.0, 5.0), (7, 2.0, 4.5), (8, 3.0, 3.0001))
     val df = rows.toDF("id", "price", "size")
     Seq(df, df.repartition(7)).foreach { in =>
-      val got = Pipe(in).skyline(Seq("price", "size")).df
-        .select("id").as[Int].collect().toSet
-      assert(got == Set(1, 2, 3, 4, 5))
+      val sky = Pipe(in).skyline(Seq("price", "size")).df
+      assert(sky.select("id").as[Int].collect().toSet == Set(1, 2, 3, 4, 5))
+      // the merge must sit behind a shuffle so the local phase stays wide
+      // (coalesce(1) would fuse the whole scan into one task)
+      assert(sky.queryExecution.executedPlan.toString.contains("Exchange"),
+        "skyline final pass must be separated from the local pass by an exchange")
     }
   }
 
