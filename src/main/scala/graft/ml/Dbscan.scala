@@ -1,5 +1,7 @@
 package graft.ml
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
 /** Density-based clustering (DBSCAN, Ester et al. KDD'96).
@@ -69,5 +71,90 @@ object Dbscan {
       i += 1
     }
     labels
+  }
+
+  /** DISTRIBUTED density clustering — the 100 TB path (the grid-partitioned
+    * DBSCAN family: MR-DBSCAN et al.). Same cluster semantics as [[fit]]
+    * except labels: clusters are named by the MINIMUM point id of their
+    * core set (a stable distributed representative — sequential 1..k
+    * numbering is inherently order-dependent), noise gets a NULL cluster,
+    * and a border point reachable from several clusters takes the smallest
+    * label (the sequential algorithm's assignment there is scan-order
+    * luck, not semantics).
+    *
+    * Shape — never all-pairs:
+    *  1. eps-grid cell per point; each point replicated to its 3^d
+    *     neighbor cells (d = coordCols.length — meant for LOW-d spatial
+    *     data; replication is 3^d);
+    *  2. neighbor pairs via the cell equi-join + exact distance refine
+    *     (shuffle key = cell; AQE splits skewed dense cells);
+    *  3. core test = neighbor count ≥ minPts (self included);
+    *  4. core–core eps-edges → [[graft.dedup.Dedup.connectedComponents]]
+    *     (min-id label propagation, checkpointed);
+    *  5. border points join their core neighbors, taking the min label.
+    */
+  def fitDistributed(points: DataFrame, idCol: String, coordCols: Seq[String],
+                     eps: Double, minPts: Int): DataFrame = {
+    require(coordCols.nonEmpty, "dbscan: need coordinate columns")
+    val d = coordCols.length
+    val id = col(idCol)
+    val base = points.select(id.as("__id") +:
+      coordCols.zipWithIndex.map { case (c, i) => col(c).as(s"__x$i") }: _*)
+
+    // neighbor-cell offsets: the 3^d cross product of {-1,0,1}
+    val offsets: Seq[Seq[Int]] =
+      (0 until d).foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
+        acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)))
+    val offArr = array(offsets.map(o => array(o.map(lit): _*)): _*)
+
+    val home = base.withColumn("__cell",
+      array((0 until d).map(i => floor(col(s"__x$i") / eps).cast("long")): _*))
+    // each point visits all 3^d cells around its own: the join below then
+    // needs only CELL EQUALITY to see every candidate within eps
+    val visitedCells: Seq[Column] = (0 until d).map(i =>
+      floor(col(s"__x$i") / eps).cast("long") +
+        element_at(col("__off"), i + 1))
+    val visited = base.withColumn("__off", explode(offArr))
+      .withColumn("__cell", array(visitedCells: _*))
+      .drop("__off")
+
+    val dist2 = (0 until d).map(i =>
+      (col(s"a.__x$i") - col(s"b.__x$i")) * (col(s"a.__x$i") - col(s"b.__x$i")))
+      .reduce(_ + _)
+    // (a, b) for every b within eps of a — includes b = a (distance 0)
+    val pairs = graft.core.Intermediates.track(
+      home.as("a").join(visited.as("b"),
+          col("a.__cell") === col("b.__cell") && dist2 <= lit(eps * eps))
+        .select(col("a.__id").as("pa"), col("b.__id").as("pb"))
+        .persist())
+
+    val counts = pairs.groupBy("pa").agg(count(lit(1)).as("__n"))
+    val cores = counts.where(col("__n") >= minPts).select(col("pa").as("__id"))
+
+    // core–core edges (+ isolated cores as self-edges so they survive CC)
+    val coreEdges = pairs
+      .join(cores.withColumnRenamed("__id", "pa"), "pa")
+      .join(cores.withColumnRenamed("__id", "pb"), "pb")
+      .where(col("pa") < col("pb"))
+      .select(col("pa").as("id_a"), col("pb").as("id_b"))
+    val singletonCores = cores.select(col("__id").as("id_a"),
+      col("__id").as("id_b"))
+    val comp = graft.dedup.Dedup
+      .connectedComponents(coreEdges.union(singletonCores))
+      .toDF("__id", "__cluster") // (core id, min-id component label)
+
+    val coreLabeled = cores.join(comp, "__id")
+      .select(col("__id"), col("__cluster"))
+    // border points: nearest-by-label core neighbor wins (min label)
+    val borderLabeled = pairs
+      .join(cores.withColumnRenamed("__id", "pb"), "pb") // b must be core
+      .join(coreLabeled.withColumnRenamed("__id", "pb")
+        .withColumnRenamed("__cluster", "__bc"), "pb")
+      .groupBy(col("pa").as("__id")).agg(min(col("__bc")).as("__cluster"))
+      .join(coreLabeled.select(col("__id")), Seq("__id"), "left_anti")
+
+    val labeled = coreLabeled.union(borderLabeled)
+    points.join(labeled.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumnRenamed("__cluster", "cluster")
   }
 }

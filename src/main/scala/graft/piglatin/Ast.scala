@@ -145,6 +145,11 @@ object Ast {
     * (reference op/Delay.scala). */
   final case class DelayStmt(alias: String, in: String, waitMs: Long,
                              samplePct: Int) extends Stmt
+  /** b = SKYLINE a BY (f1 [MAX], f2, ...) — Pareto-dominance filter
+    * (graft dialect for the reference's skyline.pig eventlib UDO; dims
+    * minimize unless flagged MAX). */
+  final case class SkylineStmt(alias: String, in: String,
+                               dims: Seq[(String, Boolean)]) extends Stmt
   /** VISUALIZE a BY field INTO 'img.png' [WITH POINTSIZE n] AS (w, h)
     * (reference op/Visualize.scala). */
   final case class VisualizeStmt(in: String, field: Expr, path: String,

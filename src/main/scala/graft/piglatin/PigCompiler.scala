@@ -887,6 +887,11 @@ class PigCompiler(spark: SparkSession) {
       val df = relation(in)
       env(a) = Rel(() => graft.core.Pipe(df).delay(waitMs, pct).df)
 
+    case SkylineStmt(a, in, dims) =>
+      val df = relation(in)
+      env(a) = Rel(() => graft.core.Pipe(df).skyline(
+        dims.map(_._1), maximize = dims.filter(_._2).map(_._1).toSet).df)
+
     case VisualizeStmt(in, field, path, ps, w, h) =>
       val df = relation(in)
       graft.spatial.Visualize.scatter(df, compileExpr(df, field), path,

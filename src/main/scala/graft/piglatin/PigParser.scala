@@ -406,6 +406,16 @@ object PigParser extends RegexParsers {
         DelayStmt(a, in, ms, s.toDouble.toInt)
     }
 
+  /** `b = SKYLINE a BY (price, quality MAX)` — Pareto-dominance filter
+    * (graft dialect; dims minimize unless flagged MAX). */
+  private def skylineStmt: Parser[Stmt] = {
+    val dim = fieldRef ~ opt(kw("max") | kw("min")) ^^ {
+      case FieldRef(p) ~ flag => (p.mkString("."), flag.contains("max")) }
+    (ident <~ "=" <~ kw("skyline")) ~ ident ~
+      (kw("by") ~> ("(" ~> rep1sep(dim, ",") <~ ")" | rep1sep(dim, ","))) ^^ {
+      case a ~ in ~ dims => SkylineStmt(a, in, dims) }
+  }
+
   private def visualizeStmt: Parser[Stmt] =
     kw("visualize") ~> ident ~ (kw("by") ~> (fieldRef | posRef)) ~
       (kw("into") ~> quoted) ~
@@ -427,7 +437,7 @@ object PigParser extends RegexParsers {
      accumulate | intersection | difference | streamThrough | rscriptStmt | materialize | fsCmd |
      matchEvent | windowStmt | socketRead | socketWrite | rdfLoad | tuplify |
      bgpFilter | spatialFilter | spatialJoin | indexStmt | partitionStmt |
-     zipStmt | cacheStmt | delayStmt | visualizeStmt |
+     zipStmt | cacheStmt | delayStmt | skylineStmt | visualizeStmt |
      setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

@@ -114,11 +114,16 @@ object TextOps {
     * training-data quality gate. Narrow per-row transform. */
   def repetitionRatio(text: Column, n: Int = 1): Column = {
     val toks = tokens(text)
+    // n-grams as an O(tokens) zip of n shifted views — a transform over
+    // per-index slice() calls would be O(tokens²) per document
     val grams =
       if (n <= 1) toks
-      else when(size(toks) < n, slice(toks, 1, 0)) // typed empty array
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      else {
+        val m = greatest(size(toks) - (n - 1), lit(0)) // gram count
+        (1 until n).foldLeft(slice(toks, lit(1), m))((acc, j) =>
+          zip_with(acc, slice(toks, lit(1 + j), m),
+            (a, b) => concat(a, lit(" "), b)))
+      }
     when(size(grams) === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(grams)).cast(DoubleType)
         / size(grams).cast(DoubleType))

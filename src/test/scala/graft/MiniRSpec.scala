@@ -74,3 +74,58 @@ class MiniRSpec extends AnyFunSuite {
     assert(Dbscan.fit(pts, eps = 0.3, minPts = 5).toSeq == truth.toSeq)
   }
 }
+
+/** The grid-partitioned distributed DBSCAN must induce the same
+  * clustering as the sequential algorithm (labels are representative ids
+  * rather than 1..k, so compare the induced partitions). */
+class DbscanDistributedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed DBSCAN matches local clustering on the reference data") {
+    val pts = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      "/root/reference/src/it/resources/input/cluster-data.csv"))
+      .toArray(Array.empty[String]).filter(_.nonEmpty)
+      .map(_.split(",").map(_.toDouble))
+    val local = graft.ml.Dbscan.fit(pts, eps = 0.3, minPts = 5)
+
+    val df = pts.zipWithIndex.map { case (p, i) => (i.toLong, p(0), p(1)) }
+      .toSeq.toDF("id", "x", "y").repartition(7)
+    val got = graft.ml.Dbscan
+      .fitDistributed(df, "id", Seq("x", "y"), eps = 0.3, minPts = 5)
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+
+    // same noise set
+    val localNoise = local.indices.filter(local(_) == 0).map(_.toLong).toSet
+    val distNoise = got.collect { case (i, None) => i }.toSet
+    assert(distNoise == localNoise)
+    // same cluster partition (bijective label mapping, both directions)
+    val pairsByLocal = local.indices.filterNot(i => local(i) == 0)
+      .groupBy(i => local(i)).values.map(_.map(_.toLong).toSet).toSet
+    val pairsByDist = got.collect { case (i, Some(c)) => (i, c) }.toSeq
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(pairsByDist == pairsByLocal)
+    // labels are the min core id of each component
+    got.collect { case (i, Some(c)) => (i, c) }.groupBy(_._2).foreach {
+      case (label, members) => assert(label == members.keys.min ||
+        members.keys.toSeq.contains(label))
+    }
+  }
+
+  test("distributed DBSCAN in 1-D: chain splits at a gap wider than eps") {
+    val df = Seq(1.0, 1.5, 2.0, 2.5, 3.0, /* gap */ 10.0, 10.5, 11.0, 11.5,
+      /* noise */ 50.0).zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("id", "x")
+    val got = graft.ml.Dbscan
+      .fitDistributed(df, "id", Seq("x"), eps = 0.6, minPts = 3)
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(9L).isEmpty) // isolated → noise
+    val c1 = (0 to 4).map(i => got(i.toLong))
+    val c2 = (5 to 8).map(i => got(i.toLong))
+    assert(c1.distinct.size == 1 && c2.distinct.size == 1)
+    assert(c1.head.nonEmpty && c2.head.nonEmpty && c1.head != c2.head)
+  }
+}

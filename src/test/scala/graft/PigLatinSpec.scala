@@ -272,6 +272,19 @@ class PigLatinSpec extends SparkSpec {
     assert(ci.relation("ix").columns.contains("cell"))
   }
 
+  test("SKYLINE statement filters to the Pareto front, MAX flips a dim") {
+    val t = Seq((1, 1.0, 1.0), (2, 2.0, 9.0), (3, 3.0, 5.0), (4, 9.0, 8.0))
+      .toDF("id", "price", "quality")
+    val c = PigScript.run(spark,
+      """s1 = SKYLINE t BY (price, quality);
+        |s2 = SKYLINE t BY (price, quality MAX);""".stripMargin,
+      tables = Map("t" -> t))
+    // minimize both: only (1,1) survives
+    assert(c.relation("s1").select("id").as[Int].collect().toSeq == Seq(1))
+    // min price / max quality: 1 and 2 survive; 3 dominated by 2, 4 by 2
+    assert(c.relation("s2").select("id").as[Int].collect().toSet == Set(1, 2))
+  }
+
   test("DELAY samples and holds partitions on the executors") {
     val df = spark.range(0, 1000).toDF("v")
     val c = PigScript.run(spark,
