@@ -280,14 +280,29 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val afterNb = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
+      // pointer jumping: label ← label's label. Plain neighbor-min needs
+      // O(component diameter) rounds (a maxIter-long chain silently came
+      // back UNMERGED — caught by the distributed-DBSCAN oracle, whose
+      // grid chains are long); the shortcut halves chain depth every
+      // round, so convergence is O(log diameter) and maxIter=10 covers
+      // any realistic component.
+      val jumped = afterNb.as("l")
+        .join(afterNb.select(col("id").as("lid"), col("label").as("llabel"))
+          .as("r"), col("l.label") === col("r.lid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"),
+            coalesce(col("llabel"), col("l.label"))).as("label"),
+          (col("l.changed") ||
+            coalesce(col("llabel"), col("l.label")) < col("l.label"))
+            .as("changed"))
       // checkpoint FIRST (with the tiny `changed` flag aboard), then test
       // convergence on the checkpointed frame — testing the raw plan would
       // evaluate the iteration's join twice per loop
-      val materialized = ckpt(updated)
+      val materialized = ckpt(jumped)
       val anyChanged = materialized.where(col("changed")).limit(1).count() > 0
       labels = materialized.select("id", "label")
       converged = !anyChanged

@@ -161,6 +161,17 @@ object MiscQueries {
           partitions = s.sparkContext.defaultParallelism)
         .select(col("c_custkey"), col("cell.cx").as("cx"),
           col("cell.cy").as("cy"))),
+    // DBSCAN (density clustering over the spatial grid; labels = min core
+    // id per component, noise → -1 so the compare is null-free). eps is a
+    // power of two so the grid-cell floor() is IEEE-exact on both engines.
+    "q_dbscan" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 97).cast("double").as("x"),
+        ((col("c_nationkey") * 7) % 89).cast("double").as("y"))
+      graft.ml.Dbscan.fitDistributed(pts, "c_custkey", Seq("x", "y"),
+          eps = 2.0, minPts = 4)
+        .select(col("c_custkey"), coalesce(col("cluster"), lit(-1L)).as("cluster"))
+    }),
     // PARTITION (#27): explicit co-partitioning must preserve the
     // relation bit-for-bit (the operator's correctness contract; the
     // partitioning itself is asserted exchange-free in PipeSpec)
@@ -269,6 +280,36 @@ object MiscQueries {
          CAST(floor(CAST((c_nationkey * 7) % 89 AS DOUBLE) / 8.0) AS BIGINT) AS cy
          FROM customer""",
     "q_partition" -> "SELECT c_custkey, c_nationkey FROM customer",
+    // brute-force DBSCAN replica: neighbor counts by cross join, core-core
+    // reachability closed by a recursive CTE (min-core-id labels — the
+    // same representative the engine's connected components produce),
+    // border points take their smallest core neighbor's label
+    "q_dbscan" ->
+      """WITH RECURSIVE pts AS (
+           SELECT c_custkey AS id,
+                  CAST(c_custkey % 97 AS DOUBLE) AS x,
+                  CAST((c_nationkey * 7) % 89 AS DOUBLE) AS y
+           FROM customer),
+         nb AS (SELECT a.id AS pa, b.id AS pb FROM pts a JOIN pts b
+                ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4.0),
+         cores AS (SELECT pa AS id FROM nb GROUP BY pa HAVING count(*) >= 4),
+         edges AS (SELECT pa, pb FROM nb
+                   WHERE pa IN (SELECT id FROM cores)
+                     AND pb IN (SELECT id FROM cores)),
+         reach(id, lab) AS (
+           SELECT id, id FROM cores
+           UNION
+           SELECT e.pb, r.lab FROM reach r JOIN edges e ON e.pa = r.id),
+         comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         border AS (SELECT nb.pa AS id, min(c.cluster) AS cluster
+                    FROM nb JOIN comp c ON nb.pb = c.id
+                    WHERE nb.pa NOT IN (SELECT id FROM cores)
+                    GROUP BY nb.pa)
+         SELECT p.id AS c_custkey,
+                coalesce(c.cluster, b.cluster, -1) AS cluster
+         FROM pts p
+         LEFT JOIN comp c ON p.id = c.id
+         LEFT JOIN border b ON p.id = b.id""",
     "q_spatial_poly_join" -> {
       val branches = testPolys.map { case (id, vs) =>
         s"SELECT $id AS poly_id, c_custkey FROM pts WHERE ${rayCastSql(vs)}"

@@ -139,6 +139,14 @@ class DedupSpec extends SparkSpec {
       s"production-preset recall too low: $recovered of ${emb.count()}")
   }
 
+  test("connected components converge on a chain far longer than maxIter") {
+    // diameter 200 — plain neighbor-min propagation would need 200
+    // rounds; pointer jumping must close it within the default 10
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc.size == 201 && cc.values.forall(_ == 0L))
+  }
+
   test("connected components collapse transitive chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val ccDf = Dedup.connectedComponents(pairs)
