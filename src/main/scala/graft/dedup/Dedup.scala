@@ -265,31 +265,67 @@ object Dedup {
     * for multi-hour 100 TB jobs. When unset, falls back to
     * `localCheckpoint` (executor-local blocks: fast, but lost state kills
     * the job on executor failure — acceptable only for short runs). */
+  /** `driverEdgeThreshold`: edge sets at or below this size are solved by
+    * an exact one-pass union–find on the driver (the broadcast-threshold
+    * philosophy — a 5M-edge list is ~80 MB and milliseconds of DSU,
+    * versus O(diameter) distributed label-propagation ROUNDS each costing
+    * whole shuffles); larger sets take the iterative distributed path.
+    * Pass 0 to force the distributed path (the specs do). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          driverEdgeThreshold: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    // the edge set feeds every iteration (plus the label init) — persist
+    // it once, or each round re-derives the caller's whole upstream plan
+    // (for DBSCAN that was the grid join, twice per iteration)
+    val edges = graft.core.Intermediates.track(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        .persist())
+
+    if (driverEdgeThreshold > 0 &&
+        pairs.limit((driverEdgeThreshold + 1).toInt).count() <= driverEdgeThreshold) {
+      import spark.implicits._
+      val es = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      return nodes.map(n => (n, find(n))).toSeq.toDF("id", "label")
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id")).agg(min(col("label")).as("nlabel"))
       val afterNb = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
-      // pointer jumping: label ← label's label. Plain neighbor-min needs
-      // O(component diameter) rounds (a maxIter-long chain silently came
-      // back UNMERGED — caught by the distributed-DBSCAN oracle, whose
-      // grid chains are long); the shortcut halves chain depth every
-      // round, so convergence is O(log diameter) and maxIter=10 covers
-      // any realistic component.
+      // pointer jumping: label ← label's label, applied several times per
+      // round. Plain neighbor-min needs O(component diameter) rounds (a
+      // maxIter-long chain silently came back UNMERGED — caught by the
+      // distributed-DBSCAN oracle, whose grid chains are long); each jump
+      // contracts reference chains, and chaining k cached jumps after the
+      // one edges join makes the per-round reach grow geometrically while
+      // costing only k tiny label⋈label joins (the labels table is orders
+      // of magnitude smaller than the edge set).
       val jumped = afterNb.as("l")
         .join(afterNb.select(col("id").as("lid"), col("label").as("llabel"))
           .as("r"), col("l.label") === col("r.lid"), "left")
@@ -307,6 +343,10 @@ object Dedup {
       labels = materialized.select("id", "label")
       converged = !anyChanged
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        // scalastyle:off println
+        println(s"[cc] iter=$iter changed=$anyChanged " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     labels
   }

@@ -94,12 +94,25 @@ object Dbscan {
     *  5. border points join their core neighbors, taking the min label.
     */
   def fitDistributed(points: DataFrame, idCol: String, coordCols: Seq[String],
-                     eps: Double, minPts: Int): DataFrame = {
+                     eps: Double, minPts: Int,
+                     ccDriverEdgeThreshold: Long = 5000000L): DataFrame = {
     require(coordCols.nonEmpty, "dbscan: need coordinate columns")
     val d = coordCols.length
     val id = col(idCol)
     val base = points.select(id.as("__id") +:
       coordCols.zipWithIndex.map { case (c, i) => col(c).as(s"__x$i") }: _*)
+
+    // collapse exact-duplicate coordinates FIRST: co-located points form
+    // cliques — quadratic pair blowup as density grows — yet necessarily
+    // share core status, cluster and border fate. Cluster the distinct
+    // coordinates weighted by multiplicity, then fan labels back out.
+    // Node ids are each group's min original id, so component labels stay
+    // "min core point id" exactly as on raw points.
+    val coords = (0 until d).map(i => col(s"__x$i"))
+    val groups = graft.core.Intermediates.track(
+      base.groupBy(coords: _*)
+        .agg(min(col("__id")).as("__gid"), count(lit(1)).as("__cnt"))
+        .persist())
 
     // neighbor-cell offsets: the 3^d cross product of {-1,0,1}
     val offsets: Seq[Seq[Int]] =
@@ -107,54 +120,66 @@ object Dbscan {
         acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)))
     val offArr = array(offsets.map(o => array(o.map(lit): _*)): _*)
 
-    val home = base.withColumn("__cell",
+    val home = groups.withColumn("__cell",
       array((0 until d).map(i => floor(col(s"__x$i") / eps).cast("long")): _*))
-    // each point visits all 3^d cells around its own: the join below then
+    // each group visits all 3^d cells around its own: the join below then
     // needs only CELL EQUALITY to see every candidate within eps
     val visitedCells: Seq[Column] = (0 until d).map(i =>
       floor(col(s"__x$i") / eps).cast("long") +
         element_at(col("__off"), i + 1))
-    val visited = base.withColumn("__off", explode(offArr))
+    val visited = groups.withColumn("__off", explode(offArr))
       .withColumn("__cell", array(visitedCells: _*))
       .drop("__off")
 
     val dist2 = (0 until d).map(i =>
       (col(s"a.__x$i") - col(s"b.__x$i")) * (col(s"a.__x$i") - col(s"b.__x$i")))
       .reduce(_ + _)
-    // (a, b) for every b within eps of a — includes b = a (distance 0)
+    // (a, b) for every group b within eps of a — includes b = a (dist 0),
+    // with b's multiplicity aboard for the weighted neighbor count
     val pairs = graft.core.Intermediates.track(
       home.as("a").join(visited.as("b"),
           col("a.__cell") === col("b.__cell") && dist2 <= lit(eps * eps))
-        .select(col("a.__id").as("pa"), col("b.__id").as("pb"))
+        .select(col("a.__gid").as("pa"), col("b.__gid").as("pb"),
+          col("b.__cnt").as("__bcnt"))
         .persist())
 
-    val counts = pairs.groupBy("pa").agg(count(lit(1)).as("__n"))
-    val cores = counts.where(col("__n") >= minPts).select(col("pa").as("__id"))
+    val counts = pairs.groupBy("pa").agg(sum(col("__bcnt")).as("__n"))
+    // reused by the edge build (twice), the border join and the anti join
+    val cores = graft.core.Intermediates.track(
+      counts.where(col("__n") >= minPts).select(col("pa").as("__gid")).persist())
 
     // core–core edges (+ isolated cores as self-edges so they survive CC)
     val coreEdges = pairs
-      .join(cores.withColumnRenamed("__id", "pa"), "pa")
-      .join(cores.withColumnRenamed("__id", "pb"), "pb")
+      .join(cores.withColumnRenamed("__gid", "pa"), "pa")
+      .join(cores.withColumnRenamed("__gid", "pb"), "pb")
       .where(col("pa") < col("pb"))
       .select(col("pa").as("id_a"), col("pb").as("id_b"))
-    val singletonCores = cores.select(col("__id").as("id_a"),
-      col("__id").as("id_b"))
+    val singletonCores = cores.select(col("__gid").as("id_a"),
+      col("__gid").as("id_b"))
     val comp = graft.dedup.Dedup
-      .connectedComponents(coreEdges.union(singletonCores))
-      .toDF("__id", "__cluster") // (core id, min-id component label)
+      .connectedComponents(coreEdges.union(singletonCores), maxIter = 64,
+        driverEdgeThreshold = ccDriverEdgeThreshold)
+      .toDF("__gid", "__cluster") // (core group id, min-id component label)
 
-    val coreLabeled = cores.join(comp, "__id")
-      .select(col("__id"), col("__cluster"))
-    // border points: nearest-by-label core neighbor wins (min label)
+    val coreLabeled = cores.join(comp, "__gid")
+      .select(col("__gid"), col("__cluster"))
+    // border groups: smallest core neighbor's label wins
     val borderLabeled = pairs
-      .join(cores.withColumnRenamed("__id", "pb"), "pb") // b must be core
-      .join(coreLabeled.withColumnRenamed("__id", "pb")
+      .join(cores.withColumnRenamed("__gid", "pb"), "pb") // b must be core
+      .join(coreLabeled.withColumnRenamed("__gid", "pb")
         .withColumnRenamed("__cluster", "__bc"), "pb")
-      .groupBy(col("pa").as("__id")).agg(min(col("__bc")).as("__cluster"))
-      .join(coreLabeled.select(col("__id")), Seq("__id"), "left_anti")
+      .groupBy(col("pa").as("__gid")).agg(min(col("__bc")).as("__cluster"))
+      .join(coreLabeled.select(col("__gid")), Seq("__gid"), "left_anti")
 
+    // fan the group labels back out to the original points
     val labeled = coreLabeled.union(borderLabeled)
-    points.join(labeled.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .withColumnRenamed("__cluster", "cluster")
+    val keyNames = (0 until d).map(i => s"__x$i")
+    val pointGroups = base
+      .join(groups.select((keyNames.map(col) :+ col("__gid")): _*), keyNames)
+      .select(col("__id").as(idCol), col("__gid"))
+    points.join(
+        pointGroups.join(labeled, Seq("__gid"), "left")
+          .select(col(idCol), col("__cluster").as("cluster")),
+        Seq(idCol), "left")
   }
 }

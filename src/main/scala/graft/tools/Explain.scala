@@ -10,7 +10,7 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q_agg", "q_filter", "q_multijoin", "q_join")) {
+    for (q <- sys.env.get("EXPLAIN_QUERIES").map(_.split(",").toSeq).getOrElse(Seq("q_agg", "q_filter", "q_multijoin", "q_join"))) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       println(s"[explain] ===== $q =====")
       plan.linesIterator.filter(l =>

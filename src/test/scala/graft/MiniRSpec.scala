@@ -90,8 +90,11 @@ class DbscanDistributedSpec extends SparkSpec {
 
     val df = pts.zipWithIndex.map { case (p, i) => (i.toLong, p(0), p(1)) }
       .toSeq.toDF("id", "x", "y").repartition(7)
+    // threshold 0 forces the ITERATIVE distributed components path — the
+    // default would solve this tiny edge set on the driver
     val got = graft.ml.Dbscan
-      .fitDistributed(df, "id", Seq("x", "y"), eps = 0.3, minPts = 5)
+      .fitDistributed(df, "id", Seq("x", "y"), eps = 0.3, minPts = 5,
+        ccDriverEdgeThreshold = 0L)
       .select("id", "cluster").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .toMap

@@ -141,10 +141,15 @@ class DedupSpec extends SparkSpec {
 
   test("connected components converge on a chain far longer than maxIter") {
     // diameter 200 — plain neighbor-min propagation would need 200
-    // rounds; pointer jumping must close it within the default 10
+    // rounds. Exercise BOTH paths: the driver union-find (default
+    // threshold) and the distributed pointer-jumping iteration
+    // (threshold 0), which must close the chain within maxIter=40
     val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
-    assert(cc.size == 201 && cc.values.forall(_ == 0L))
+    Seq(5000000L, 0L).foreach { th =>
+      val cc = Dedup.connectedComponents(pairs, maxIter = 40,
+        driverEdgeThreshold = th).as[(Long, Long)].collect().toMap
+      assert(cc.size == 201 && cc.values.forall(_ == 0L), s"threshold $th")
+    }
   }
 
   test("connected components collapse transitive chains") {
