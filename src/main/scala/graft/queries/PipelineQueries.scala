@@ -177,6 +177,17 @@ object PipelineQueries {
     // benchmarked separately via benchOnly: same shape, half the band
     // passes; its recall contract is spec'd, not oracled
 
+    // group centroids (class prototypes): the ordered-fold variant whose
+    // sequential double summation the oracle replays exactly; exploded to
+    // scalar rows so the compare is per-dimension. (The decimal-sum
+    // production variant is spec-tied to this one — see SimilaritySpec.)
+    "q_embed_centroid" -> ((s, dir) =>
+      Similarity.groupCentroidsOrdered(
+          t(s, dir, "embeddings").select((col("vec_id") % 16).as("grp"),
+            col("vec_id"), col("embedding")),
+          "grp", "embedding", "vec_id")
+        .select(col("grp"), posexplode(col("centroid")).as(Seq("pos", "m")))),
+
     // -- similarity search (#62–63) ---------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -479,6 +490,18 @@ object PipelineQueries {
       "q_dedup_jaccard" -> jaccardPairsSql(n = 5, threshold = 0.5),
       "q_dedup_simhash" -> simhashPairsSql(maxDist = 3),
       "q_dedup_cosine" -> cosinePairsSql(threshold = 0.999),
+      // the same vec_id-ordered sequential double fold the engine runs —
+      // identical IEEE op order gives bit-equal means
+      "q_embed_centroid" ->
+        """WITH e AS (SELECT vec_id % 16 AS grp, vec_id,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           x AS (SELECT grp, vec_id,
+             generate_subscripts(v, 1) - 1 AS pos,
+             unnest(v) AS dv FROM e)
+           SELECT grp, pos,
+             list_reduce(list(dv ORDER BY vec_id), (a, b) -> a + b)
+               / COUNT(*) AS m
+           FROM x GROUP BY grp, pos""",
       "q_ann_lsh" -> lshAnnSql,
       "q_ann_brute" ->
         """SELECT q.vec_id AS qid, c.vec_id AS id,

@@ -84,6 +84,53 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Per-group elementwise centroid of embedding vectors — the class
+    * prototype / cluster representative aggregation a curation pipeline
+    * runs after clustering or labeling. One shuffle on (group, position);
+    * sums go through decimal(28,12) so aggregation is order- and
+    * partitioning-independent WITHIN the engine (a plain double sum
+    * drifts with aggregation order); the mean divides back in double.
+    *
+    * Returns (group, centroid array<double>). Run-to-run deterministic;
+    * for bit-parity ACROSS engines see [[groupCentroidsOrdered]] (the
+    * double→decimal cast rounds half-way cases, and rounding modes differ
+    * between engines — floats are dyadic, so exact half-way digits occur). */
+  def groupCentroids(vecs: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame = {
+    vecs.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol).cast(ArrayType(DoubleType))))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("col").cast("decimal(28,12)")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("s").cast(DoubleType) / col("n"))
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("grp"),
+        transform(col("pm"), x => x.getField("m")).as("centroid"))
+  }
+
+  /** Cross-engine-exact centroid variant: per (group, dim), values are
+    * collected in `orderCol` order and folded sequentially in DOUBLE
+    * precision — identical IEEE op order on any engine gives bit-equal
+    * means (this is what the DuckDB oracle replays with list_reduce).
+    * The per-(group,dim) list is group-sized, so prefer
+    * [[groupCentroids]] when groups are huge and bit-parity with an
+    * external engine is not required. */
+  def groupCentroidsOrdered(vecs: DataFrame, groupCol: String,
+                            vecCol: String, orderCol: String): DataFrame = {
+    vecs.select(col(groupCol).as("grp"), col(orderCol).as("ord"),
+        posexplode(col(vecCol).cast(ArrayType(DoubleType))))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sort_array(collect_list(struct(col("ord"), col("col")))).as("vs"))
+      .withColumn("m",
+        aggregate(col("vs"), lit(0.0), (acc, x) => acc + x.getField("col"))
+          / size(col("vs")))
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("grp"),
+        transform(col("pm"), x => x.getField("m")).as("centroid"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     * every corpus vector to its nearest of `nCells` centroids; a query
     * scores only the vectors in its `nProbe` closest cells.

@@ -189,6 +189,27 @@ class SimilaritySpec extends SparkSpec {
     assert(both.where(col("hof") =!= col("nat")).count() == 0)
   }
 
+  test("groupCentroids: decimal-sum variant is partitioning-independent " +
+      "and matches the ordered fold") {
+    val base = emb.select((col("vec_id") % 8).as("grp"), col("vec_id"),
+      col("embedding"))
+    def collectC(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("grp").collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("centroid"))
+    val prod = collectC(Similarity.groupCentroids(base, "grp", "embedding"))
+    val prod13 = collectC(
+      Similarity.groupCentroids(base.repartition(13), "grp", "embedding"))
+    // exact run-to-run/partitioning determinism (decimal sums)
+    assert(prod.map(_._2.toSeq).toSeq == prod13.map(_._2.toSeq).toSeq)
+    val ordered = collectC(
+      Similarity.groupCentroidsOrdered(base, "grp", "embedding", "vec_id"))
+    prod.zip(ordered).foreach { case ((g1, a), (g2, b)) =>
+      assert(g1 == g2 && a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"grp $g1: $x vs $y") }
+    }
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force") {
     val queries = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("vec"))
