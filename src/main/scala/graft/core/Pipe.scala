@@ -66,15 +66,8 @@ final case class Pipe(df: DataFrame) {
     * (x) collide), joined on the 0x1F unit separator so composite keys
     * containing ordinary text cannot alias each other. Replicate the
     * same encoding in any cross-engine oracle (see q_sample's SQL). */
-  def sampleByHash(percent: Int, keys: Column*): Pipe = {
-    val encoded = keys.map(k => coalesce(
-      k.cast(org.apache.spark.sql.types.StringType), lit("\u001E")))
-    val bucket = conv(substring(md5(
-      concat_ws("\u001F", encoded: _*)
-        .cast(org.apache.spark.sql.types.BinaryType)),
-      1, 8), 16, 10).cast(org.apache.spark.sql.types.LongType) % 100
-    Pipe(df.where(bucket < percent))
-  }
+  def sampleByHash(percent: Int, keys: Column*): Pipe =
+    Pipe(df.where(Pipe.hashBucket(keys) < percent))
 
   /** Stratified deterministic sample: per-stratum keep-percentages over
     * the same md5 bucket as [[sampleByHash]] — the quota-sampling idiom
@@ -85,16 +78,10 @@ final case class Pipe(df: DataFrame) {
     * engines/retries/partitionings. */
   def stratifiedSampleByHash(strata: Column, rates: Map[String, Int],
                              defaultPercent: Int, keys: Column*): Pipe = {
-    val encoded = keys.map(k => coalesce(
-      k.cast(org.apache.spark.sql.types.StringType), lit("")))
-    val bucket = conv(substring(md5(
-      concat_ws("", encoded: _*)
-        .cast(org.apache.spark.sql.types.BinaryType)),
-      1, 8), 16, 10).cast(org.apache.spark.sql.types.LongType) % 100
     val pct = rates.foldLeft(lit(defaultPercent)) { case (acc, (k, p)) =>
       when(strata === k, lit(p)).otherwise(acc)
     }
-    Pipe(df.where(bucket < pct))
+    Pipe(df.where(Pipe.hashBucket(keys) < pct))
   }
 
   /** reference: op/OrderBy.scala — range-partitioned total sort (scales:
@@ -243,10 +230,14 @@ final case class Pipe(df: DataFrame) {
       var i = 0
       while (i < idx.length) {
         if (r.isNullAt(idx(i))) return null
-        k(i) = sign(i) * (r.get(idx(i)) match {
+        val v = r.get(idx(i)) match {
           case n: java.lang.Number => n.doubleValue()
           case other => sys.error(s"skyline: non-numeric dim value $other")
-        })
+        }
+        // NaN compares false against everything, so a NaN row would never
+        // be dominated and always "survive" — exclude it like null
+        if (v.isNaN) return null
+        k(i) = sign(i) * v
         i += 1
       }
       k
@@ -668,6 +659,23 @@ final case class Pipe(df: DataFrame) {
 }
 
 object Pipe {
+  /** The deterministic md5 sampling bucket (0–99) shared by sampleByHash
+    * and stratifiedSampleByHash — ONE encoding, so the two sample the
+    * same rows at the same rates. Each key casts to string with nulls
+    * mapped to a sentinel (concat_ws would silently DROP nulls, making
+    * (null, x) and (x) collide), joined on the 0x1F unit separator so
+    * composite keys containing ordinary text cannot alias each other.
+    * Replicate the same encoding in any cross-engine oracle (see
+    * q_sample / q_stratified_sample SQL). */
+  private[graft] def hashBucket(keys: Seq[Column]): Column = {
+    val encoded = keys.map(k => coalesce(
+      k.cast(org.apache.spark.sql.types.StringType), lit("\u001E")))
+    conv(substring(md5(
+      concat_ws("\u001F", encoded: _*)
+        .cast(org.apache.spark.sql.types.BinaryType)),
+      1, 8), 16, 10).cast(org.apache.spark.sql.types.LongType) % 100
+  }
+
   /** LOAD — reference: op/Load.scala; formats per sparklib Storage.scala
     * (PigStorage=csv, TextLoader=text, JsonStorage=json, BinStorage→parquet,
     * JdbcStorage=jdbc). */

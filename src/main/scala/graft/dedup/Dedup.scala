@@ -265,31 +265,35 @@ object Dedup {
     * for multi-hour 100 TB jobs. When unset, falls back to
     * `localCheckpoint` (executor-local blocks: fast, but lost state kills
     * the job on executor failure — acceptable only for short runs). */
-  /** `driverEdgeThreshold`: edge sets at or below this size are solved by
-    * an exact one-pass union–find on the driver (the broadcast-threshold
-    * philosophy — a 5M-edge list is ~80 MB and milliseconds of DSU,
-    * versus O(diameter) distributed label-propagation ROUNDS each costing
-    * whole shuffles); larger sets take the iterative distributed path.
-    * Pass 0 to force the distributed path (the specs do). */
+  /** `driverEdgeThreshold`: edge sets at or below this size (and with
+    * integral ids — other id types always iterate) are solved by an exact
+    * one-pass union–find on the driver: the broadcast-threshold
+    * philosophy — 2M boxed edge tuples plus the DSU map cost a few
+    * hundred MB of driver heap and milliseconds of CPU, versus
+    * O(diameter) distributed label-propagation ROUNDS each costing whole
+    * shuffles. Larger sets take the iterative distributed path. Pass 0 to
+    * force the distributed path (the specs do). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
                           checkpointDir: Option[String] = None,
-                          driverEdgeThreshold: Long = 5000000L): DataFrame = {
+                          driverEdgeThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    // the edge set feeds every iteration (plus the label init) — persist
-    // it once, or each round re-derives the caller's whole upstream plan
-    // (for DBSCAN that was the grid join, twice per iteration)
-    val edges = graft.core.Intermediates.track(
-      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-        .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-        .persist())
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralIds = pairs.schema.fields.take(2).forall(f =>
+      Seq(LongType, IntegerType, ShortType, ByteType).contains(f.dataType))
+    // persisted: the probe and the collect below share one computation of
+    // the caller's upstream plan, and on the iterative path the edge set
+    // feeds every round (plus the label init)
+    val pairsP = graft.core.Intermediates.track(
+      pairs.select(col("id_a"), col("id_b")).persist())
+    val probeLimit = math.min(driverEdgeThreshold + 1, Int.MaxValue.toLong).toInt
 
-    if (driverEdgeThreshold > 0 &&
-        pairs.limit((driverEdgeThreshold + 1).toInt).count() <= driverEdgeThreshold) {
+    if (driverEdgeThreshold > 0 && integralIds &&
+        pairsP.limit(probeLimit).count() <= driverEdgeThreshold) {
       import spark.implicits._
-      val es = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      val es = pairsP.select(col("id_a").cast("long"), col("id_b").cast("long"))
         .as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -306,6 +310,11 @@ object Dedup {
       val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
       return nodes.map(n => (n, find(n))).toSeq.toDF("id", "label")
     }
+
+    val edges = graft.core.Intermediates.track(
+      pairsP.select(col("id_a").as("a"), col("id_b").as("b"))
+        .union(pairsP.select(col("id_b").as("a"), col("id_a").as("b")))
+        .persist())
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false

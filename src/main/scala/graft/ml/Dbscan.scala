@@ -163,9 +163,10 @@ object Dbscan {
 
     val coreLabeled = cores.join(comp, "__gid")
       .select(col("__gid"), col("__cluster"))
-    // border groups: smallest core neighbor's label wins
+    // border groups: smallest core neighbor's label wins. coreLabeled IS
+    // the core set (cores ⋈ comp), so the one join both restricts pb to
+    // cores and fetches the label
     val borderLabeled = pairs
-      .join(cores.withColumnRenamed("__gid", "pb"), "pb") // b must be core
       .join(coreLabeled.withColumnRenamed("__gid", "pb")
         .withColumnRenamed("__cluster", "__bc"), "pb")
       .groupBy(col("pa").as("__gid")).agg(min(col("__bc")).as("__cluster"))

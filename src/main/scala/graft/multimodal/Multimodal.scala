@@ -162,7 +162,11 @@ object Multimodal {
     }
 
     /** Magic-byte sniffing router: PNG/JPEG/GIF/BMP → [[Image]], RIFF-WAVE
-      * → [[Wav]], anything else (video containers, unknown) → [[Fake]]. */
+      * → [[Wav]], anything else (video containers, unknown) → [[Fake]].
+      * A sniff hit whose codec then fails (the 2-byte 'BM' prefix false-
+      * positives on ordinary text; non-PCM WAV variants) also falls back
+      * to [[Fake]] — "unknown → Fake" is the contract, and one bad
+      * payload must not kill a distributed decode job. */
     object Auto extends Decoder {
       def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
         def at(i: Int): Int = if (i < payload.length) payload(i) & 0xff else -1
@@ -173,9 +177,13 @@ object Multimodal {
           (at(0) == 'B' && at(1) == 'M')
         val isWav = at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
           at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E'
-        if (isImage) Image.decode(payload)
-        else if (isWav) Wav.decode(payload)
-        else Fake.decode(payload)
+        try {
+          if (isImage) Image.decode(payload)
+          else if (isWav) Wav.decode(payload)
+          else Fake.decode(payload)
+        } catch {
+          case scala.util.control.NonFatal(_) => Fake.decode(payload)
+        }
       }
     }
   }

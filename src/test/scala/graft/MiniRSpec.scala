@@ -109,11 +109,6 @@ class DbscanDistributedSpec extends SparkSpec {
     val pairsByDist = got.collect { case (i, Some(c)) => (i, c) }.toSeq
       .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
     assert(pairsByDist == pairsByLocal)
-    // labels are the min core id of each component
-    got.collect { case (i, Some(c)) => (i, c) }.groupBy(_._2).foreach {
-      case (label, members) => assert(label == members.keys.min ||
-        members.keys.toSeq.contains(label))
-    }
   }
 
   test("distributed DBSCAN in 1-D: chain splits at a gap wider than eps") {
@@ -129,6 +124,10 @@ class DbscanDistributedSpec extends SparkSpec {
     val c1 = (0 to 4).map(i => got(i.toLong))
     val c2 = (5 to 8).map(i => got(i.toLong))
     assert(c1.distinct.size == 1 && c2.distinct.size == 1)
-    assert(c1.head.nonEmpty && c2.head.nonEmpty && c1.head != c2.head)
+    // labels are the MIN CORE id: id 0 (x=1.0) has only 2 eps-neighbors
+    // so it is border, and the first cluster's min core is id 1; in the
+    // second cluster id 5 (x=10.0) is border and the min core is id 6
+    assert(c1.head.contains(1L), s"cluster-1 label ${c1.head}")
+    assert(c2.head.contains(6L), s"cluster-2 label ${c2.head}")
   }
 }

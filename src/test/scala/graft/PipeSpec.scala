@@ -302,13 +302,14 @@ class PipeSpec extends SparkSpec {
     }
   }
 
-  test("skyline maximize flips a dimension; null dims never survive") {
+  test("skyline maximize flips a dimension; null and NaN dims never survive") {
     // minimize price, MAXIMIZE quality
     val df = Seq(
       (1, 1.0, java.lang.Double.valueOf(1.0)),
       (2, 2.0, java.lang.Double.valueOf(9.0)),
       (3, 3.0, java.lang.Double.valueOf(5.0)), // dominated by 2
-      (4, 0.5, null.asInstanceOf[java.lang.Double])) // null dim → excluded
+      (4, 0.5, null.asInstanceOf[java.lang.Double]), // null dim → excluded
+      (5, 0.1, java.lang.Double.valueOf(Double.NaN))) // NaN dim → excluded
       .toDF("id", "price", "quality")
     val got = Pipe(df).skyline(Seq("price", "quality"), maximize = Set("quality"))
       .df.select("id").as[Int].collect().toSet

@@ -152,6 +152,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components accept non-numeric ids (distributed path)") {
+    // string ids must never hit the driver union-find (which casts to
+    // long) — the type guard routes them to the iterative path
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(String, String)].collect().toMap
+    assert(cc("a") == "a" && cc("b") == "a" && cc("c") == "a")
+    assert(cc("x") == "x" && cc("y") == "x")
+  }
+
   test("connected components collapse transitive chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val ccDf = Dedup.connectedComponents(pairs)
@@ -374,6 +383,15 @@ class MultimodalSpec extends SparkSpec {
 
   test("Auto decoder routes by magic bytes and falls back to Fake for video") {
     val payload = "not-a-real-container".getBytes("UTF-8")
+    val (aw, ah, af) = Multimodal.Decoder.Auto.decode(payload)
+    val (fw, fh, ff) = Multimodal.Decoder.Fake.decode(payload)
+    assert(aw == fw && ah == fh && af.sameElements(ff))
+  }
+
+  test("Auto decoder survives sniff false positives (BM-prefixed text)") {
+    // starts with 'BM' so the sniff routes to ImageIO, which cannot
+    // decode it — the router must fall back to Fake, not crash the task
+    val payload = "BMW sells cars, not bitmaps".getBytes("UTF-8")
     val (aw, ah, af) = Multimodal.Decoder.Auto.decode(payload)
     val (fw, fh, ff) = Multimodal.Decoder.Fake.decode(payload)
     assert(aw == fw && ah == fh && af.sameElements(ff))
