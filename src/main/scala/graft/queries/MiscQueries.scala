@@ -191,6 +191,21 @@ object MiscQueries {
       runItScript(s, "wordcount.pig").toDF("word", "cnt")),
     "q_pig_it_twojoins" -> ((s, dir) =>
       runItScript(s, "two_joins.pig").toDF("a1", "b1")),
+    "q_pig_it_selfjoin" -> ((s, dir) =>
+      runItScript(s, "selfjoin.pig")
+        .toDF("a1", "a2", "a3", "b1", "b2", "b3")),
+    "q_pig_it_split" -> ((s, dir) =>
+      runItScript(s, "splitInto.pig").toDF("f1", "f2", "f3")),
+    "q_pig_it_accumulate" -> ((s, dir) =>
+      runItScript(s, "accumulate.pig")
+        .toDF("mn", "mx", "sm", "cnt", "av")
+        .selectExpr("CAST(mn AS INT) AS mn", "CAST(mx AS INT) AS mx",
+          "CAST(sm AS BIGINT) AS sm", "CAST(cnt AS BIGINT) AS cnt",
+          "CAST(av AS DOUBLE) AS av")),
+    "q_pig_it_foreach" -> ((s, dir) =>
+      runItScript(s, "foreach1.pig").toDF("id", "lon", "lat")),
+    "q_pig_it_sort" -> ((s, dir) =>
+      runItScript(s, "sort.pig").toDF("f1", "f2", "f3")),
 
     // -- matrix (#36–37) -------------------------------------------------------
     "q_matrix" -> ((s, dir) => {
@@ -248,6 +263,28 @@ object MiscQueries {
          UNION ALL
          SELECT a.a1 AS a1, bf2.a1 AS b1 FROM a
            JOIN (SELECT * FROM a WHERE a3 = 1) bf2 ON a.a1 = bf2.a1""",
+    "q_pig_it_selfjoin" ->
+      s"""WITH a AS (SELECT * FROM read_csv('$itBase/input/joinInput.csv',
+                       header=false, names=['a1','a2','a3']))
+         SELECT a.a1, a.a2, a.a3, b.a1 AS b1, b.a2 AS b2, b.a3 AS b3
+         FROM a JOIN a b ON a.a1 = b.a1""",
+    "q_pig_it_split" ->
+      s"""SELECT f1, f2, f3 FROM read_csv('$itBase/input/split.csv',
+           header=false, names=['f1','f2','f3'])
+         WHERE f1 < 7""",
+    "q_pig_it_accumulate" ->
+      s"""SELECT CAST(min(f1) AS INT) AS mn, CAST(max(f1) AS INT) AS mx,
+           CAST(sum(f2) AS BIGINT) AS sm, count(f2) AS cnt, avg(f2) AS av
+         FROM read_csv('$itBase/input/file.csv', header=false,
+                       names=['f1','f2'])""",
+    "q_pig_it_foreach" ->
+      s"""SELECT id, longitude + 0.01 AS lon, latitude + 3.5 AS lat
+         FROM read_csv('$itBase/input/events.csv', header=false,
+                       names=['id','longitude','latitude'])""",
+    "q_pig_it_sort" ->
+      s"""SELECT f1, f2, f3 FROM read_csv('$itBase/input/unsorted.csv',
+           header=false, names=['f1','f2','f3'], quote='')
+         ORDER BY f1, f2, f3""",
     "q_rdf_load" ->
       """SELECT 'urn:nation/' || CAST(n_nationkey AS VARCHAR) AS s,
                 'urn:nation#n_name' AS p, n_name AS o FROM nation
