@@ -130,6 +130,20 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.repetitionRatio(col("text"), 1).as("tok_rep"),
         TextOps.repetitionRatio(col("text"), 2).as("bigram_rep"))),
+    "q_decontaminate" -> ((s, dir) => {
+      // corpus = the planted near-dup twins, benchmark = a 5% slice of
+      // the originals: each benchmark doc's twin (first token dropped)
+      // shares nearly all its 8-grams, so contamination is structurally
+      // guaranteed at every scale factor. Exact-overlap semantics — the
+      // oracle replays the identical gram universe on strings while the
+      // engine joins 8-byte xxhash64 keys.
+      val docs = plantedDocs(t(s, dir, "documents"))
+      val corpus = docs.where(col("doc_id") >= 1000000L)
+      val bench = docs.where(col("doc_id") < 1000000L &&
+        col("doc_id") % 20 === 3)
+      graft.text.Decontaminate.report(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 8)
+    }),
 
     // -- dedup (#57–61) ---------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
@@ -278,6 +292,32 @@ object PipelineQueries {
                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        WHERE jaccard >= $threshold"""
+
+  /** Exact-overlap decontamination oracle (mirrors Decontaminate.report:
+    * distinct word n-grams per doc via the Dedup.shingles universe —
+    * whole-doc gram for short docs, empty docs dropped — inner join on
+    * gram, per-doc distinct counts). The engine joins on xxhash64(gram);
+    * the oracle joins the strings themselves, equal absent 64-bit
+    * collisions (none at these corpus sizes). */
+  private def decontaminateSql(n: Int): String = {
+    def grams(src: String) =
+      s"""SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(range(1, len(toks) - ${n - 2}),
+                 i -> array_to_string(toks[i:i+${n - 1}], ' ')) END)) AS g
+          FROM (SELECT doc_id, $toksExpr AS toks FROM $src
+                WHERE length(trim(text)) > 0)"""
+    s"""WITH docs AS ($plantedDocsSql),
+       corpus AS (SELECT * FROM docs WHERE doc_id >= 1000000),
+       bench AS (SELECT * FROM docs
+                 WHERE doc_id < 1000000 AND doc_id % 20 = 3),
+       cg AS (${grams("corpus")}),
+       bg AS (SELECT doc_id AS bench_id, g FROM (${grams("bench")}) b0)
+       SELECT cg.doc_id, count(DISTINCT cg.g) AS matched_ngrams,
+              count(DISTINCT bg.bench_id) AS bench_docs
+       FROM cg JOIN bg ON cg.g = bg.g
+       GROUP BY cg.doc_id"""
+  }
 
   /** Exact simhash replica: per-token 60-bit md5 hash, ±1 votes per bit,
     * packed sign vector — then brute-force pairs within the Hamming
@@ -479,6 +519,7 @@ object PipelineQueries {
                        )))::DOUBLE / (len(toks) - 1) END AS bigram_rep
            FROM tok""",
       "q_lang_id" -> langIdSql,
+      "q_decontaminate" -> decontaminateSql(n = 8),
       "q_dedup_exact" ->
         """WITH planted AS (
              SELECT doc_id, text FROM documents

@@ -397,3 +397,49 @@ class MultimodalSpec extends SparkSpec {
     assert(aw == fw && ah == fh && af.sameElements(ff))
   }
 }
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.Decontaminate
+
+  // bench doc 1: ten tokens -> 8-grams {a..h, b..i, c..j}; bench doc 2:
+  // short doc, collapses to the whole-doc gram "k l m"
+  private def bench = Seq(
+    (1L, "a b c d e f g h i j"),
+    (2L, "k l m")).toDF("bid", "btext")
+
+  private def corpus = Seq(
+    (10L, "x y a b c d e f g h z"), // embeds one bench 8-gram
+    (11L, "p q r s t u v w x y z w v u t s r q p"), // clean
+    (12L, "k l m"), // short doc, exact whole-text match of bench 2
+    (13L, "k l m n o p q r s")) // contains k..m only inside longer grams
+    .toDF("doc_id", "text")
+
+  test("report flags exact n-gram overlap, counts grams and bench docs") {
+    val out = Decontaminate.report(corpus, "doc_id", "text",
+      bench, "bid", "btext", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(10L -> (1L, 1L), 12L -> (1L, 1L)))
+  }
+
+  test("minHits threshold suppresses single-gram overlaps") {
+    val out = Decontaminate.report(corpus, "doc_id", "text",
+      bench, "bid", "btext", n = 8, minHits = 2L)
+    assert(out.count() == 0)
+  }
+
+  test("clean removes exactly the flagged docs") {
+    val kept = Decontaminate.clean(corpus, "doc_id", "text",
+      bench, "bid", "btext", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
+  test("benchmark side is broadcast (no corpus-side shuffle for the join)") {
+    val plan = Decontaminate.report(corpus, "doc_id", "text",
+      bench, "bid", "btext", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+}
