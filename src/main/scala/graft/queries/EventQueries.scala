@@ -60,6 +60,36 @@ object EventQueries {
       m.select(col("key").as("user_id"),
                element_at(col("ids"), 1).as("start_id"),
                element_at(col("ids"), 2).as("next_id"))
+    }),
+    // -- as-of join: latest purchase at-or-before each click, per user ------
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value").as("p_value"))
+      graft.temporal.TemporalJoins.asofJoin(
+          clicks, purchases, Seq("user_id"), "ts", "p_ts",
+          Map("p_id" -> "purch_id", "p_value" -> "purch_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("purch_id"), col("purch_value"))
+    }),
+    // -- interval join: clicks falling in a 30-min window after each signup --
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("p"))
+      val wins = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("win_id"), col("user_id"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + 1800000000L).as("hi"))
+      graft.temporal.TemporalJoins.intervalJoin(
+          clicks, "p", wins, "lo", "hi",
+          bucketWidth = 1800000000L, keys = Seq("user_id"))
+        .select(col("win_id"), col("click_id"))
     })
   )
 
@@ -115,6 +145,23 @@ object EventQueries {
                SELECT 1 FROM events n
                WHERE n.user_id = a.user_id AND n.event_type = 'error'
                  AND n.ts > a.ts AND n.ts < b.ts))
-         SELECT user_id, start_id, next_id FROM cand WHERE rn = 1"""
+         SELECT user_id, start_id, next_id FROM cand WHERE rn = 1""",
+    // DuckDB's native ASOF JOIN is the oracle for the engine's
+    // union+running-window formulation — two independent algorithms,
+    // same contract. (user_id, ts) is unique in this data, so the pick
+    // is well-defined on both sides.
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           r.event_id AS purch_id, r.value AS purch_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_interval_join" ->
+      """SELECT s.event_id AS win_id, c.event_id AS click_id
+         FROM events s JOIN events c
+           ON s.user_id = c.user_id
+          AND s.event_type = 'signup' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(s.ts)
+          AND epoch_us(c.ts) < epoch_us(s.ts) + 1800000000"""
   )
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.temporal.TemporalJoins
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // quotes: (key, time, quote-id); trades: (key, time, trade-id)
+  private def quotes = Seq(
+    ("a", 10L, 100L), ("a", 20L, 101L), ("a", 30L, 102L),
+    ("b", 15L, 200L)).toDF("k", "qt", "qid")
+  private def trades = Seq(
+    ("a", 5L, 1L),   // before any quote
+    ("a", 20L, 2L),  // exactly on a quote
+    ("a", 25L, 3L),  // between quotes
+    ("b", 99L, 4L),  // long after the only quote
+    ("c", 50L, 5L))  // key with no quotes
+    .toDF("k", "tt", "tid")
+
+  private def runAsof(direction: String, tol: Option[Long] = None) =
+    TemporalJoins.asofJoin(trades, quotes, Seq("k"), "tt", "qt",
+        Map("qid" -> "qid"), direction, tol)
+      .select("tid", "qid").as[(Long, Option[Long])]
+      .collect().toMap
+
+  test("asof backward picks greatest quote time <= trade time, inclusive") {
+    assert(runAsof("backward") == Map(
+      1L -> None,        // nothing at or before t=5
+      2L -> Some(101L),  // equal time included
+      3L -> Some(101L),
+      4L -> Some(200L),
+      5L -> None))       // key never quoted
+  }
+
+  test("asof forward picks least quote time >= trade time, inclusive") {
+    assert(runAsof("forward") == Map(
+      1L -> Some(100L),
+      2L -> Some(101L),  // equal time included
+      3L -> Some(102L),
+      4L -> None,        // nothing after t=99
+      5L -> None))
+  }
+
+  test("asof tolerance nulls out matches farther than the bound") {
+    assert(runAsof("backward", Some(5L)) == Map(
+      1L -> None,
+      2L -> Some(101L),  // diff 0
+      3L -> Some(101L),  // diff 5, inside
+      4L -> None,        // diff 84, gated
+      5L -> None))
+  }
+
+  test("asof plan has exactly one exchange (sort-merge shape, no join)") {
+    val plan = TemporalJoins.asofJoin(trades, quotes, Seq("k"), "tt", "qt",
+      Map("qid" -> "qid")).queryExecution.executedPlan.toString
+    val exchanges = "(?i)shuffle(query stage|exchange)".r
+      .findAllIn(plan).size
+    assert(!plan.contains("Join"), plan)
+    assert(exchanges <= 2, plan) // union inputs share one output exchange
+  }
+
+  private def points = Seq(
+    (1L, 0L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 35L), (6L, 100L))
+    .toDF("pid", "p")
+  // overlapping + degenerate intervals, no key
+  private def ranges = Seq(
+    (10L, 0L, 20L),    // [0,20): pids 1,2,3
+    (11L, 15L, 40L),   // [15,40): pids 3,4,5
+    (12L, 50L, 49L))   // degenerate, matches nothing
+    .toDF("rid", "lo", "hi")
+
+  test("interval join: overlap, boundary exclusion, degenerate ranges") {
+    val got = TemporalJoins.intervalJoin(points, "p", ranges, "lo", "hi",
+        bucketWidth = 8)
+      .select("rid", "pid").as[(Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 3L), (11L, 4L), (11L, 5L)))
+  }
+
+  test("interval join inclusiveHi includes the upper bound") {
+    val got = TemporalJoins.intervalJoin(points, "p", ranges, "lo", "hi",
+        bucketWidth = 8, inclusiveHi = true)
+      .select("rid", "pid").as[(Long, Long)].collect().toSet
+    assert(got.contains((10L, 4L))) // p=20 == hi now included
+  }
+
+  test("interval join handles negative domains (floor-div bucketing)") {
+    val pts = Seq((1L, -15L), (2L, -8L), (3L, 0L)).toDF("pid", "p")
+    val rng = Seq((9L, -16L, -7L)).toDF("rid", "lo", "hi")
+    val got = TemporalJoins.intervalJoin(pts, "p", rng, "lo", "hi",
+        bucketWidth = 10)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+}
