@@ -1104,17 +1104,29 @@ object PigScript {
       }))
   }
 
-  /** IMPORT 'file.pig'; — inline the file (resolved against importBase). */
+  /** IMPORT 'file.pig'; — inline the file, RECURSIVELY (imported files may
+    * themselves IMPORT, as in the reference's PigletCompiler.resolveImports).
+    * Relative paths resolve against the importing file's directory first
+    * (so nested imports work from anywhere), then `importBase`. Cycles
+    * fail fast with the offending chain instead of recursing forever. */
   private[graft] def expandImports(script: String,
-                                      importBase: Option[String]): String =
+                                   importBase: Option[String]): String =
+    expandImportsRec(script, importBase, Vector.empty)
+
+  private def expandImportsRec(script: String, base: Option[String],
+                               chain: Vector[java.nio.file.Path]): String =
     importRe.replaceAllIn(script, m => {
       val raw = java.nio.file.Paths.get(m.group(1))
       val resolved =
         if (raw.isAbsolute) raw
-        else importBase.map(b => java.nio.file.Paths.get(b).resolve(raw))
+        else base.map(b => java.nio.file.Paths.get(b).resolve(raw))
           .filter(java.nio.file.Files.exists(_)).getOrElse(raw)
+      val real = resolved.toAbsolutePath.normalize()
+      if (chain.contains(real))
+        sys.error(s"IMPORT cycle: ${(chain :+ real).mkString(" -> ")}")
+      val body = java.nio.file.Files.readString(resolved)
       java.util.regex.Matcher.quoteReplacement(
-        java.nio.file.Files.readString(resolved))
+        expandImportsRec(body, Some(real.getParent.toString), chain :+ real))
     })
 
   /** Substitute `$param`s, inline IMPORTs, expand macros, compile embedded

@@ -485,6 +485,59 @@ class SpatialSpec extends SparkSpec {
   }
 }
 
+/** IMPORT statement (the reference's import1.pig/import2.pig shape —
+  * PigletCompiler.resolveImports inlines recursively). */
+class ImportSpec extends SparkSpec {
+  import spark.implicits._
+  import java.nio.file.{Files, Paths}
+
+  private def tmpDir = {
+    val d = Files.createTempDirectory("graft-import")
+    d.toFile.deleteOnExit(); d
+  }
+
+  test("IMPORT inlines another script's statements (import1.pig shape)") {
+    val dir = tmpDir
+    val data = dir.resolve("input.csv")
+    Files.writeString(data, "5\n11\n42\n")
+    Files.writeString(dir.resolve("import2.pig"),
+      s"A = LOAD '$data' USING PigStorage(',') AS (x:int);\n")
+    val c = PigScript.run(spark,
+      """IMPORT 'import2.pig';
+        |B = FILTER A BY x > 10;""".stripMargin,
+      importBase = Some(dir.toString))
+    assert(c.relation("B").as[Int].collect().sorted.toSeq == Seq(11, 42))
+  }
+
+  test("IMPORT resolves recursively, nested paths relative to the importer") {
+    val dir = tmpDir
+    val sub = Files.createDirectory(dir.resolve("lib"))
+    val data = dir.resolve("input.csv")
+    Files.writeString(data, "1\n2\n")
+    // inner.pig lives in lib/ and imports its sibling by bare name
+    Files.writeString(sub.resolve("leaf.pig"),
+      s"A = LOAD '$data' USING PigStorage(',') AS (x:int);\n")
+    Files.writeString(sub.resolve("inner.pig"), "IMPORT 'leaf.pig';\n")
+    val c = PigScript.run(spark,
+      """IMPORT 'lib/inner.pig';
+        |B = FOREACH A GENERATE x + 1 AS y;""".stripMargin,
+      importBase = Some(dir.toString))
+    assert(c.relation("B").select(col("y").cast("int")).as[Int]
+      .collect().sorted.toSeq == Seq(2, 3))
+  }
+
+  test("IMPORT cycles fail fast with the chain, not a stack overflow") {
+    val dir = tmpDir
+    Files.writeString(dir.resolve("a.pig"), "IMPORT 'b.pig';\n")
+    Files.writeString(dir.resolve("b.pig"), "IMPORT 'a.pig';\n")
+    val err = intercept[RuntimeException] {
+      PigScript.run(spark, "IMPORT 'a.pig';",
+        importBase = Some(dir.toString))
+    }
+    assert(err.getMessage.contains("IMPORT cycle"))
+  }
+}
+
 class MatrixSpec extends SparkSpec {
   import spark.implicits._
 
