@@ -898,10 +898,14 @@ class PigCompiler(spark: SparkSession) {
         w, h, ps.getOrElse(1))
 
     case PartitionStmt(a, in, geomField) =>
+      // partitioning is PHYSICAL: co-locate by grid cell but keep the
+      // visible schema unchanged (the reference's Partitioner returns the
+      // same tuples; spatialpartitioning.pig STOREs the relation as-is).
+      // The projection does not disturb the repartitioning.
       val df = relation(in)
       env(a) = Rel(() => graft.spatial.Spatial.spatialIndex(
         df, geomField, cellSize = 1.0,
-        partitions = spark.sparkContext.defaultParallelism))
+        partitions = spark.sparkContext.defaultParallelism).drop("cell"))
   }
 
   private def isGroupRef(e: Expr): Boolean = e match {
