@@ -76,6 +76,13 @@ object EventQueries {
           unix_micros(col("ts")).as("ts_us"),
           col("purch_id"), col("purch_value"))
     }),
+    // -- sessionize: per-EVENT session labels (30-min gap), the event-
+    //    granularity complement of q_window_session's aggregation --------
+    "q_sessionize" -> ((s, dir) =>
+      graft.temporal.TemporalJoins.sessionize(
+          t(s, dir, "events"), "user_id", "ts",
+          gapMicros = 1800L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("session_idx"))),
     // -- interval join: clicks falling in a 30-min window after each signup --
     "q_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -156,6 +163,19 @@ object EventQueries {
          FROM (SELECT * FROM events WHERE event_type = 'click') l
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         )
+         SELECT event_id, user_id,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_idx
+         FROM g""",
     "q_interval_join" ->
       """SELECT s.event_id AS win_id, c.event_id AS click_id
          FROM events s JOIN events c

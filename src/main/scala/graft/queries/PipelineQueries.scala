@@ -130,6 +130,17 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.repetitionRatio(col("text"), 1).as("tok_rep"),
         TextOps.repetitionRatio(col("text"), 2).as("bigram_rep"))),
+    "q_embed_quantize" -> ((s, dir) => {
+      // int8 scalar quantization, unnested per position so the oracle
+      // hash-compares codes AND the (vmin, vscale) doubles — identical
+      // IEEE op order on both sides gives bit-equal values
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"),
+          graft.sim.Quantize.int8(
+            col("embedding").cast(ArrayType(DoubleType))).as("q"))
+        .selectExpr("vec_id", "q.vmin AS vmin", "q.vscale AS vscale",
+          "posexplode(q.codes) AS (pos, code)")
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // corpus = the planted near-dup twins, benchmark = a 5% slice of
       // the originals: each benchmark doc's twin (first token dropped)
@@ -520,6 +531,24 @@ object PipelineQueries {
            FROM tok""",
       "q_lang_id" -> langIdSql,
       "q_decontaminate" -> decontaminateSql(n = 8),
+      // replays Quantize.int8 in the same IEEE op order: vmin, then
+      // (vmax-vmin)/255.0, then floor((x-vmin)/vscale) clamped — floor
+      // output is integral so DuckDB's rounding int-cast equals Spark's
+      // truncating one
+      "q_embed_quantize" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+           m AS (SELECT vec_id, v,
+             list_aggregate(v, 'min') AS vmin,
+             (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0
+               AS vscale
+             FROM e)
+           SELECT vec_id, vmin, vscale,
+             generate_subscripts(v, 1) - 1 AS pos,
+             CAST(CASE WHEN vscale = 0 THEN 0
+                  ELSE least(floor((unnest(v) - vmin) / vscale), 255.0)
+                  END AS INTEGER) AS code
+           FROM m""",
       "q_dedup_exact" ->
         """WITH planted AS (
              SELECT doc_id, text FROM documents

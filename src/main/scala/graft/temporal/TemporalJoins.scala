@@ -124,4 +124,31 @@ object TemporalJoins {
       else col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)
     pts.join(iv, keys :+ "__bucket").where(refine).drop("__bucket")
   }
+
+  /** Sessionize: label every event with its session index (1-based, per
+    * key, in time order) — sessions split where the gap to the previous
+    * event exceeds `gapMicros`. The per-EVENT complement of
+    * `session_window` aggregation: downstream ops get a session key to
+    * group/join on while keeping event granularity.
+    *
+    * Plan: one shuffle on `key` + ONE in-partition sort; the two
+    * rows-frame windows (lag → running sum) share that partitioning and
+    * ordering, so they stack as two streaming passes with no extra
+    * exchange or sort and no full-partition buffering. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapMicros: Long, out: String = "session_idx"): DataFrame = {
+    val t = events.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    val prev = lag(t, 1).over(w)
+    // two steps — a window function can't nest inside another's argument
+    events
+      .withColumn("__new_session",
+        when(prev.isNull || t - prev > gapMicros, 1L).otherwise(0L))
+      .withColumn(out, sum(col("__new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_session")
+  }
 }

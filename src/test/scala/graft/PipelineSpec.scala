@@ -398,6 +398,41 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sim.Quantize
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  test("int8 round-trip reconstruction error is bounded by vscale/2") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val q = emb.select(col("v"), Quantize.int8(col("v")).as("q"))
+    val worst = q.select(
+        aggregate(zip_with(col("v"), Quantize.dequantInt8(col("q")),
+          (a, b) => abs(a - b)), lit(0.0), (acc, x) => greatest(acc, x))
+          .as("err"),
+        col("q.vscale").as("s"))
+      .where(col("err") > col("s") / 2 + lit(1e-12))
+    assert(worst.count() == 0)
+  }
+
+  test("int8 codes stay in [0,255]; min maps to 0, max to 255") {
+    val df = Seq(Seq(-4.0, 0.0, 1.0, 6.0)).toDF("v")
+      .select(Quantize.int8(col("v")).as("q"))
+    val codes = df.select(col("q.codes")).as[Seq[Int]].head()
+    assert(codes.head == 0 && codes.last == 255)
+    assert(codes.forall(c => c >= 0 && c <= 255))
+  }
+
+  test("constant vectors quantize to all-zero codes with vscale 0") {
+    val df = Seq(Seq(3.0, 3.0, 3.0)).toDF("v")
+      .select(Quantize.int8(col("v")).as("q"))
+    val r = df.select(col("q.vscale"), col("q.codes")).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getSeq[Int](1).forall(_ == 0))
+  }
+}
+
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
   import graft.text.Decontaminate

@@ -94,4 +94,28 @@ class TemporalSpec extends SparkSpec {
       .select("pid").as[Long].collect().toSet
     assert(got == Set(1L, 2L))
   }
+
+  test("sessionize labels events with 1-based per-key session indexes") {
+    // user a: events at 0, 10, 50, 55 with gap 20 → sessions 1,1,2,2
+    // user b: single event → session 1; boundary: gap EXACTLY 20 stays
+    val ev = Seq(
+      ("a", 0L, 1L), ("a", 10L, 2L), ("a", 50L, 3L), ("a", 55L, 4L),
+      ("a", 75L, 5L), // 55 → 75 is exactly the gap: same session
+      ("b", 99L, 6L)).toDF("k", "t", "id")
+    val got = TemporalJoins.sessionize(ev, "k", "t", gapMicros = 20L)
+      .select("id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 2L, 6L -> 1L))
+  }
+
+  test("sessionize plans one exchange and one sort (windows share them)") {
+    val ev = Seq(("a", 0L, 1L)).toDF("k", "t", "id")
+    val plan = TemporalJoins.sessionize(ev, "k", "t", 20L)
+      .queryExecution.executedPlan.toString
+    // the lag and running-sum windows use the same partitioning+ordering,
+    // so they stack over ONE exchange and ONE sort (two streaming
+    // rows-frame passes; different frames can't fuse into one operator)
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    assert("Sort ".r.findAllIn(plan).size <= 1, plan)
+  }
 }
