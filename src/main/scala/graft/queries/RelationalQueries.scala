@@ -66,6 +66,30 @@ object RelationalQueries {
         .where(col("l_quantity") > 45 &&
                col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
         .generate(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).df),
+    // -- ROLLUP / CUBE / PIVOT (OLAP wide-aggregation surface) ----------------
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("total"))),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), (col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))),
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      // pivot-count leaves NULL for empty cells; the oracle's count_if
+      // yields 0 — normalize here
+      p.select(col("user_id") +:
+        types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+    }),
     // -- GROUP + aggregate FOREACH fused (#9, #31): TPC-H Q1 shape --------------
     "q_agg" -> ((s, dir) =>
       Pipe(t(s, dir, "lineitem"))
@@ -281,6 +305,24 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // grouping-set nulls at subtotal rows match Spark's rollup/cube
+    // (these grouping columns are themselves non-null in the data)
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q_cube" ->
+      """SELECT event_type, user_id % 10 AS cohort, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY CUBE (event_type, cohort)""",
+    "q_pivot" ->
+      """SELECT user_id,
+           count_if(event_type = 'click') AS click,
+           count_if(event_type = 'view') AS view,
+           count_if(event_type = 'purchase') AS purchase,
+           count_if(event_type = 'signup') AS signup,
+           count_if(event_type = 'error') AS error
+         FROM events GROUP BY user_id""",
     // exact replica of sampleByHash: same key encoding (0x1F-joined
     // strings, nulls → 0x1E — both keys here are non-null NOT NULL ints,
     // so no coalesce needed), same md5 prefix bucket — deterministic
