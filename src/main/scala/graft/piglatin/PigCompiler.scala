@@ -901,11 +901,13 @@ class PigCompiler(spark: SparkSession) {
       // partitioning is PHYSICAL: co-locate by grid cell but keep the
       // visible schema unchanged (the reference's Partitioner returns the
       // same tuples; spatialpartitioning.pig STOREs the relation as-is).
-      // The projection does not disturb the repartitioning.
+      // repartition BY EXPRESSION — no helper column is ever added, so a
+      // pre-existing field named "cell" survives untouched
       val df = relation(in)
-      env(a) = Rel(() => graft.spatial.Spatial.spatialIndex(
-        df, geomField, cellSize = 1.0,
-        partitions = spark.sparkContext.defaultParallelism).drop("cell"))
+      env(a) = Rel(() => df.repartition(
+        spark.sparkContext.defaultParallelism,
+        graft.spatial.Spatial.cellId(
+          df(geomField), cellSize = 1.0)))
   }
 
   private def isGroupRef(e: Expr): Boolean = e match {
@@ -1115,22 +1117,27 @@ object PigScript {
     * fail fast with the offending chain instead of recursing forever. */
   private[graft] def expandImports(script: String,
                                    importBase: Option[String]): String =
-    expandImportsRec(script, importBase, Vector.empty)
+    expandImportsRec(script, importBase, importBase, Vector.empty)
 
   private def expandImportsRec(script: String, base: Option[String],
+                               rootBase: Option[String],
                                chain: Vector[java.nio.file.Path]): String =
     importRe.replaceAllIn(script, m => {
       val raw = java.nio.file.Paths.get(m.group(1))
+      // importing file's directory first, then the root importBase
+      // (nested files may reference siblings OR project-root paths)
       val resolved =
         if (raw.isAbsolute) raw
-        else base.map(b => java.nio.file.Paths.get(b).resolve(raw))
-          .filter(java.nio.file.Files.exists(_)).getOrElse(raw)
+        else (base.toSeq ++ rootBase.toSeq).distinct
+          .map(b => java.nio.file.Paths.get(b).resolve(raw))
+          .find(java.nio.file.Files.exists(_)).getOrElse(raw)
       val real = resolved.toAbsolutePath.normalize()
       if (chain.contains(real))
         sys.error(s"IMPORT cycle: ${(chain :+ real).mkString(" -> ")}")
       val body = java.nio.file.Files.readString(resolved)
       java.util.regex.Matcher.quoteReplacement(
-        expandImportsRec(body, Some(real.getParent.toString), chain :+ real))
+        expandImportsRec(body, Some(real.getParent.toString), rootBase,
+          chain :+ real))
     })
 
   /** Substitute `$param`s, inline IMPORTs, expand macros, compile embedded

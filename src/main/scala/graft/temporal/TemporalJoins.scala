@@ -17,6 +17,16 @@ import org.apache.spark.sql.types.TimestampType
   */
 object TemporalJoins {
 
+  /** Fail fast when an input already uses one of the operator's internal
+    * working column names (withColumn would silently overwrite it and the
+    * final drop would delete the user's column). */
+  private def reserveCols(have: Seq[String], reserved: Seq[String]): Unit = {
+    val clash = have.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with internal " +
+        s"working names; rename them before calling this operator")
+  }
+
   /** As-of join: for each left row, the single right row with the greatest
     * `rightTime` <= `leftTime` ("backward", default) or the least
     * `rightTime` >= `leftTime` ("forward"), matching on equal `keys`.
@@ -26,8 +36,10 @@ object TemporalJoins {
     * (exactly the sort-merge an engine-native as-of would do, at any
     * scale): both sides union into one frame, a running
     * `last(right, ignoreNulls)` window carries the latest right row past
-    * each left row. No join explosion, no per-row subquery. Rows-frame
-    * windows stream in Spark (no full-partition buffering).
+    * each left row. No join explosion, no per-row subquery. The running
+    * frame evaluates incrementally (no per-row rescan); WindowExec holds
+    * each key's rows in a spillable buffer, so a pathologically hot key
+    * spills to disk rather than OOMing — salt such keys upstream.
     *
     * `rightCols` maps right columns to output aliases (pre-alias to dodge
     * collisions). Ties on (keys, rightTime) pick an unspecified row —
@@ -44,6 +56,8 @@ object TemporalJoins {
                toleranceMicros: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"unknown as-of direction '$direction'")
+    reserveCols(left.columns ++ right.columns,
+      Seq("__t", "__side", "__r", "__p", "__rt"))
     val back = direction == "backward"
     // at equal times the right row must fall INSIDE the frame: backward
     // frames look left, so right sorts before left; forward the reverse
@@ -52,7 +66,14 @@ object TemporalJoins {
     val rStruct = struct(
       (col(rightTime).as("__rt") +:
         rightCols.keys.toSeq.map(c => col(c).as(c))): _*)
-    val rr = right.select(
+    // SQL join equality never matches NULL keys: a null-keyed right row
+    // can match nothing, so drop it before the union (Window.partitionBy
+    // would otherwise group null with null and fabricate matches);
+    // null-keyed LEFT rows then sit in a partition with no right rows
+    // and correctly pick up nulls
+    val rNonNull = keys.map(col(_).isNotNull)
+      .reduceOption(_ && _).map(right.where).getOrElse(right)
+    val rr = rNonNull.select(
       (keys.map(col) :+ col(rightTime).as("__t") :+
         lit(rSide).as("__side") :+ rStruct.as("__r")): _*)
     val ll = left.select(
@@ -106,6 +127,7 @@ object TemporalJoins {
                    bucketWidth: Long, keys: Seq[String] = Nil,
                    inclusiveHi: Boolean = false): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    reserveCols(points.columns ++ intervals.columns, Seq("__bucket"))
     // exact integer floor-div (double division can misplace exact
     // boundary values; `div` truncates toward zero on negatives)
     def bucketOf(c: Column): Column = {
@@ -137,6 +159,7 @@ object TemporalJoins {
     * exchange or sort and no full-partition buffering. */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  gapMicros: Long, out: String = "session_idx"): DataFrame = {
+    reserveCols(events.columns, Seq("__new_session"))
     val t = events.schema(tsCol).dataType match {
       case TimestampType => unix_micros(col(tsCol))
       case _ => col(tsCol).cast("long")

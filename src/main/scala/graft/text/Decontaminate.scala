@@ -10,7 +10,10 @@ import graft.dedup.Dedup
   *
   * Semantics are EXACT n-gram overlap (no probabilistic stage): a document
   * is contaminated iff it shares at least `minHits` distinct word n-grams
-  * with any benchmark document. Tokenization / n-gram formation / the
+  * with the benchmark set, POOLED across benchmark documents (the "total
+  * leaked n-grams" policy — a per-single-benchmark-doc threshold would
+  * group by (doc, bench) before counting). Tokenization / n-gram
+  * formation / the
   * short-doc whole-text collapse are [[Dedup.shingles]] — the same
   * universe the dedup family and its DuckDB oracles already agree on.
   *
@@ -26,10 +29,11 @@ import graft.dedup.Dedup
 object Decontaminate {
 
   /** Per-document contamination report: (idCol, matched_ngrams, bench_docs)
-    * for every corpus doc sharing ≥ `minHits` distinct n-grams with the
-    * benchmark set. `matched_ngrams` counts distinct overlapping grams,
-    * `bench_docs` distinct benchmark docs hit — the two numbers a curation
-    * pipeline thresholds on (drop / review buckets).
+    * for every corpus doc sharing ≥ `minHits` distinct n-grams (pooled
+    * across the benchmark set — see the object doc) with it.
+    * `matched_ngrams` counts distinct overlapping grams, `bench_docs`
+    * distinct benchmark docs hit — the two numbers a curation pipeline
+    * thresholds on (drop / review buckets).
     */
   def report(corpus: DataFrame, idCol: String, textCol: String,
              bench: DataFrame, benchIdCol: String, benchTextCol: String,

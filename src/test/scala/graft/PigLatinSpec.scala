@@ -526,6 +526,34 @@ class ImportSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(2, 3))
   }
 
+  test("nested IMPORT falls back to the root importBase for project paths") {
+    val dir = tmpDir
+    val sub = Files.createDirectory(dir.resolve("lib"))
+    val data = dir.resolve("input.csv")
+    Files.writeString(data, "7\n")
+    // root-level macros.pig, referenced from INSIDE lib/inner.pig by a
+    // path that only resolves against the root importBase
+    Files.writeString(dir.resolve("macros.pig"),
+      s"A = LOAD '$data' USING PigStorage(',') AS (x:int);\n")
+    Files.writeString(sub.resolve("inner.pig"), "IMPORT 'macros.pig';\n")
+    val c = PigScript.run(spark,
+      """IMPORT 'lib/inner.pig';
+        |B = FILTER A BY x > 0;""".stripMargin,
+      importBase = Some(dir.toString))
+    assert(c.relation("B").as[Int].collect().toSeq == Seq(7))
+  }
+
+  test("PARTITION preserves a pre-existing field named 'cell'") {
+    val df = Seq((1, 99, 2.0, 3.0)).toDF("id", "cell", "x", "y")
+      .select(col("id"), col("cell"),
+        graft.spatial.Spatial.point(col("x"), col("y")).as("loc"))
+    val c = PigScript.run(spark, "b = PARTITION a ON loc USING grid(partitionsPerDimension=4);",
+      tables = Map("a" -> df))
+    val out = c.relation("b")
+    assert(out.columns.toSeq == Seq("id", "cell", "loc"))
+    assert(out.select("cell").as[Int].head() == 99)
+  }
+
   test("IMPORT cycles fail fast with the chain, not a stack overflow") {
     val dir = tmpDir
     Files.writeString(dir.resolve("a.pig"), "IMPORT 'b.pig';\n")
