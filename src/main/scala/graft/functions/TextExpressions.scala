@@ -75,8 +75,53 @@ case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** Unicode text canonicalization (pre-tokenization normalization — the
+  * first pass of every training-data pipeline): Unicode normal form
+  * (NFC/NFKC/NFD/NFKD), optional accent stripping (NFD → drop combining
+  * marks → re-compose), optional ROOT-locale case fold. One compiled
+  * per-row pass, no UDF registration/serialization. Apply order:
+  * normalize → strip accents → case fold (the DuckDB oracle replays
+  * `lower(strip_accents(nfc_normalize(x)))` in the same order). */
+case class NormalizeTextExpr(child: Expression, form: String,
+                             stripAccents: Boolean, caseFold: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_text"
+
+  @transient private lazy val nf =
+    java.text.Normalizer.Form.valueOf(form.toUpperCase(Locale.ROOT))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    var s = java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, nf)
+    if (stripAccents) {
+      val nfd = java.text.Normalizer.normalize(
+        s, java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var i = 0
+      while (i < nfd.length) {
+        val cp = nfd.codePointAt(i)
+        if (Character.getType(cp) != Character.NON_SPACING_MARK)
+          sb.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      s = java.text.Normalizer.normalize(
+        sb.toString, java.text.Normalizer.Form.NFC)
+    }
+    if (caseFold) s = s.toLowerCase(Locale.ROOT)
+    UTF8String.fromString(s)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizeTextExpr = copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
     column(LangIdExpr(expression(text), profiles))
+  def normalizeText(text: Column, form: String = "NFC",
+                    stripAccents: Boolean = false,
+                    caseFold: Boolean = false): Column =
+    column(NormalizeTextExpr(expression(text), form, stripAccents, caseFold))
 }

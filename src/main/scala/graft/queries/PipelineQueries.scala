@@ -130,6 +130,15 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.repetitionRatio(col("text"), 1).as("tok_rep"),
         TextOps.repetitionRatio(col("text"), 2).as("bigram_rep"))),
+    "q_normalize" -> ((s, dir) => {
+      // plant decomposed-form accents + precomposed ones so normalization
+      // and accent stripping both do real work (the corpus is ASCII)
+      val planted = concat(col("text"),
+        lit(" Café naïve Über straße"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.normalizeText(planted, "NFC",
+          stripAccents = true, caseFold = true).as("norm"))
+    }),
     "q_embed_quantize" -> ((s, dir) => {
       // int8 scalar quantization, unnested per position so the oracle
       // hash-compares codes AND the (vmin, vscale) doubles — identical
@@ -531,6 +540,12 @@ object PipelineQueries {
            FROM tok""",
       "q_lang_id" -> langIdSql,
       "q_decontaminate" -> decontaminateSql(n = 8),
+      // same op order as NormalizeTextExpr: NFC → strip accents → fold
+      "q_normalize" ->
+        """SELECT doc_id,
+             lower(strip_accents(nfc_normalize(
+               text || ' Café naïve Über straße'))) AS norm
+           FROM documents""",
       // replays Quantize.int8 in the same IEEE op order: vmin, then
       // (vmax-vmin)/255.0, then floor((x-vmin)/vscale) clamped — floor
       // output is integral so DuckDB's rounding int-cast equals Spark's

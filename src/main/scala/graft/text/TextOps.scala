@@ -129,6 +129,16 @@ object TextOps {
         / size(grams).cast(DoubleType))
   }
 
+  // --- Unicode canonicalization ---------------------------------------------
+  /** Unicode-canonicalize text: normal form + optional accent strip +
+    * optional ROOT-locale case fold. The standard pre-tokenization pass;
+    * a single compiled per-row scan (native Expression, no UDF). */
+  def normalizeText(text: Column, form: String = "NFC",
+                    stripAccents: Boolean = false,
+                    caseFold: Boolean = false): Column =
+    graft.functions.TextExpressions.normalizeText(
+      text, form, stripAccents, caseFold)
+
   // --- fingerprinting -------------------------------------------------------
   /** Canonical content fingerprint: md5 of whitespace-normalized text. */
   def fingerprint(text: Column): Column =

@@ -37,6 +37,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("normalizeText: forms, accent strip, case fold") {
+    def norm(s: String, form: String = "NFC", strip: Boolean = false,
+             fold: Boolean = false) =
+      Seq(s).toDF("t").select(
+        TextOps.normalizeText(col("t"), form, strip, fold)).as[String].head()
+    // decomposed e + combining acute == precomposed é under NFC
+    assert(norm("Café") == "Café")
+    // NFKC folds fullwidth compatibility characters
+    assert(norm("ＡＢＣ", form = "NFKC") == "ABC")
+    // accent strip removes combining marks, keeps base letters
+    assert(norm("naïve Café Über", strip = true) == "naive Cafe Uber")
+    // ß is a letter, not an accent — survives strip and fold
+    assert(norm("straße", strip = true, fold = true) == "straße")
+    assert(norm("HeLLo", fold = true) == "hello")
+  }
+
   test("quality score ranges and orders sensibly") {
     val natural = "the cat is on the mat and it was good to see that it is"
     val spam = "buy!!! now!!! $$$ click,,,,,;;;;"
