@@ -83,6 +83,29 @@ object StreamQueries {
         .select(col("key").as("user_id"), col("startId").as("start_id"),
           col("endId").as("next_id"))
     }),
+    // -- streaming dedup: distinct (user, type) keys off the stream ---------
+    "q_stream_dedup" -> ((s, dir) => {
+      // exact-variant bounded run; the watermarked production variant
+      // (dropDuplicatesWithinWatermark) is spec'd in StreamingSpec.
+      // Emitting only the keys keeps the result deterministic — WHICH
+      // duplicate row survives is batch-order-dependent, the key set
+      // is not
+      val d = Streams.streamDedup(eventStream(s, dir),
+        Seq("user_id", "event_type"))
+      runBounded(d, "q_stream_dedup_sink", OutputMode.Append())
+        .select(col("user_id"), col("event_type"))
+    }),
+    // -- streaming SESSION windows: per-user sessions closed by watermark ---
+    "q_stream_session" -> ((s, dir) => {
+      val agg = Streams.sessionAgg(eventStream(s, dir), "ts",
+        gap = "30 minutes", watermarkDelay = "30 minutes",
+        groupCols = Seq("user_id"),
+        aggs = Seq(count(lit(1)).as("cnt")))
+      runBounded(agg, "q_stream_session_sink", OutputMode.Append())
+        .select(col("user_id"),
+          unix_timestamp(col("session.start")).as("session_start"),
+          col("cnt"))
+    }),
     // -- #47b WINDOW … APPLY: arbitrary relational subplan per closed window.
     // The subplan here is a per-window top-1 (group → window rank) — NOT an
     // aggregation Spark's windowed groupBy could express, which is the
@@ -130,6 +153,30 @@ object StreamQueries {
             AND epoch(b.ts) - epoch(a.ts) <= 3600
            WHERE a.event_type = 'signup' AND b.event_type = 'purchase')
          SELECT user_id, start_id, next_id FROM cand WHERE rn = 1""",
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // append-mode emission bound: a session emits iff its end (last
+    // event + gap) passed the final watermark (max event time - delay)
+    "q_stream_session" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         g AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS cnt
+         FROM s, mx
+         GROUP BY user_id, sid, m
+         HAVING epoch(max(ts)) + 1800 <= epoch(m) - 1800""",
     // the windowApply emission bound: a window emits iff its end passed
     // the final watermark (max event time - 30 min), inclusive
     "q_stream_winapply" ->

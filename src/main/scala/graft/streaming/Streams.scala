@@ -75,6 +75,34 @@ object Streams {
     withWm.groupBy((w +: groupCols.map(col)): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming deduplication on `keyCols`. With `watermarkInfo = Some(
+    * (tsCol, delay))`, uses `dropDuplicatesWithinWatermark` — state for a
+    * key is EVICTED once the watermark passes it, so state stays bounded
+    * (the production setting for unbounded streams; duplicates farther
+    * apart than the delay can re-emit, the documented trade). With None,
+    * exact `dropDuplicates` — unbounded state, only for keyspaces known
+    * to fit (or bounded replays). */
+  def streamDedup(stream: DataFrame, keyCols: Seq[String],
+                  watermarkInfo: Option[(String, String)] = None): DataFrame =
+    watermarkInfo match {
+      case Some((tsCol, delay)) =>
+        stream.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark(keyCols)
+      case None => stream.dropDuplicates(keyCols)
+    }
+
+  /** Event-time SESSION window aggregation on a stream (gap-based merge,
+    * watermarked so closed sessions evict their state). Append mode
+    * emits a session only once the watermark passes its end. */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String,
+                 watermarkDelay: String, groupCols: Seq[String],
+                 aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val withWm = events.withWatermark(tsCol, watermarkDelay)
+    withWm.groupBy(
+      (session_window(col(tsCol), gap).as("session") +:
+        groupCols.map(col)): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** WINDOW ... APPLY fn (reference: op/WindowApply.scala — run an
     * ARBITRARY relational subplan per window, not just an aggregation).
     *

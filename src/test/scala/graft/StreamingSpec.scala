@@ -94,6 +94,59 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((0L, "x", 2L), (10L, "y", 1L)))
   }
 
+  test("streamDedup within watermark drops cross-batch duplicates while " +
+      "state is live") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "k")
+    val dd = Streams.streamDedup(df, Seq("k"),
+      watermarkInfo = Some(("ts", "10 seconds")))
+    val q = Streams.memorySink(dd, "dedup_out", OutputMode.Append())
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    input.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+    q.processAllAvailable()
+    // same batch: duplicate 'a' suppressed
+    assert(spark.table("dedup_out").count() == 2)
+    // next batch, inside the watermark horizon: still suppressed
+    input.addData((ts(5), "a"))
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").count() == 2)
+    // far beyond the horizon: 'a' state was evicted, re-emits — the
+    // documented bounded-state trade of the production variant
+    input.addData((ts(60), "c"))
+    q.processAllAvailable()
+    input.addData((ts(61), "a"))
+    q.processAllAvailable()
+    val ks = spark.table("dedup_out").select("k").as[String].collect()
+    q.stop()
+    assert(ks.count(_ == "a") == 2 && ks.count(_ == "b") == 1 &&
+      ks.count(_ == "c") == 1)
+  }
+
+  test("streaming session windows merge across batches and emit on close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "uid")
+    val agg = Streams.sessionAgg(df, "ts", gap = "10 seconds",
+      watermarkDelay = "0 seconds", groupCols = Seq("uid"),
+      aggs = Seq(count(lit(1)).as("cnt")))
+      .select(col("uid"), unix_timestamp(col("session.start")).as("ss"),
+        col("cnt"))
+    val q = Streams.memorySink(agg, "sess_out", OutputMode.Append())
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // two batches land in ONE session (gap 10s spans the 8s→12s step)
+    input.addData((ts(1), 7L), (ts(8), 7L))
+    q.processAllAvailable()
+    input.addData((ts(12), 7L))
+    q.processAllAvailable()
+    // advance the watermark far past session end → the session closes
+    input.addData((ts(100), 8L))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((7L, 1L, 3L))) // one merged session, 3 events
+  }
+
   test("streaming CEP via flatMapGroupsWithState matches across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Matcher.Event]
