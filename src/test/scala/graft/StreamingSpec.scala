@@ -147,6 +147,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((7L, 1L, 3L))) // one merged session, 3 events
   }
 
+  test("text-pipeline ops compose on streams (narrow maps need no adapter)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "text")
+    val cleaned = df.select(col("id"),
+      graft.text.TextOps.scrubPii(
+        graft.text.TextOps.normalizeText(col("text"), "NFC",
+          stripAccents = true, caseFold = true)).as("clean"),
+      graft.text.TextOps.langId(col("text")).as("lang"))
+    val q = Streams.memorySink(cleaned, "txt_out", OutputMode.Append())
+    input.addData((1L, "Écrivez à JOHN.DOE@corp.io now"))
+    q.processAllAvailable()
+    val row = spark.table("txt_out").as[(Long, String, String)].head()
+    q.stop()
+    assert(row._2 == "ecrivez a <EMAIL> now")
+    assert(row._3 == "und") // too short for a stopword profile
+  }
+
   test("streaming CEP via flatMapGroupsWithState matches across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Matcher.Event]
