@@ -149,6 +149,9 @@ object PipelineQueries {
             col("embedding").cast(ArrayType(DoubleType))).as("q"))
         .selectExpr("vec_id", "q.vmin AS vmin", "q.vscale AS vscale",
           "posexplode(q.codes) AS (pos, code)")
+        // codes are stored as signed bytes (level − 128); compare the
+        // unsigned LEVEL so the oracle needn't model the storage offset
+        .withColumn("code", graft.sim.Quantize.level(col("code")))
     }),
     "q_decontaminate" -> ((s, dir) => {
       // corpus = the planted near-dup twins, benchmark = a 5% slice of
@@ -488,7 +491,7 @@ object PipelineQueries {
       "q_token_count" ->
         """SELECT doc_id,
            len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+           len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS bpe_tokens
            FROM documents""",
       "q_quality" ->
         s"""WITH q AS (SELECT doc_id,

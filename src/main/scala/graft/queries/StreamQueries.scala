@@ -139,9 +139,9 @@ object StreamQueries {
          event_type, COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
-    // streamMatchSeq semantics: events ordered by (ts, event_id); every
-    // open signup matches the FIRST purchase after it within 1h
-    // (inclusive), same-timestamp pairs ordered by event_id
+    // streamMatchSeq semantics — IDENTICAL to batch Matcher.matchSeq:
+    // every open signup matches the FIRST purchase STRICTLY later than
+    // it within 1h (inclusive bound), same-ts purchases never match
     "q_stream_cep" ->
       """WITH cand AS (
            SELECT a.user_id, a.event_id AS start_id, b.event_id AS next_id,
@@ -149,7 +149,7 @@ object StreamQueries {
                ORDER BY b.ts, b.event_id) AS rn
            FROM events a JOIN events b
              ON a.user_id = b.user_id
-            AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+            AND b.ts > a.ts
             AND epoch(b.ts) - epoch(a.ts) <= 3600
            WHERE a.event_type = 'signup' AND b.event_type = 'purchase')
          SELECT user_id, start_id, next_id FROM cand WHERE rn = 1""",

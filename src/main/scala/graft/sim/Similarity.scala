@@ -28,10 +28,16 @@ object Similarity {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /** Embedding dimensionality, probed from the first row (driver-side,
-    * one-row action). */
-  def dimOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  /** Embedding dimensionality, probed from the first non-null vector
+    * (driver-side, one-row action); clear error on empty/all-null input
+    * instead of a bare NoSuchElementException. */
+  def dimOf(df: DataFrame, vecCol: String): Int = {
+    val probe = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(probe.nonEmpty,
+      s"cannot infer embedding dimensionality: no non-null '$vecCol' rows")
+    probe(0).getInt(0)
+  }
 
   /** Deterministic random hyperplanes (seeded) for sign-LSH. Driver-side
     * literals — tiny (planes×dim doubles), inlined into codegen. */
@@ -57,15 +63,9 @@ object Similarity {
     * @param corpus  (id, vec) DataFrame — the searchable set
     * @param queries (qid, vec) DataFrame — must be broadcast-small
     */
-  /** Widen under-partitioned inputs so scoring parallelizes (small-file
-    * scans yield 1–2 partitions; no-op on already-wide scans). */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // physical partition count without the Row-encoder RDD conversion
-    // (.rdd would wrap the executed plan in a deserializer per call)
-    val parts = df.queryExecution.executedPlan.execute().getNumPartitions
-    if (parts < target) df.repartition(target) else df
-  }
+  /** Widen under-partitioned inputs so scoring parallelizes (one shared
+    * implementation — see [[graft.dedup.Dedup.widen]]). */
+  private def widen(df: DataFrame): DataFrame = graft.dedup.Dedup.widen(df)
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "id", qidCol: String = "qid",
@@ -155,8 +155,13 @@ object Similarity {
     // order — clustered corpora would train centroids on one region)
     val total = math.max(1L, vecs.count())
     val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / total)
+    // the 1.2× overshoot is trimmed AFTER an order-normalizing seeded-
+    // hash sort — a bare limit() takes rows in partition order, which
+    // would drop the trim entirely from tail partitions (regional bias
+    // on clustered corpora, the exact thing the fraction sample avoids)
     trainCentroids(
       vecs.sample(withReplacement = false, fraction, seed)
+        .sort(xxhash64(to_json(col("cv"))))
         .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray),
       nCells, iters, seed)
   }
@@ -191,7 +196,11 @@ object Similarity {
     val probed = queries.select(col(qidCol).as("qid"),
         col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
       .withColumn("cell", explode(probeCells(col("qv"), nProbe)))
-    val scored = assigned.join(probed, Seq("cell"))
+    // queries are broadcast-small BY CONTRACT (same as bruteForceTopK /
+    // lshCandidates); without the hint a stats-less source can fall to a
+    // shuffle join keyed on `cell` — ≤ nCells distinct values — which
+    // would funnel the whole corpus into ≤ nCells reducers
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id"),
         graft.functions.GraftFunctions.cosine(corpus.sparkSession,
           col("cv"), col("qv")).as("cosine"))

@@ -119,21 +119,33 @@ object Streams {
     * same bound Spark's own stateful aggregation keeps; the subplan runs
     * distributed, no per-window driver loop.
     *
-    * The watermark and spool generation are CHECKPOINTED next to the
-    * spool (`$spool/state`, written atomically after each batch's sink
-    * completes) and reloaded on start: a restarted query resumes with the
-    * prior watermark, so an already-emitted window cannot re-emit when a
-    * late row arrives post-restart, and still-open windows keep their
-    * spooled rows. Delivery is at-least-once across hard crashes (a crash
-    * BETWEEN sink completion and the state write re-emits that batch's
-    * closed windows on recovery — the unavoidable window for a
-    * non-transactional sink); a graceful stop/restart is exactly-once.
+    * The watermark, spool generation and LAST APPLIED BATCH ID are
+    * CHECKPOINTED next to the spool (`$spool/state`, written atomically
+    * after each batch's sink completes) and reloaded on start: a
+    * restarted query resumes with the prior watermark, so an
+    * already-emitted window cannot re-emit when a late row arrives
+    * post-restart, and still-open windows keep their spooled rows.
+    *
+    * HARD-CRASH protection requires `checkpointLocation` (Spark then
+    * tracks source offsets, batch ids stay monotonic across restarts,
+    * and no source history is re-read): a batch re-delivered with an
+    * already-applied id — crash between our state write and Spark's
+    * offset commit — is SKIPPED, since re-spooling it would double
+    * open-window contents; a crash BEFORE the state write replays the
+    * batch against the prior (gen, wm) — idempotent for the spool
+    * (ping-pong overwrite), with the sink re-emitting that batch's
+    * closed windows (the unavoidable at-least-once window for a
+    * non-transactional sink). Without a checkpoint, batch ids restart
+    * at 0 on every run, so the id guard is off and only GRACEFUL
+    * stop/restart (a source that re-delivers nothing already spooled)
+    * is exactly-once.
     * `sink` must consume its DataFrame eagerly, as with any foreachBatch
     * sink. */
   def windowApply(stream: DataFrame, tsCol: String, windowDur: String,
                   watermarkDelay: String, name: String,
                   spoolDir: Option[String] = None,
-                  trigger: Trigger = Trigger.ProcessingTime(0L))
+                  trigger: Trigger = Trigger.ProcessingTime(0L),
+                  checkpointLocation: Option[String] = None)
                  (f: DataFrame => DataFrame)
                  (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark0 = stream.sparkSession
@@ -144,51 +156,72 @@ object Streams {
     val stateFile = java.nio.file.Paths.get(spool, "state")
     var wm: java.sql.Timestamp = null
     var gen = 0
+    var lastBatchId = -1L
     if (java.nio.file.Files.exists(stateFile)) {
-      val Array(g, w) = java.nio.file.Files.readString(stateFile).trim.split(",", 2)
-      gen = g.toInt
-      wm = if (w == "-") null
-           else java.sql.Timestamp.from(java.time.Instant.parse(w))
+      // "gen,wm" (older spools) or "gen,wm,lastBatchId"
+      val parts = java.nio.file.Files.readString(stateFile).trim.split(",", 3)
+      gen = parts(0).toInt
+      wm = if (parts(1) == "-") null
+           else java.sql.Timestamp.from(java.time.Instant.parse(parts(1)))
+      if (parts.length > 2) lastBatchId = parts(2).toLong
     }
     def persistState(): Unit = {
       val tmp = java.nio.file.Paths.get(spool, "state.tmp")
       java.nio.file.Files.writeString(tmp,
-        s"$gen,${if (wm == null) "-" else wm.toInstant.toString}")
+        s"$gen,${if (wm == null) "-" else wm.toInstant.toString},$lastBatchId")
       java.nio.file.Files.move(tmp, stateFile,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    foreachBatchSink(stream, name, trigger) { (batch, id) =>
-      val prevDir = s"$spool/g${gen % 2}"
-      val nextDir = s"$spool/g${(gen + 1) % 2}"
-      val bw = batch.withColumn("window", window(col(tsCol), windowDur))
-      // drop late rows: their window already closed and emitted
-      val fresh = if (wm == null) bw else bw.where(col("window.end") > lit(wm))
-      val openPrev =
-        if (gen == 0) None
-        else Some(spark0.read.parquet(prevDir))
-      val all = openPrev.fold(fresh)(fresh.unionByName(_))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // advance the watermark with this batch's max event time (monotonic,
-      // as Spark's own watermark is)
-      val mxRow = batch
-        .agg(expr(s"max($tsCol) - INTERVAL $watermarkDelay").as("w")).head()
-      if (!mxRow.isNullAt(0)) {
-        val mx = mxRow.getTimestamp(0)
-        if (wm == null || mx.after(wm)) wm = mx
+    // The batch-id replay guard is only sound when Spark checkpoints the
+    // source offsets: there batch ids are monotonic ACROSS restarts and a
+    // re-delivered id means "already fully applied". Without a checkpoint
+    // every fresh run restarts ids at 0 (and replayable sources re-read
+    // history wholesale) — the guard would drop new data, so it is off
+    // and crash-redelivery protection comes from the checkpoint contract.
+    val guardReplays = checkpointLocation.isDefined
+    foreachBatchSink(stream, name, trigger, checkpointLocation) { (batch, id) =>
+      // REPLAY GUARD: foreachBatch re-delivers a batch id when the process
+      // dies between our persistState() and Spark's own offset commit. The
+      // state file says this batch was fully applied (spooled + emitted) —
+      // re-spooling it would duplicate every row still in an open window.
+      // Skip it entirely; crashes BEFORE persistState() replay against the
+      // prior (gen, wm) and are idempotent by the ping-pong overwrite
+      // (sink re-emission there is the documented at-least-once window).
+      if (!guardReplays || id > lastBatchId) {
+        val prevDir = s"$spool/g${gen % 2}"
+        val nextDir = s"$spool/g${(gen + 1) % 2}"
+        val bw = batch.withColumn("window", window(col(tsCol), windowDur))
+        // drop late rows: their window already closed and emitted
+        val fresh = if (wm == null) bw else bw.where(col("window.end") > lit(wm))
+        val openPrev =
+          if (gen == 0) None
+          else Some(spark0.read.parquet(prevDir))
+        val all = openPrev.fold(fresh)(fresh.unionByName(_))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // advance the watermark with this batch's max event time (monotonic,
+        // as Spark's own watermark is)
+        val mxRow = batch
+          .agg(expr(s"max($tsCol) - INTERVAL $watermarkDelay").as("w")).head()
+        if (!mxRow.isNullAt(0)) {
+          val mx = mxRow.getTimestamp(0)
+          if (wm == null || mx.after(wm)) wm = mx
+        }
+        val (closed, open) =
+          if (wm == null) (None, all)
+          else (Some(all.where(col("window.end") <= lit(wm))),
+                all.where(col("window.end") > lit(wm)))
+        open.write.mode("overwrite").parquet(nextDir)
+        gen += 1
+        closed.foreach { c => if (!c.isEmpty) sink(f(c), id) }
+        lastBatchId = id
+        // checkpoint AFTER the sink: a failure before this line leaves the
+        // previous (gen, wm, lastBatchId) on disk, so recovery re-reads the
+        // old spool generation and re-emits rather than losing a closed
+        // window
+        persistState()
+        all.unpersist()
       }
-      val (closed, open) =
-        if (wm == null) (None, all)
-        else (Some(all.where(col("window.end") <= lit(wm))),
-              all.where(col("window.end") > lit(wm)))
-      open.write.mode("overwrite").parquet(nextDir)
-      gen += 1
-      closed.foreach { c => if (!c.isEmpty) sink(f(c), id) }
-      // checkpoint AFTER the sink: a failure before this line leaves the
-      // previous (gen, wm) on disk, so recovery re-reads the old spool
-      // generation and re-emits rather than losing a closed window
-      persistState()
-      all.unpersist()
     }
   }
 
@@ -197,13 +230,15 @@ object Streams {
     * callback (foreachBatch — the exactly-once escape hatch Spark offers
     * for arbitrary sinks like sockets/ZMQ). */
   def foreachBatchSink(df: DataFrame, name: String,
-                       trigger: Trigger = Trigger.ProcessingTime(0L))
-                      (write: (DataFrame, Long) => Unit): StreamingQuery =
-    df.writeStream.queryName(name)
+                       trigger: Trigger = Trigger.ProcessingTime(0L),
+                       checkpointLocation: Option[String] = None)
+                      (write: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w = df.writeStream.queryName(name)
       .outputMode(OutputMode.Update())
       .trigger(trigger)
       .foreachBatch(write)
-      .start()
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 
   /** In-memory sink for tests/interactive inspection. */
   def memorySink(df: DataFrame, name: String,
@@ -269,8 +304,13 @@ object Streams {
             it.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
               starts = starts.filter { case (_, ts) => e.tsMicros - ts <= withinMicros }
               if (e.etype == endType) {
-                starts.foreach { case (sid, _) => out += SeqMatch(key, sid, e.id) }
-                starts = Nil // each start matches its first B only
+                // batch Matcher.matchSeq requires each step STRICTLY
+                // later than the previous — a same-timestamp end must
+                // not match (it stays available for later ends)
+                val (eligible, sameTs) =
+                  starts.partition { case (_, ts) => ts < e.tsMicros }
+                eligible.foreach { case (sid, _) => out += SeqMatch(key, sid, e.id) }
+                starts = sameTs // each start matches its first B only
               }
               if (e.etype == startType) starts ::= (e.id, e.tsMicros)
             }

@@ -19,9 +19,12 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
   /** BPE-ish sub-word tokens: word pieces + isolated punctuation, the
-    * pre-tokenization regex most BPE vocabularies assume. */
+    * pre-tokenization regex most BPE vocabularies assume. Unicode
+    * letter/number classes — ASCII-only [A-Za-z] would shred accented
+    * and non-Latin words into per-character pseudo-punctuation tokens
+    * (RE2 and Java agree on \p{L}/\p{N}, so the oracle replays it). */
   def bpeTokens(text: Column): Column =
-    regexp_extract_all(text, lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0))
+    regexp_extract_all(text, lit("""\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"""), lit(0))
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast(LongType)
 

@@ -432,20 +432,26 @@ class QuantizeSpec extends SparkSpec {
     assert(worst.count() == 0)
   }
 
-  test("int8 codes stay in [0,255]; min maps to 0, max to 255") {
+  test("codes are TRUE int8 (tinyint storage); levels span 0..255") {
     val df = Seq(Seq(-4.0, 0.0, 1.0, 6.0)).toDF("v")
       .select(Quantize.int8(col("v")).as("q"))
-    val codes = df.select(col("q.codes")).as[Seq[Int]].head()
-    assert(codes.head == 0 && codes.last == 255)
-    assert(codes.forall(c => c >= 0 && c <= 255))
+    // storage type is byte — the 4x-over-float claim depends on it
+    assert(df.schema("q").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType]("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false))
+    val codes = df.select(col("q.codes")).as[Seq[Byte]].head()
+    val levels = codes.map(_.toInt + 128)
+    assert(levels.head == 0 && levels.last == 255)
+    assert(levels.forall(c => c >= 0 && c <= 255))
   }
 
-  test("constant vectors quantize to all-zero codes with vscale 0") {
+  test("constant vectors quantize to level-zero codes with vscale 0") {
     val df = Seq(Seq(3.0, 3.0, 3.0)).toDF("v")
       .select(Quantize.int8(col("v")).as("q"))
     val r = df.select(col("q.vscale"), col("q.codes")).head()
     assert(r.getDouble(0) == 0.0)
-    assert(r.getSeq[Int](1).forall(_ == 0))
+    assert(r.getSeq[Byte](1).forall(_ == -128)) // level 0
   }
 }
 

@@ -181,6 +181,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(Streams.SeqMatch(7L, 1L, 2L)))
   }
 
+  test("streaming CEP matches batch semantics: same-timestamp end never " +
+      "matches, but stays open for later ends") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Matcher.Event]
+    val matches = Streams.streamMatchSeq(input.toDS(), "signup", "purchase",
+      withinMicros = 100L * 1000000L)
+    val q = Streams.memorySink(matches.toDF(), "cep_ts_out", OutputMode.Append())
+    input.addData(
+      Matcher.Event(7L, 1000000L, "signup", 1L, 0.0),
+      Matcher.Event(7L, 1000000L, "purchase", 2L, 0.0), // same ts: no match
+      Matcher.Event(7L, 2000000L, "purchase", 3L, 0.0)) // strictly later
+    q.processAllAvailable()
+    val rows = spark.table("cep_ts_out").as[Streams.SeqMatch].collect().toSet
+    q.stop()
+    assert(rows == Set(Streams.SeqMatch(7L, 1L, 3L)))
+  }
+
   test("windowed stream-stream join matches within the event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val li = MemoryStream[(java.sql.Timestamp, Long, String)]
@@ -274,6 +291,53 @@ class StreamingSpec extends SparkSpec {
     in3.addData((ts(3), "late", 99L)); q3.processAllAvailable()
     in3.addData((ts(25), "d", 7L)); q3.processAllAvailable() // wm 25 closes [10,20)
     q3.stop()
+    assert(results.toList == List((0L, "b", 9L), (10L, "c", 3L)))
+  }
+
+  test("windowApply with checkpointLocation: file-source restart resumes " +
+      "offsets (no history re-read, no dropped data)") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.{Files, Paths}
+    val srcDir = Files.createTempDirectory("graft_wa_ck_src").toString
+    val spool = Files.createTempDirectory("graft_wa_ck_spool").toString
+    val ckpt = Files.createTempDirectory("graft_wa_ck_ckpt").toString
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def addFile(n: String, rows: Seq[(java.sql.Timestamp, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_wa_ck_tmp").toString
+      rows.toDF("ts", "etype", "amount").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(srcDir, s"$n.parquet"))
+    }
+    val schema = Seq((ts(0), "x", 0L)).toDF("ts", "etype", "amount").schema
+    def start() =
+      Streams.windowApply(
+        Streams.fileStream(spark, srcDir, schema),
+        "ts", "10 seconds", "0 seconds", "wa_ckpt", Some(spool),
+        checkpointLocation = Some(ckpt)) { w =>
+        graft.core.Pipe(w)
+          .topPerGroup(1, Seq(col("window")), Seq(col("amount").desc))
+          .generate(unix_timestamp(col("window.start")).as("ws"),
+            col("etype"), col("amount")).df
+      } { (out, _) =>
+        results.synchronized { results ++= out.as[(Long, String, Long)].collect() }
+      }
+    // run 1: one row in the (still open) window [0,10)
+    addFile("f1", Seq((ts(1), "a", 5L)))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(results.isEmpty)
+    // run 2, same checkpoint: f1 must NOT re-deliver (its rows are
+    // spooled already); the new rows complete the window and close it
+    addFile("f2", Seq((ts(2), "b", 9L), (ts(12), "c", 3L)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // exactly one emission for [0,10), top-1 = b(9) — a re-read of f1
+    // would not change top-1 but a dropped f2 would have emitted a(5),
+    // and a double-spool would surface in the [10,20) window below
+    assert(results.toList == List((0L, "b", 9L)))
+    addFile("f3", Seq((ts(25), "d", 7L)))
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
     assert(results.toList == List((0L, "b", 9L), (10L, "c", 3L)))
   }
 
