@@ -59,7 +59,10 @@ object Ast {
   final case class Join(alias: String, ins: Seq[(String, Seq[Expr])],
                         joinType: String) extends Stmt
   final case class Cross(alias: String, ins: Seq[String]) extends Stmt
-  final case class Union(alias: String, ins: Seq[String]) extends Stmt
+  /** onSchema: UNION ONSCHEMA aligns by name with null padding; plain
+    * Pig UNION is POSITIONAL (same arity, left relation's names). */
+  final case class Union(alias: String, ins: Seq[String],
+                         onSchema: Boolean) extends Stmt
   final case class DistinctStmt(alias: String, in: String) extends Stmt
   final case class LimitStmt(alias: String, in: String, n: Int) extends Stmt
   final case class OrderBy(alias: String, in: String,
@@ -76,7 +79,8 @@ object Ast {
   final case class IntersectStmt(alias: String, l: String, r: String) extends Stmt
   final case class DifferenceStmt(alias: String, l: String, r: String) extends Stmt
   final case class StreamThrough(alias: String, in: String,
-                                 opName: String) extends Stmt
+                                 opName: String, args: Seq[Expr],
+                                 outSchema: Option[Seq[FieldSchema]]) extends Stmt
   final case class RScriptStmt(alias: String, in: String,
                                code: String) extends Stmt
   final case class Materialize(alias: String) extends Stmt

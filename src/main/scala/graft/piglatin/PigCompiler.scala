@@ -35,6 +35,10 @@ class PigCompiler(spark: SparkSession) {
   val stored = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
   /** registered Scala table functions for STREAM THROUGH */
   val udos = scala.collection.mutable.Map.empty[String, DataFrame => DataFrame]
+  /** STREAM THROUGH operators that take constructor arguments
+    * (`b = STREAM a THROUGH op('0.5');`) */
+  val udosWithArgs = scala.collection.mutable.Map
+    .empty[String, (Seq[String], DataFrame) => DataFrame]
   /** scalar fns from embedded `<% %>` Scala blocks (by UPPER name) */
   val embeddedUdfs = scala.collection.mutable.Map
     .empty[String, EmbeddedCode.EmbeddedFn]
@@ -47,6 +51,10 @@ class PigCompiler(spark: SparkSession) {
 
   def registerUdo(name: String, f: DataFrame => DataFrame): Unit =
     udos(name.toUpperCase) = f
+
+  def registerUdo(name: String,
+                  f: (Seq[String], DataFrame) => DataFrame): Unit =
+    udosWithArgs(name.toUpperCase) = f
 
   // ---- type mapping --------------------------------------------------------
   private def sparkType(t: String): DataType = t match {
@@ -148,8 +156,14 @@ class PigCompiler(spark: SparkSession) {
         case ">" => a > b
         case ">=" => a >= b
         case "matches" =>
-          // Pig MATCHES is String.matches — anchored full-string match
-          a.rlike("^(?:" + r.asInstanceOf[Lit].v.toString + ")$")
+          // Pig MATCHES is String.matches — anchored full-string match.
+          // Non-literal patterns (a column holding the regex) compile to
+          // a per-row regexp_like instead of a ClassCastException
+          r match {
+            case Lit(v) => a.rlike("^(?:" + v.toString + ")$")
+            case _ => regexp_like(a,
+              concat(lit("^(?:"), b.cast(StringType), lit(")$")))
+          }
         case "+" =>
           // piglet types '+' statically: a chararray LITERAL anywhere in
           // the '+' chain makes the whole chain string concatenation
@@ -255,8 +269,15 @@ class PigCompiler(spark: SparkSession) {
         graft.matrix.MatrixOps.matrix(rows, cols, rm)
       // aggregate names appearing in ROW context = bag functions on arrays
       case "COUNT" => size(a0).cast(LongType)
-      case "SUM" => aggregate(a0, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
-      case "AVG" => aggregate(a0, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(a0)
+      // Pig SUM/AVG IGNORE null elements: filter first (a naive fold
+      // would null-poison the sum, and AVG's denominator must count
+      // only non-null values)
+      case "SUM" =>
+        aggregate(filter(a0, x => x.isNotNull), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType))
+      case "AVG" =>
+        val nn = filter(a0, x => x.isNotNull)
+        aggregate(nn, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(nn)
       case "MIN" => array_min(a0)
       case "MAX" => array_max(a0)
       case "DISTINCT" => array_distinct(a0)
@@ -296,8 +317,29 @@ class PigCompiler(spark: SparkSession) {
   private def compileAgg(g: GroupedRel, e: Expr, as: Option[String]): Column = {
     val in = g.input
     def inner(x: Expr): Column = x match {
+      // `group` (constant within each group) inside arithmetic:
+      // first() is exact and keeps the agg fusion
+      case FieldRef(Seq("group")) if g.keys.nonEmpty =>
+        first(if (g.keyIsStruct) struct(g.keys: _*) else g.keys.head)
+      case FieldRef(Seq("group", f)) if g.keyIsStruct =>
+        first(struct(g.keys: _*)).getField(f)
       case FuncCall(fn, Seq(FieldRef(Seq(b)))) if b == g.bagName && fn == "COUNT" =>
         count(lit(1))
+      // Pig's single-field-relation idiom: SUM(a)/MIN(a)/... when the
+      // bag's tuples have exactly one field
+      case FuncCall(fn, Seq(FieldRef(Seq(b))))
+          if b == g.bagName && aggFns(fn) && fn != "COUNT_STAR" =>
+        require(in.columns.length == 1,
+          s"$fn($b): the bag has ${in.columns.length} fields — project " +
+            s"one, e.g. $fn($b.${in.columns.headOption.getOrElse("f")})")
+        val c = col(s"`${in.columns.head}`")
+        fn match {
+          case "SUM" => sum(c)
+          case "AVG" => avg(c)
+          case "MIN" => min(c)
+          case "MAX" => max(c)
+          case "MEDIAN" => percentile(c, lit(0.5))
+        }
       case FuncCall("COUNT", Seq(FuncCall("DISTINCT", Seq(FieldRef(p)))))
           if p.headOption.contains(g.bagName) =>
         countDistinct(resolve(in, p.tail))
@@ -524,9 +566,19 @@ class PigCompiler(spark: SparkSession) {
     case Cross(a, ins) =>
       env(a) = Rel(() => ins.map(relation).reduceLeft(_.crossJoin(_)))
 
-    case Union(a, ins) =>
-      env(a) = Rel(() => ins.map(relation)
-        .reduceLeft(_.unionByName(_, allowMissingColumns = true)))
+    case Union(a, ins, onSchema) =>
+      // plain Pig UNION is POSITIONAL (same arity, the left relation's
+      // names win); ONSCHEMA aligns by name and null-pads
+      env(a) = Rel(() =>
+        if (onSchema) ins.map(relation)
+          .reduceLeft(_.unionByName(_, allowMissingColumns = true))
+        else ins.map(relation).reduceLeft { (l, r) =>
+          require(l.columns.length == r.columns.length,
+            s"UNION arity mismatch: ${l.columns.length} vs " +
+              s"${r.columns.length} columns (use UNION ONSCHEMA to " +
+              "align by name)")
+          l.union(r.toDF(l.columns: _*))
+        })
 
     case DistinctStmt(a, in) =>
       env(a) = Rel(() => relation(in).distinct())
@@ -551,8 +603,11 @@ class PigCompiler(spark: SparkSession) {
           env(name) = Rel(() => df.filter(compileExpr(df, cond)))
         case (name, None) =>
           // OTHERWISE: rows matching none of the explicit branches
+          // (no explicit branches -> every row)
           val none = conds.map(c => !compileExpr(df, c) ||
-            compileExpr(df, c).isNull).reduce(_ && _)
+            compileExpr(df, c).isNull)
+            .reduceOption(_ && _)
+            .getOrElse(org.apache.spark.sql.functions.lit(true))
           env(name) = Rel(() => df.filter(none))
       }
 
@@ -575,10 +630,38 @@ class PigCompiler(spark: SparkSession) {
     case DifferenceStmt(a, l, r) =>
       env(a) = Rel(() => relation(l).except(relation(r)))
 
-    case StreamThrough(a, in, op) =>
-      val f = udos.getOrElse(op.toUpperCase,
-        sys.error(s"unregistered stream operator $op"))
-      env(a) = Rel(() => f(relation(in)))
+    case StreamThrough(a, in, op, args, outSchema) =>
+      val key = op.toUpperCase
+      val withArgs = udosWithArgs.get(key)
+      val plain = udos.get(key)
+      if (args.nonEmpty && withArgs.isEmpty)
+        sys.error(s"stream operator $op was invoked with constructor " +
+          s"arguments but registered without an argument handler " +
+          "(registerUdo(name, (args, df) => df))")
+      val f: DataFrame => DataFrame = withArgs match {
+        case Some(g) =>
+          val literals = args.map {
+            case Ast.Lit(v) => v.toString
+            case other => sys.error(
+              s"stream operator arguments must be literals, got $other")
+          }
+          df => g(literals, df)
+        case None => plain.getOrElse(
+          sys.error(s"unregistered stream operator $op"))
+      }
+      env(a) = Rel(() => {
+        val out = f(relation(in))
+        // AS (name:type, ...) — positional rename + cast, like LOAD
+        outSchema.fold(out) { fs =>
+          require(fs.length == out.columns.length,
+            s"STREAM ... AS schema has ${fs.length} fields but the " +
+              s"operator emitted ${out.columns.length} columns")
+          out.select(out.columns.zip(fs).map { case (c, fld) =>
+            org.apache.spark.sql.functions.col(s"`$c`")
+              .cast(sparkType(fld.typeName)).as(fld.name)
+          }: _*)
+        }
+      })
 
     case RScriptStmt(a, in, code) =>
       val df = relation(in)
@@ -1084,6 +1167,13 @@ class PigCompiler(spark: SparkSession) {
 /** Public entry: run Pig Latin scripts against Spark (the piglet
   * interpreter analog — reference: PigletInterpreterAPI / spark backend). */
 object PigScript {
+  /** `$name` replacement that stops at identifier boundaries — a bare
+    * String.replace would let param "p" corrupt "$p2" into "52"
+    * depending on Map iteration order. */
+  private def substParam(s: String, name: String, value: String): String =
+    ("""\$""" + java.util.regex.Pattern.quote(name) + """(?![A-Za-z0-9_])""").r
+      .replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(value))
+
   private val macroRe =
     """(?is)DEFINE\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+RETURNS\s+([A-Za-z_]\w*)\s*\{(.*?)\};""".r
   private val invokeRe =
@@ -1104,8 +1194,8 @@ object PigScript {
         case Some((params, outAlias, body)) =>
           val args = m.group(3).split(",").map(_.trim)
           val bound = params.zip(args).foldLeft(body) { case (b, (p, a)) =>
-            b.replace(s"$$$p", a) }
-          bound.replace(s"$$$outAlias", m.group(1))
+            substParam(b, p, a) }
+          substParam(bound, outAlias, m.group(1))
         case None => m.matched
       }))
   }
@@ -1146,9 +1236,11 @@ object PigScript {
           params: Map[String, String] = Map.empty,
           tables: Map[String, DataFrame] = Map.empty,
           udos: Map[String, DataFrame => DataFrame] = Map.empty,
-          importBase: Option[String] = None): PigCompiler = {
+          importBase: Option[String] = None,
+          udosWithArgs: Map[String, (Seq[String], DataFrame) => DataFrame] =
+            Map.empty): PigCompiler = {
     val substituted = params.foldLeft(script) { case (s, (k, v)) =>
-      s.replace(s"$$$k", v) }
+      substParam(s, k, v) }
     val imported = expandImports(substituted, importBase)
     val expanded = expandMacros(imported)
     val (cleaned, embedded) = EmbeddedCode.extract(expanded)
@@ -1156,6 +1248,7 @@ object PigScript {
     compiler.embeddedUdfs ++= embedded
     tables.foreach { case (n, df) => compiler.defineRelation(n, df) }
     udos.foreach { case (n, f) => compiler.registerUdo(n, f) }
+    udosWithArgs.foreach { case (n, f) => compiler.registerUdo(n, f) }
     compiler.run(PigParser.parseScript(cleaned))
     compiler
   }

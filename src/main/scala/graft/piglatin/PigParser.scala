@@ -208,7 +208,7 @@ object PigParser extends RegexParsers {
 
   private def union: Parser[Stmt] =
     (ident <~ "=" <~ kw("union")) ~ opt(kw("onschema")) ~ rep1sep(ident, ",") ^^ {
-      case a ~ _ ~ ins => Union(a, ins) }
+      case a ~ on ~ ins => Union(a, ins, on.isDefined) }
 
   private def distinctS: Parser[Stmt] =
     (ident <~ "=" <~ kw("distinct")) ~ ident ^^ {
@@ -257,7 +257,9 @@ object PigParser extends RegexParsers {
     (ident <~ "=" <~ kw("stream")) ~ ident ~
       (kw("through") ~> rep1sep(ident, ".")) ~
       opt("(" ~> repsep(expr, ",") <~ ")") ~ opt(kw("as") ~> schemaSpec) ^^ {
-      case a ~ in ~ parts ~ _ ~ _ => StreamThrough(a, in, parts.last) }
+      case a ~ in ~ parts ~ args ~ sch =>
+        StreamThrough(a, in, parts.last,
+          args.getOrElse(Nil), sch) }
 
   private def rscriptStmt: Parser[Stmt] =
     (ident <~ "=" <~ kw("rscript")) ~ ident ~ (kw("using") ~> quoted) ^^ {
@@ -267,7 +269,9 @@ object PigParser extends RegexParsers {
     kw("materialize") ~> ident ^^ Materialize.apply
 
   private def setCmd: Parser[Stmt] =
-    kw("set") ~> """[A-Za-z0-9_.]+""".r ~ (quoted | """\S+""".r) ^^ {
+    // value token must NOT swallow the statement terminator (fsCmd's
+    // character class) — `set default_parallel 5;` keeps its ';'
+    kw("set") ~> """[A-Za-z0-9_.]+""".r ~ (quoted | """[^;\s]+""".r) ^^ {
       case k ~ v => SetCmd(k, v) }
 
   // reference: op/cmd/HdfsCmd.scala — `fs -mkdir /data;` etc.
@@ -276,7 +280,7 @@ object PigParser extends RegexParsers {
       case c ~ ps => FsCmd(c, ps) }
 
   private def register: Parser[Stmt] =
-    kw("register") ~> (quoted | """\S+""".r) ^^ Register.apply
+    kw("register") ~> (quoted | """[^;\s]+""".r) ^^ Register.apply
 
   private def defineAlias: Parser[Stmt] =
     kw("define") ~> ident ~ ident ^^ { case n ~ t => DefineAlias(n, t) }
@@ -347,7 +351,9 @@ object PigParser extends RegexParsers {
     "?" ~> ident ^^ (v => Left(v)) |
     "$" ~> """\d+""".r ^^ (n => Left(s"v$n")) |
     "\"" ~> """[^"]*""".r <~ "\"" ^^ (c => Right(c)) |
-    "<" ~> """[^>]*""".r <~ ">" ^^ (c => Right(c))
+    // KEEP the angle brackets: RDFLOAD stores raw N-Triples tokens
+    // ('<urn:x>'), so a stripped constant would silently match nothing
+    "<" ~> """[^>]*""".r <~ ">" ^^ (c => Right(s"<$c>"))
 
   private def bgpFilter: Parser[Stmt] =
     (ident <~ "=" <~ kw("bgp_filter")) ~ ident ~
