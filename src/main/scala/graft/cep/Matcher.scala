@@ -52,6 +52,13 @@ object Matcher {
                mode: String = "skip_till_next_match"): DataFrame = {
     require(pattern.nonEmpty && pattern.head.isInstanceOf[Pos],
       "pattern must start with a Pos step")
+    // a trailing NEG would need "absence until the WITHIN horizon expires"
+    // semantics (delayed emission); the scan completes on the last Pos and
+    // would silently IGNORE the negation — reject the shape instead
+    require(pattern.last.isInstanceOf[Pos],
+      "pattern must end with a Pos step: a trailing Neg (absence after " +
+        "the final match) is not supported — bound it with a closing " +
+        "Pos step or post-filter the matches")
     // skip_till_any_match: a partial BRANCHES on every matching event
     // (all combinations emitted) instead of consuming only the earliest
     val anyMatch = mode == "skip_till_any_match"

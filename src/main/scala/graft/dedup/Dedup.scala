@@ -20,17 +20,32 @@ object Dedup {
     * wide and this is a no-op. */
   private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // physical partition count without the Row-encoder RDD conversion
-    // (.rdd would wrap the executed plan in a deserializer per call)
-    val parts = df.queryExecution.executedPlan.execute().getNumPartitions
-    if (parts < target) df.repartition(target) else df
+    df.queryExecution.executedPlan match {
+      // an adaptive root means the plan carries exchanges: probing it
+      // with execute() would EAGERLY run every upstream shuffle stage
+      // (AdaptiveSparkPlanExec.doExecute materializes), and that work is
+      // not reused by the later action — skip the probe; the exchange
+      // itself already yields full parallelism downstream
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        df
+      case plan =>
+        // exchange-free plans (plain scans / local relations): execute()
+        // only builds the RDD lazily, so the partition probe is free
+        val parts = plan.execute().getNumPartitions
+        if (parts < target) df.repartition(target) else df
+    }
   }
 
   // ---- exact dedup (hash groupBy) -----------------------------------------
   /** Exact dedup on normalized content: one shuffle on the md5 key, keeps
     * the smallest id per group (deterministic winner). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    widen(df).select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+    // null text is UNKNOWN content, not identical content: md5(null) is
+    // null and groupBy would pool every null-text doc into one giant
+    // "duplicate" group whose losers a curation job then deletes.
+    // (Empty strings stay — empty docs genuinely are exact duplicates.)
+    widen(df.where(col(textCol).isNotNull))
+      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
@@ -167,10 +182,20 @@ object Dedup {
   }
 
   // ---- n-gram Jaccard (set-similarity join) --------------------------------
-  /** Inverted-index set-similarity join: explode shingles, drop
-    * high-document-frequency shingles (they only generate candidate noise —
-    * a standard prefix/frequency filter), count co-occurrences per pair,
-    * then exact-Jaccard refine against the full shingle sets. */
+  /** Inverted-index set-similarity join: explode PREFIX shingles (the
+    * AllPairs filter below — lossless), drop shingles whose prefix
+    * document frequency exceeds `maxDocFreq`, count co-occurrences per
+    * pair, then exact-Jaccard refine against the full shingle sets.
+    *
+    * RECALL CAVEAT — the df ceiling is NOT lossless: a qualifying pair
+    * whose EVERY shared prefix shingle occurs in > maxDocFreq document
+    * prefixes (ubiquitous boilerplate templates) generates no candidate
+    * and is silently missed. On corpora where n-gram shingles are
+    * near-unique (this engine's oracle corpus: median df = 1) the cap
+    * only removes candidate noise; on template-heavy corpora raise
+    * `maxDocFreq` (at quadratic candidate cost for those shingles) or
+    * pre-strip the boilerplate. The same precondition is documented at
+    * the q_dedup_jaccard oracle. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.6,
                    maxDocFreq: Int = 100): DataFrame = {
@@ -335,6 +360,10 @@ object Dedup {
       // one edges join makes the per-round reach grow geometrically while
       // costing only k tiny label⋈label joins (the labels table is orders
       // of magnitude smaller than the edge set).
+      // persist: the self-join below reads afterNb on BOTH sides, and
+      // only the shuffle files — not the edges-join + aggregation that
+      // produce it — would otherwise be shared between the branches
+      afterNb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val jumped = afterNb.as("l")
         .join(afterNb.select(col("id").as("lid"), col("label").as("llabel"))
           .as("r"), col("l.label") === col("r.lid"), "left")
@@ -348,6 +377,7 @@ object Dedup {
       // convergence on the checkpointed frame — testing the raw plan would
       // evaluate the iteration's join twice per loop
       val materialized = ckpt(jumped)
+      afterNb.unpersist()
       val anyChanged = materialized.where(col("changed")).limit(1).count() > 0
       labels = materialized.select("id", "label")
       converged = !anyChanged

@@ -32,7 +32,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // a silent min-length truncation would return plausible-but-wrong
+    // similarities on a mixed-dimensionality corpus (e.g. two ingestion
+    // batches with different embedding models) — fail loudly instead
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_cosine: dimension mismatch ${x.numElements()} vs " +
+          s"${y.numElements()}")
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x.getDouble(i); val yi = y.getDouble(i)
@@ -54,7 +61,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val d = ctx.freshName("d")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        if ($a.numElements() != $b.numElements())
+          throw new IllegalArgumentException(
+            "graft_cosine: dimension mismatch " + $a.numElements() +
+            " vs " + $b.numElements());
+        int $n = $a.numElements();
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double $xi = $a.getDouble($i);

@@ -30,6 +30,14 @@ case class HyperplaneBands(child: Expression, planeSets: Seq[Seq[Seq[Double]]])
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    // truncating to min length would bucket a mixed-dimensionality vector
+    // "plausibly" and silently lose its true near-neighbours — fail loudly
+    // (same contract as graft_cosine)
+    if (planes.nonEmpty && planes.head.nonEmpty &&
+        v.length != planes.head.head.length)
+      throw new IllegalArgumentException(
+        s"graft_hyperplane_bands: vector dim ${v.length} != plane dim " +
+          s"${planes.head.head.length}")
     val out = new Array[Long](planes.length)
     var b = 0
     while (b < planes.length) {

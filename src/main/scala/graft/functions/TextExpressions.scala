@@ -105,8 +105,10 @@ case class NormalizeTextExpr(child: Expression, form: String,
           sb.appendCodePoint(cp)
         i += Character.charCount(cp)
       }
-      s = java.text.Normalizer.normalize(
-        sb.toString, java.text.Normalizer.Form.NFC)
+      // re-normalize to the REQUESTED form (NFC/NFKC re-compose; NFD/NFKD
+      // must stay decomposed — a hard-coded NFC would violate the form
+      // the caller asked for)
+      s = java.text.Normalizer.normalize(sb.toString, nf)
     }
     if (caseFold) s = s.toLowerCase(Locale.ROOT)
     UTF8String.fromString(s)

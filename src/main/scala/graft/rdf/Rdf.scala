@@ -96,7 +96,11 @@ object Rdf {
       val varCols = varPos.flatMap { case (c, v) =>
         if (seen.add(v)) Some(col(c).as(v.drop(1))) else None
       }
-      scan.select(varCols: _*)
+      // an all-constant pattern is an EXISTENCE test (SPARQL gives the
+      // empty mapping multiplicity 1): limit to one row so the crossJoin
+      // below doesn't multiply other bindings by the match count
+      if (varCols.isEmpty) scan.select().limit(1)
+      else scan.select(varCols: _*)
     }
     scans.reduceLeft { (l, r) =>
       val shared = l.columns.intersect(r.columns).toSeq

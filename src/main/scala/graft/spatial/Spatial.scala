@@ -20,9 +20,12 @@ object Spatial {
   /** Parse 'POINT (x y)' WKT into a (x, y) struct. */
   def wktPoint(wkt: Column): Column = {
     val nums = regexp_extract_all(wkt,
-      lit("""-?\d+(?:\.\d+)?(?:[eE]-?\d+)?"""), lit(0))
-    struct(element_at(nums, 1).cast(DoubleType).as("x"),
-           element_at(nums, 2).cast(DoubleType).as("y"))
+      lit("""-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"""), lit(0))
+    // malformed/truncated WKT (< 2 numbers) yields a null point, not an
+    // element_at error that would kill the whole scan on one bad row
+    when(size(nums) < 2, lit(null))
+      .otherwise(struct(element_at(nums, 1).cast(DoubleType).as("x"),
+        element_at(nums, 2).cast(DoubleType).as("y")))
   }
 
   def point(x: Column, y: Column): Column =
@@ -60,10 +63,17 @@ object Spatial {
     * array<struct<x,y>> vertex column. */
   def wktPolygon(wkt: Column): Column = {
     val nums = regexp_extract_all(wkt,
-      lit("""-?\d+(?:\.\d+)?(?:[eE]-?\d+)?"""), lit(0))
-    transform(sequence(lit(1), (size(nums) / 2).cast(IntegerType)), i =>
-      struct(element_at(nums, i * 2 - 1).cast(DoubleType).as("x"),
-             element_at(nums, i * 2).cast(DoubleType).as("y")))
+      lit("""-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"""), lit(0))
+    val nPts = (size(nums) / 2).cast(IntegerType)
+    // sequence(1, 0) would be the DESCENDING [1, 0] and element_at(_, 0)
+    // throws — malformed WKT must give an empty ring, not a dead job
+    when(nPts < 1,
+        array().cast(ArrayType(StructType(Seq(
+          StructField("x", DoubleType), StructField("y", DoubleType))))))
+      .otherwise(
+        transform(sequence(lit(1), nPts), i =>
+          struct(element_at(nums, i * 2 - 1).cast(DoubleType).as("x"),
+                 element_at(nums, i * 2).cast(DoubleType).as("y"))))
   }
 
   /** Axis-aligned bounding box of a polygon column. */
@@ -80,8 +90,10 @@ object Spatial {
   def containsPoint(poly: Column, pt: Column): Column = {
     val x = pt.getField("x"); val y = pt.getField("y")
     val n = size(poly)
+    // empty polygon: sequence(0, -1) would be descending — contains nothing
     val crossings = aggregate(
-      sequence(lit(0), n - 1), lit(0),
+      when(n < 1, array().cast(ArrayType(IntegerType)))
+        .otherwise(sequence(lit(0), n - 1)), lit(0),
       (acc, i) => {
         val vi = element_at(poly, i + 1)
         val vj = element_at(poly, pmod(i + 1, n) + 1)
