@@ -58,7 +58,11 @@ object Bench {
         spark.sqlContext.clearCache()
         if (ok) Some(dt) else None
       }
-      name -> (if (times.isEmpty) None else Some(times.sorted.apply(times.size / 2)))
+      // LOWER median on even counts: when one of 3 runs fails, picking
+      // the upper of the surviving 2 would record the worst sample on a
+      // host with documented 10-60x per-query swings
+      name -> (if (times.isEmpty) None
+               else Some(times.sorted.apply((times.size - 1) / 2)))
     }
     val succeeded = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }

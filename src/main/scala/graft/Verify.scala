@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop this query's pinned MEMORY_AND_DISK intermediates before the
+      // next one starts (Intermediates' contract; Bench does the same) —
+      // ~95 queries of dead cache blocks would otherwise pile up
+      finally graft.core.Intermediates.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -229,19 +229,21 @@ object Multimodal {
     assets.filter(_.modality == "video").mapPartitions { it =>
       it.flatMap { a =>
         val n = math.max(1L, a.durationMs / everyMs).toInt
+        // ONE per-asset payload copy: appending the frame index to the
+        // payload per frame would churn n × |payload| transient bytes
+        // (a 1 MB payload at n=10000 frames = ~10 GB of allocations)
+        val base = a.payload
+        val buf = java.util.Arrays.copyOf(base, base.length + 8)
         (0 until n).iterator.map { fi =>
-          val (w, h, f) = decoder.decode(a.payload ++ BigInt(fi).toByteArray)
+          var v = fi.toLong; var i = 0
+          while (i < 8) { buf(base.length + i) = (v & 0xff).toByte
+            v >>= 8; i += 1 }
+          val (w, h, f) = decoder.decode(buf)
           DecodedFrame(a.id, fi, w, h, f)
         }
       }
     }.toDF()
   }
-
-  /** Resize = metadata transform only (real resize happens at decode in the
-    * batched path; the plan-level contract is that payload bytes pass
-    * through untouched and un-shuffled). */
-  def resizeMeta(df: DataFrame, w: Int, h: Int): DataFrame =
-    df.withColumn("width", lit(w)).withColumn("height", lit(h))
 
   /** REAL distributed image resize: payloads re-encoded per-partition
     * (Graphics2D bilinear → PNG), never shuffled — the narrow map stays in

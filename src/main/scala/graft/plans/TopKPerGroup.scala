@@ -127,6 +127,9 @@ object TopK {
   /** Top-k rows per group, planned through the custom operator. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column],
                    orderCols: Seq[Column], k: Int): DataFrame = {
+    // k = 0 would reach boundedTopK's heap with an always-false size
+    // guard and die executor-side on heap.head of an empty queue
+    require(k > 0, s"topKPerGroup requires k > 0, got $k")
     register(df.sparkSession)
     val g = groupCols.map(GraftColumnBridge.catalystExpression)
     val o = orderCols.map(GraftColumnBridge.catalystExpression).map {

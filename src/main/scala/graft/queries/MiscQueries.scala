@@ -21,8 +21,11 @@ object MiscQueries {
   private def deriveDir = "/root/repo/target/graft-data"
   /** Headerless csv for PigStorage LOAD coverage. */
   private def ensurePigCsv(s: SparkSession, dir: String): Unit = synchronized {
-    val f = new java.io.File(s"$deriveDir/pig_region")
-    if (!f.exists()) {
+    // guard on the _SUCCESS marker, not the directory: a crash mid-write
+    // leaves the dir present with partial data, which would wedge every
+    // later run (same hardening as RelationalQueries.ensureDerived)
+    val ok = new java.io.File(s"$deriveDir/pig_region/_SUCCESS")
+    if (!ok.exists()) {
       t(s, dir, "region").coalesce(1).write.mode("overwrite")
         .option("header", "false").csv(s"$deriveDir/pig_region")
     }

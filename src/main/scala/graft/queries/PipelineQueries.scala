@@ -568,12 +568,14 @@ object PipelineQueries {
                   END AS INTEGER) AS code
            FROM m""",
       "q_dedup_exact" ->
+        // text IS NOT NULL mirrors Dedup.exact's guard (null text is
+        // unknown content, not identical content)
         """WITH planted AS (
              SELECT doc_id, text FROM documents
              UNION ALL SELECT doc_id + 1000000, text FROM documents)
            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
                   min(doc_id) AS keep_id, count(*) AS dup_cnt
-           FROM planted GROUP BY 1""",
+           FROM planted WHERE text IS NOT NULL GROUP BY 1""",
       "q_dedup_minhash" -> jaccardPairsSql(n = 3, threshold = 0.5),
       "q_dedup_jaccard" -> jaccardPairsSql(n = 5, threshold = 0.5),
       "q_dedup_simhash" -> simhashPairsSql(maxDist = 3),

@@ -123,7 +123,10 @@ object MiniR {
         else if (peek == '(') {
           pos += 1; val v = expr(); ws()
           if (peek != ')') fail("expected )"); pos += 1; v
-        } else if (peek.isDigit || peek == '.') number()
+        } else if (peek.isDigit ||
+            (peek == '.' && pos + 1 < src.length && src(pos + 1).isDigit))
+          number()
+        // dot-LEADING names ('.m', '.Machine') are idiomatic R identifiers
         else if (peek.isLetter || peek == '.') identOrCall()
         else fail(s"unexpected '$peek'")
       postfix(base)
