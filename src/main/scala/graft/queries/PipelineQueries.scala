@@ -139,6 +139,29 @@ object PipelineQueries {
         TextOps.normalizeText(planted, "NFC",
           stripAccents = true, caseFold = true).as("norm"))
     }),
+    // -- the composed end-to-end curation flagship: canonicalize → quality
+    //    gate → exact dedup → benchmark decontamination → per-language
+    //    quota sample. Every stage is an already-oracled operator; this
+    //    query proves they COMPOSE into the pipeline the engine exists
+    //    for, and the oracle replays the whole chain in one SQL.
+    "q_curation_pipeline" -> ((s, dir) => {
+      import graft.core.Pipe
+      val norm = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextOps.normalizeText(col("text"), "NFC",
+          stripAccents = true, caseFold = true).as("norm"))
+      val gated = norm.where(TextOps.tokenCount(col("norm")) >= 5)
+      val winners = Dedup.exact(gated, "doc_id", "norm")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = gated.join(winners, "doc_id")
+      val bench = gated.where(col("doc_id") % 20 === 3)
+        .select(col("doc_id").as("bench_id"), col("norm"))
+      val corpus = deduped.where(col("doc_id") % 20 =!= 3)
+      val clean = graft.text.Decontaminate.clean(corpus, "doc_id", "norm",
+        bench, "bench_id", "norm", n = 8)
+      Pipe(clean).stratifiedSampleByHash(col("lang"),
+          Map("en" -> 40), defaultPercent = 80, col("doc_id"))
+        .generate(col("doc_id"), col("lang")).df
+    }),
     "q_embed_quantize" -> ((s, dir) => {
       // int8 scalar quantization, unnested per position so the oracle
       // hash-compares codes AND the (vmin, vscale) doubles — identical
@@ -543,6 +566,48 @@ object PipelineQueries {
            FROM tok""",
       "q_lang_id" -> langIdSql,
       "q_decontaminate" -> decontaminateSql(n = 8),
+      // the full chain, each stage the already-verified oracle fragment:
+      // canonicalize (nfc/strip/lower) → ≥5-token gate → min-id winner
+      // per md5 fingerprint → 8-gram overlap removal vs the % 20 = 3
+      // bench slice → per-language md5-bucket quota
+      "q_curation_pipeline" ->
+        """WITH norm AS (
+             SELECT doc_id, lang,
+               lower(strip_accents(nfc_normalize(text))) AS norm
+             FROM documents),
+           gated AS (
+             SELECT * FROM norm WHERE norm IS NOT NULL AND
+               len(list_filter(string_split_regex(norm, '\s+'),
+                   x -> x <> '')) >= 5),
+           winners AS (
+             SELECT min(doc_id) AS doc_id FROM gated
+             GROUP BY md5(lower(regexp_replace(trim(norm), '\s+', ' ', 'g')))),
+           deduped AS (SELECT g.* FROM gated g JOIN winners USING (doc_id)),
+           bench AS (SELECT doc_id AS bench_id, norm FROM gated
+                     WHERE doc_id % 20 = 3),
+           corpus AS (SELECT * FROM deduped WHERE doc_id % 20 <> 3),
+           cg AS (SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 6),
+                         i -> array_to_string(toks[i:i+7], ' ')) END)) AS g
+                  FROM (SELECT doc_id,
+                          list_filter(string_split_regex(norm, '\s+'),
+                            x -> x <> '') AS toks
+                        FROM corpus WHERE length(trim(norm)) > 0)),
+           bg AS (SELECT bench_id, unnest(list_distinct(
+                    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 6),
+                         i -> array_to_string(toks[i:i+7], ' ')) END)) AS g
+                  FROM (SELECT bench_id,
+                          list_filter(string_split_regex(norm, '\s+'),
+                            x -> x <> '') AS toks
+                        FROM bench WHERE length(trim(norm)) > 0)),
+           clean AS (
+             SELECT * FROM corpus WHERE doc_id NOT IN (
+               SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.g = bg.g))
+           SELECT doc_id, lang FROM clean
+           WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+             < CASE WHEN lang = 'en' THEN 40 ELSE 80 END""",
       // same op order as NormalizeTextExpr: NFC → strip accents → fold
       "q_normalize" ->
         """SELECT doc_id,
