@@ -113,7 +113,10 @@ object Ast {
   final case class SocketWrite(in: String, address: String,
                                mode: String) extends Stmt
 
-  final case class RdfLoad(alias: String, uri: String) extends Stmt
+  /** grouped: RDFLOAD('f') grouped on subject|predicate|object — the
+    * reference's pre-grouped triple layout (col, stmts:{(other, other)}). */
+  final case class RdfLoad(alias: String, uri: String,
+                           grouped: Option[String] = None) extends Stmt
   final case class TuplifyStmt(alias: String, in: String, on: Expr) extends Stmt
   /** Triple pattern term: Left(varName) for ?v / $n, Right(const). */
   final case class TriplePat(s: Either[String, String],

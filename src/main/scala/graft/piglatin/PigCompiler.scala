@@ -805,12 +805,20 @@ class PigCompiler(spark: SparkSession) {
       else push(df)
 
     // ---- RDF (reference: op/RDFLoad/Tuplify/BGPFilter.scala) ---------------
-    case RdfLoad(a, uri) =>
+    case RdfLoad(a, uri, grouped) =>
       // the DIALECT keeps raw N-Triples tokens (reference groupforeach/
       // nforeach2 truths filter on bracketed IRIs); the graft API's
       // loadNTriples is the cleaned variant
-      env(a) = Rel(() => graft.rdf.Rdf.loadNTriplesRaw(spark, uri)
-        .toDF("subject", "predicate", "object"))
+      val plain = () => graft.rdf.Rdf.loadNTriplesRaw(spark, uri)
+        .toDF("subject", "predicate", "object")
+      env(a) = Rel(() => grouped match {
+        case None => plain()
+        // reference RDFLoad.groupedSchemas: (col, stmts:{(otherA, otherB)})
+        case Some(g) =>
+          val others = Seq("subject", "predicate", "object").filterNot(_ == g)
+          plain().groupBy(col(g)).agg(collect_list(
+            struct(others.map(col): _*)).as("stmts"))
+      })
 
     case TuplifyStmt(a, in, on) =>
       val df = relation(in)

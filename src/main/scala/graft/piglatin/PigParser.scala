@@ -246,7 +246,9 @@ object PigParser extends RegexParsers {
       case a ~ in ~ items => Accumulate(a, in, items) }
 
   private def intersection: Parser[Stmt] =
-    (ident <~ "=" <~ kw("intersect")) ~ ident ~ ("," ~> ident) ^^ {
+    // the reference spells it INTERSECTION; accept the short form too
+    (ident <~ "=" <~ (kw("intersection") | kw("intersect"))) ~
+      ident ~ ("," ~> ident) ^^ {
       case a ~ l ~ r => IntersectStmt(a, l, r) }
 
   private def difference: Parser[Stmt] =
@@ -340,8 +342,10 @@ object PigParser extends RegexParsers {
     }
 
   private def rdfLoad: Parser[Stmt] =
-    (ident <~ "=" <~ kw("rdfload")) ~ ("(" ~> quoted <~ ")") ^^ {
-      case a ~ uri => RdfLoad(a, uri) }
+    (ident <~ "=" <~ kw("rdfload")) ~ ("(" ~> quoted <~ ")") ~
+      opt(kw("grouped") ~> kw("on") ~>
+        (kw("subject") | kw("predicate") | kw("object"))) ^^ {
+      case a ~ uri ~ g => RdfLoad(a, uri, g) }
 
   private def tuplify: Parser[Stmt] =
     (ident <~ "=" <~ kw("tuplify")) ~ ident ~ (kw("on") ~> (fieldRef | posRef)) ^^ {

@@ -114,6 +114,30 @@ class FrontEndFixSpec extends SparkSpec {
     assert(out.select("name").as[String].collect().toSeq == Seq("alice"))
   }
 
+  test("RDFLOAD grouped on yields the reference's (col, stmts) layout") {
+    val nt = java.nio.file.Files.createTempFile("graft-rdfg", ".nt")
+    java.nio.file.Files.writeString(nt,
+      """<urn:a> <urn:name> "alice" .
+        |<urn:a> <urn:age> "30" .
+        |<urn:b> <urn:name> "bob" .
+        |""".stripMargin)
+    val out = PigScript.query(spark,
+      s"t = RDFLOAD('$nt') grouped on subject;", "t")
+    assert(out.columns.toSeq == Seq("subject", "stmts"))
+    val a = out.where(col("subject") === "<urn:a>")
+      .select(size(col("stmts"))).as[Int].head()
+    assert(a == 2)
+    assert(out.count() == 2)
+  }
+
+  test("INTERSECTION statement accepts the reference's full spelling") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(2, 3, 4).toDF("x")
+    val out = PigScript.query(spark, "c = INTERSECTION a, b;", "c",
+      tables = Map("a" -> a, "b" -> b))
+    assert(out.as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
   test("parameter substitution respects identifier boundaries ($p vs $p2)") {
     val df = Seq(1, 5, 10, 52).toDF("x")
     // iteration order of the params map must not matter

@@ -32,4 +32,42 @@ class ParseCompatSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
     assert(pigs.size == 61) // guard against an empty directory passing
   }
+
+  test("every keyword in the reference grammar is handled by graft's parser") {
+    import java.nio.file.{Files, Paths}
+    val refSrc = Files.readString(Paths.get(
+      "/root/reference/src/main/scala/dbis/piglet/parser/PigParser.scala"))
+    // the reference binds each keyword as `xKeyword = "word".ignoreCase`
+    val refKw = """[A-Za-z]+Keyword\s*:?[^=\n]*=\s*"([a-z_ ]+)"""".r
+      .findAllMatchIn(refSrc).map(_.group(1)).toSet
+    val graftSrc = Files.readString(Paths.get(
+      "src/main/scala/graft/piglatin/PigParser.scala"))
+    val graftKw = """kw\("([a-z_]+)"\)""".r
+      .findAllMatchIn(graftSrc).map(_.group(1)).toSet
+    // keywords graft handles through a DIFFERENT mechanism than kw():
+    val elsewhere = Set(
+      // type names: schemaSpec idents → PigCompiler.sparkType
+      "int", "long", "float", "double", "chararray", "bytearray",
+      "boolean", "map", "tuple", "bag", "timestamp",
+      // spatial predicates arrive as funcCall names (containedby/...)
+      "contains", "intersects",
+      // index/partition method names are idents in indexClause (grid/
+      // rtree/bsp), as are their flag params
+      "grid", "rtree", "bsp", "pointsonly",
+      // DEFINE ... RETURNS macros are textually expanded (PigScript)
+      "returns",
+      // CEP match modes and socket zmq mode parse as plain idents after
+      // the MODE keyword
+      "skip_till_any_match", "first_match", "recent_match",
+      "cognitive_match", "zmq",
+      // multi-word RDFLOAD clause: parsed as kw(grouped) kw(on) kw(pos)
+      "grouped on",
+      // literals / misc parsed structurally
+      "true", "false", "if", "asc", "desc", "mode")
+    val missing = refKw -- graftKw -- elsewhere
+    assert(missing.isEmpty,
+      s"reference grammar keywords graft's parser never mentions: " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+    assert(refKw.size > 60, s"suspiciously few reference keywords: ${refKw.size}")
+  }
 }
