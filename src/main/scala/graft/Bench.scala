@@ -62,19 +62,24 @@ object Bench {
       // the upper of the surviving 2 would record the worst sample on a
       // host with documented 10-60x per-query swings
       name -> (if (times.isEmpty) None
-               else Some(times.sorted.apply((times.size - 1) / 2)))
+               else Some((times.sorted.apply((times.size - 1) / 2), times.size)))
     }
     val succeeded = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
-    val qs = succeeded.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = succeeded.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query successful-run counts, so a 2-run lower-median row is
+    // distinguishable from a true 3-run median in the published ledger
+    val runsJson = succeeded.map { case (k, (_, n)) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     // total = successful medians only; failures are listed, not summed
     // (the old -1.0 sentinel made a failing run look FASTER than a clean one)
-    val total = succeeded.map(_._2).sum
+    val total = succeeded.map(_._2._1).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,"runs_per_query":$Runs,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"runs_per_query":$Runs,""" +
+        s""""query_runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)

@@ -35,6 +35,16 @@ object Matcher {
 
   def typeIs(t: String): Event => Boolean = _.etype == t
 
+  /** Modes with an engine behind them. The reference grammar
+    * (parser/PigParser.scala:886-910) also accepts `recent_match` /
+    * `cognitive_match`, but its engine factory throws "The Strategy is
+    * not supported" for both (ceplib ops/EngineConf.scala:16; the
+    * RecentMatch enum value has no engine class and CognitiveMatches is
+    * not even an enum value) — so graft fails fast at the same point
+    * rather than silently aliasing to another mode. */
+  val supportedModes: Set[String] =
+    Set("skip_till_next_match", "skip_till_any_match", "first_match")
+
   /** Match a SEQ pattern per key over an event DataFrame.
     *
     * Semantics: skip-till-next-match — every event satisfying step 0 opens
@@ -45,6 +55,15 @@ object Matcher {
     * shared between partials, so two starts can complete on the same
     * closing event; all matched events lie within `withinMicros` of the
     * start.
+    *
+    * `first_match` (reference ceplib engines/FirstMatch.scala): at most
+    * ONE live partial per key — the first event matching step 0 opens it,
+    * step-0 events arriving while it is live are ignored, and on
+    * completion it is emitted and the slot frees for the NEXT event
+    * (the completing event cannot itself re-open, mirroring the
+    * reference's entry-time pool-emptiness check). WITHIN expiry and NEG
+    * kills free the slot first, so the killing event may open a new
+    * partial.
     */
   def matchSeq(events: DataFrame, keyCol: String, tsCol: String,
                typeCol: String, idCol: String, valueCol: String,
@@ -59,9 +78,14 @@ object Matcher {
       "pattern must end with a Pos step: a trailing Neg (absence after " +
         "the final match) is not supported — bound it with a closing " +
         "Pos step or post-filter the matches")
+    require(supportedModes.contains(mode),
+      s"unsupported MATCH_EVENT mode '$mode' — supported: " +
+        supportedModes.toSeq.sorted.mkString(", ") +
+        " (the reference engine also rejects recent_match/cognitive_match)")
     // skip_till_any_match: a partial BRANCHES on every matching event
     // (all combinations emitted) instead of consuming only the earliest
     val anyMatch = mode == "skip_till_any_match"
+    val firstMatch = mode == "first_match"
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -110,6 +134,11 @@ object Matcher {
             }
             alive
           }
+          // first_match entry check: the slot is "free" only if no partial
+          // survived expiry/NEG above — an event completing the live
+          // partial below must NOT re-open on itself (reference
+          // FirstMatch.runEngine tests pool emptiness before processing)
+          val slotFree = open.isEmpty
           // next_match: every open partial advances on its earliest
           // matching event; any_match: it forks instead, staying open
           val forked = ArrayBuffer.empty[Partial]
@@ -132,8 +161,9 @@ object Matcher {
           }
           open.filterInPlace(p => p.ids.length < nPos)
           open ++= forked
-          // step 0 opens a new partial (overlapping starts allowed)
-          if (pattern.head.asInstanceOf[Pos].pred(e)) {
+          // step 0 opens a new partial (overlapping starts allowed;
+          // first_match: only into a free slot)
+          if ((!firstMatch || slotFree) && pattern.head.asInstanceOf[Pos].pred(e)) {
             if (nPos == 1)
               out.enqueue(MatchResult(e.key, Seq(e.id), e.tsMicros, e.tsMicros))
             else

@@ -61,6 +61,20 @@ object EventQueries {
                element_at(col("ids"), 1).as("start_id"),
                element_at(col("ids"), 2).as("next_id"))
     }),
+    // -- CEP first_match (#41): single-slot automaton — one live partial
+    //    per user, new signups ignored while it waits, slot frees on
+    //    completion/expiry (reference ceplib engines/FirstMatch.scala) ------
+    "q_cep_first" -> ((s, dir) => {
+      val m = Matcher.matchSeq(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", "value",
+        Seq(Matcher.Pos(Matcher.typeIs("signup")),
+            Matcher.Pos(Matcher.typeIs("purchase"))),
+        withinMicros = 3600L * 1000000L,
+        mode = "first_match")
+      m.select(col("key").as("user_id"),
+               element_at(col("ids"), 1).as("start_id"),
+               element_at(col("ids"), 2).as("next_id"))
+    }),
     // -- as-of join: latest purchase at-or-before each click, per user ------
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -153,6 +167,60 @@ object EventQueries {
                WHERE n.user_id = a.user_id AND n.event_type = 'error'
                  AND n.ts > a.ts AND n.ts < b.ts))
          SELECT user_id, start_id, next_id FROM cand WHERE rn = 1""",
+    // Independent replay of the first_match single-slot automaton as a
+    // lockstep recursive scan. Only signup/purchase events can change the
+    // slot state (an other-typed arrival's expiry effect is observable
+    // only at the NEXT signup/purchase arrival, where the same expiry
+    // test re-fires), so the stream is pre-filtered to those two types.
+    // A purchase strictly after the open signup either completes (within
+    // 1 h -> emit) or expires the slot — both free it; a signup opens the
+    // slot when free or expired, and is ignored while one is live.
+    "q_cep_first" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+                  epoch_us(ts) AS tsu, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events WHERE event_type IN ('signup', 'purchase')
+         ),
+         scan AS (
+           SELECT user_id, 0 AS rn,
+                  CAST(NULL AS BIGINT) AS open_id,
+                  CAST(NULL AS BIGINT) AS open_ts,
+                  CAST(NULL AS BIGINT) AS emit_start,
+                  CAST(NULL AS BIGINT) AS emit_next
+           FROM (SELECT DISTINCT user_id FROM ev)
+           UNION ALL
+           SELECT e.user_id, e.rn,
+             CASE WHEN e.event_type = 'purchase' THEN
+                    CASE WHEN s.open_id IS NOT NULL AND e.tsu > s.open_ts
+                         THEN NULL ELSE s.open_id END
+                  ELSE
+                    CASE WHEN s.open_id IS NULL
+                           OR e.tsu - s.open_ts > 3600000000
+                         THEN e.event_id ELSE s.open_id END
+             END AS open_id,
+             CASE WHEN e.event_type = 'purchase' THEN
+                    CASE WHEN s.open_id IS NOT NULL AND e.tsu > s.open_ts
+                         THEN NULL ELSE s.open_ts END
+                  ELSE
+                    CASE WHEN s.open_id IS NULL
+                           OR e.tsu - s.open_ts > 3600000000
+                         THEN e.tsu ELSE s.open_ts END
+             END AS open_ts,
+             CASE WHEN e.event_type = 'purchase' AND s.open_id IS NOT NULL
+                    AND e.tsu > s.open_ts
+                    AND e.tsu - s.open_ts <= 3600000000
+                  THEN s.open_id END AS emit_start,
+             CASE WHEN e.event_type = 'purchase' AND s.open_id IS NOT NULL
+                    AND e.tsu > s.open_ts
+                    AND e.tsu - s.open_ts <= 3600000000
+                  THEN e.event_id END AS emit_next
+           FROM scan s JOIN ev e
+             ON e.user_id = s.user_id AND e.rn = s.rn + 1
+         )
+         SELECT user_id, emit_start AS start_id, emit_next AS next_id
+         FROM scan WHERE emit_start IS NOT NULL""",
     // DuckDB's native ASOF JOIN is the oracle for the engine's
     // union+running-window formulation — two independent algorithms,
     // same contract. (user_id, ts) is unique in this data, so the pick
@@ -173,8 +241,8 @@ object EventQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
          )
          SELECT event_id, user_id,
-           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS UNBOUNDED PRECEDING) AS session_idx
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
          FROM g""",
     "q_interval_join" ->
       """SELECT s.event_id AS win_id, c.event_id AS click_id

@@ -315,13 +315,16 @@ object RelationalQueries {
       """SELECT event_type, user_id % 10 AS cohort, COUNT(*) AS cnt,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY CUBE (event_type, cohort)""",
+    // CAST each count_if to BIGINT: DuckDB's count_if yields HUGEINT,
+    // which pandas materializes as float64 and breaks the driver's
+    // value hash against Spark's LongType (values are identical)
     "q_pivot" ->
       """SELECT user_id,
-           count_if(event_type = 'click') AS click,
-           count_if(event_type = 'view') AS view,
-           count_if(event_type = 'purchase') AS purchase,
-           count_if(event_type = 'signup') AS signup,
-           count_if(event_type = 'error') AS error
+           CAST(count_if(event_type = 'click') AS BIGINT) AS click,
+           CAST(count_if(event_type = 'view') AS BIGINT) AS view,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count_if(event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count_if(event_type = 'error') AS BIGINT) AS error
          FROM events GROUP BY user_id""",
     // exact replica of sampleByHash: same key encoding (0x1F-joined
     // strings, nulls → 0x1E — both keys here are non-null NOT NULL ints,

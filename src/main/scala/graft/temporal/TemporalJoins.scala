@@ -159,7 +159,7 @@ object TemporalJoins {
     * exchange or sort and no full-partition buffering. */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  gapMicros: Long, out: String = "session_idx"): DataFrame = {
-    reserveCols(events.columns, Seq("__new_session"))
+    reserveCols(events.columns, Seq("__new_session", out))
     val t = events.schema(tsCol).dataType match {
       case TimestampType => unix_micros(col(tsCol))
       case _ => col(tsCol).cast("long")

@@ -53,14 +53,20 @@ object Decontaminate {
   }
 
   /** The complement pass: the corpus with contaminated docs REMOVED — the
-    * actual curation output. One broadcast anti-join against the flagged
-    * ids (the report is small relative to the corpus).
+    * actual curation output. One anti-join against the flagged ids.
+    *
+    * Deliberately NO `broadcast()` hint: `flagged` is normally tiny, but
+    * it is "corpus docs sharing ≥1 benchmark n-gram" — on a template-heavy
+    * corpus or a large eval union it is O(corpus) in the worst case, and a
+    * forced hint overrides Spark's size check (driver OOM at scale, not a
+    * slow job). AQE sees the runtime size of the flagged side and picks
+    * broadcast itself exactly when it is safe.
     */
   def clean(corpus: DataFrame, idCol: String, textCol: String,
             bench: DataFrame, benchIdCol: String, benchTextCol: String,
             n: Int = 8, minHits: Long = 1L): DataFrame = {
     val flagged = report(corpus, idCol, textCol,
       bench, benchIdCol, benchTextCol, n, minHits).select(col(idCol))
-    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+    corpus.join(flagged, Seq(idCol), "left_anti")
   }
 }

@@ -499,4 +499,24 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("clean's anti-join carries no forced broadcast hint (worst case: " +
+    "flagged is O(corpus)) and survives a majority-contaminated corpus") {
+    // every doc except one embeds a bench gram -> flagged ~ corpus-sized
+    val big = (0L until 50L).map(i => (i, s"a b c d e f g h tail$i"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "p q r s t u v w x y z a1 b2 c3")).toDF("doc_id", "text"))
+    val cleaned = Decontaminate.clean(big, "doc_id", "text",
+      bench, "bid", "btext", n = 8)
+    assert(cleaned.select("doc_id").as[Long].collect().toSet == Set(99L))
+    // the anti-join itself must carry no broadcast hint on the flagged
+    // side (report's bench-gram broadcast deeper in the tree is fine);
+    // AQE may still CHOOSE broadcast from runtime stats
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val anti = cleaned.queryExecution.optimizedPlan.collectFirst {
+      case j: Join if j.joinType == LeftAnti => j
+    }.get
+    assert(anti.hint.rightHint.isEmpty, anti.hint)
+  }
 }

@@ -42,6 +42,21 @@ for name in sorted(os.listdir(outdir)):
     b = b.sort_values(by=list(b.columns), ignore_index=True)
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        # Dtype-strict pass: the driver hashes string-rendered values, so a
+        # float64 oracle column (e.g. DuckDB HUGEINT -> pandas float64) vs a
+        # Spark int64 column hashes "1.0" vs "1" and fails even when values
+        # match. Emulate by comparing numpy dtype *kinds* (int vs float vs
+        # object vs datetime); int width differences are invisible to the
+        # driver's hash and stay tolerated.
+        def kinds(df):
+            return ["i" if d.kind in ("i", "u") else d.kind for d in df.dtypes]
+        if kinds(a) != kinds(b):
+            bad_cols = [(c, str(da), str(db)) for c, da, db
+                        in zip(a.columns, a.dtypes, b.dtypes)
+                        if ("i" if da.kind in ("i", "u") else da.kind)
+                        != ("i" if db.kind in ("i", "u") else db.kind)]
+            results[name] = f"DTYPE MISMATCH (driver hash would fail): {bad_cols}"
+            continue
         results[name] = "OK"
     except AssertionError as e:
         results[name] = "VALUE MISMATCH: " + str(e).split("\n")[0]
