@@ -134,8 +134,12 @@ object Ast {
   final case class SpatialJoinStmt(alias: String, left: String, right: String,
                                    pred: FuncCall) extends Stmt
   /** c = PARTITION b ON geom USING grid(...) (reference op/Partition). */
+  /** PARTITION in ON field [USING grid(...)|bsp(...)] — params are raw
+    * `k=v` or positional value strings (reference partitionMethod). */
   final case class PartitionStmt(alias: String, in: String,
-                                 geomField: String) extends Stmt
+                                 geomField: String,
+                                 method: String = "grid",
+                                 params: Seq[String] = Nil) extends Stmt
   /** b = ZIP a WITH INDEX (reference zipWithIndexStmt). */
   final case class ZipIndexStmt(alias: String, in: String) extends Stmt
   /** b = ZIP a, c, d — positional zip of ≥2 relations (reference
@@ -157,9 +161,11 @@ object Ast {
     * minimize unless flagged MAX). */
   final case class SkylineStmt(alias: String, in: String,
                                dims: Seq[(String, Boolean)]) extends Stmt
-  /** VISUALIZE a BY field INTO 'img.png' [WITH POINTSIZE n] AS (w, h)
-    * (reference op/Visualize.scala). */
+  /** VISUALIZE a BY field INTO 'img.png' [WITH POINTSIZE n] [POINTSONLY]
+    * AS (w, h) (reference op/Visualize.scala; POINTSONLY keyword at
+    * parser/PigParser.scala:973 — uniform dots, no density shading). */
   final case class VisualizeStmt(in: String, field: Expr, path: String,
                                  pointSize: Option[Int], width: Int,
-                                 height: Int) extends Stmt
+                                 height: Int,
+                                 pointsOnly: Boolean = false) extends Stmt
 }

@@ -983,22 +983,46 @@ class PigCompiler(spark: SparkSession) {
       env(a) = Rel(() => graft.core.Pipe(df).skyline(
         dims.map(_._1), maximize = dims.filter(_._2).map(_._1).toSet).df)
 
-    case VisualizeStmt(in, field, path, ps, w, h) =>
+    case VisualizeStmt(in, field, path, ps, w, h, pointsOnly) =>
       val df = relation(in)
       graft.spatial.Visualize.scatter(df, compileExpr(df, field), path,
-        w, h, ps.getOrElse(1))
+        w, h, ps.getOrElse(1), pointsOnly)
 
-    case PartitionStmt(a, in, geomField) =>
-      // partitioning is PHYSICAL: co-locate by grid cell but keep the
+    case PartitionStmt(a, in, geomField, method, params) =>
+      // partitioning is PHYSICAL: co-locate spatially but keep the
       // visible schema unchanged (the reference's Partitioner returns the
-      // same tuples; spatialpartitioning.pig STOREs the relation as-is).
-      // repartition BY EXPRESSION — no helper column is ever added, so a
-      // pre-existing field named "cell" survives untouched
+      // same tuples; spatialpartitioning.pig STOREs the relation as-is)
       val df = relation(in)
-      env(a) = Rel(() => df.repartition(
-        spark.sparkContext.defaultParallelism,
-        graft.spatial.Spatial.cellId(
-          df(geomField), cellSize = 1.0)))
+      val kv = params.flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k.toLowerCase -> v)
+        case _ => None
+      }).toMap
+      val positional = params.filterNot(_.contains("="))
+      method match {
+        case "grid" =>
+          // partitionsPerDimension=n -> n^2 target partitions (reference
+          // SpatialGridPartitioner); default: cluster parallelism.
+          // repartition BY EXPRESSION — no helper column is ever added,
+          // so a pre-existing field named "cell" survives untouched
+          val nParts = kv.get("partitionsperdimension")
+            .orElse(positional.headOption).map(_.toDouble.toInt)
+            .map(n => n * n)
+            .getOrElse(spark.sparkContext.defaultParallelism)
+          env(a) = Rel(() => df.repartition(nParts,
+            graft.spatial.Spatial.cellId(df(geomField), cellSize = 1.0)))
+        case "bsp" =>
+          // reference: STARK BSPartitioner(rdd, sideLength,
+          // maxCostPerPartition, pointsOnly) — named or positional params
+          val side = kv.get("sidelength").orElse(positional.headOption)
+            .map(_.toDouble).getOrElse(1.0)
+          val maxCost = kv.get("maxcostperpartition")
+            .orElse(positional.lift(1)).map(_.toDouble.toLong)
+            .getOrElse(1000L)
+          env(a) = Rel(() => graft.spatial.Spatial.bspPartition(
+            df, geomField, side, maxCost))
+        case other => sys.error(
+          s"unsupported PARTITION method '$other' (supported: grid, bsp)")
+      }
   }
 
   private def isGroupRef(e: Expr): Boolean = e match {

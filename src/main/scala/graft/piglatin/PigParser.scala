@@ -430,16 +430,30 @@ object PigParser extends RegexParsers {
     kw("visualize") ~> ident ~ (kw("by") ~> (fieldRef | posRef)) ~
       (kw("into") ~> quoted) ~
       opt(kw("with") ~> kw("pointsize") ~> number) ~
+      opt(kw("pointsonly")) ~
       (kw("as") ~> "(" ~> number ~ ("," ~> number) <~ ")") ^^ {
-      case in ~ f ~ path ~ ps ~ (w ~ h) =>
+      case in ~ f ~ path ~ ps ~ po ~ (w ~ h) =>
         VisualizeStmt(in, f, path, ps.map(_.toDouble.toInt),
-          w.toDouble.toInt, h.toDouble.toInt)
+          w.toDouble.toInt, h.toDouble.toInt, pointsOnly = po.isDefined)
     }
 
+  /** One `k=v` or bare-value param of a PARTITION method (reference
+    * accepts both: `grid(partitionsPerDimension=4)` in its IT scripts,
+    * positional constructor args in its codegen templates). */
+  private def partitionParam: Parser[String] =
+    (ident ~ "=" ~ (number | ident | quoted) ^^ {
+      case k ~ _ ~ v => s"$k=$v" }) | number | ident | quoted
+
   private def partitionStmt: Parser[Stmt] =
-    (ident <~ "=" <~ kw("partition")) ~ ident ~ (kw("on") ~> fieldRef) <~
-      opt(indexClause) ^^ {
-      case a ~ in ~ FieldRef(p) => PartitionStmt(a, in, p.mkString(".")) }
+    (ident <~ "=" <~ kw("partition")) ~ ident ~ (kw("on") ~> fieldRef) ~
+      opt(kw("using") ~> ident ~
+        opt("(" ~> repsep(partitionParam, ",") <~ ")")) ^^ {
+      case a ~ in ~ FieldRef(p) ~ m =>
+        val (method, ps) = m match {
+          case Some(mm ~ pp) => (mm.toLowerCase, pp.getOrElse(Nil))
+          case None => ("grid", Nil)
+        }
+        PartitionStmt(a, in, p.mkString("."), method, ps) }
 
   private def stmt: Parser[Stmt] =
     (load | store | dump | describe | filter | foreach | group | join |

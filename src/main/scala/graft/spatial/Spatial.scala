@@ -152,6 +152,130 @@ object Spatial {
     df.withColumn("cell", cellId(col(ptCol), cellSize))
       .repartition(partitions, col("cell"))
 
+  // ---- BSP partitioning (PARTITION ... USING bsp) ---------------------------
+  /** Driver-side cost-balanced binary space partitioning over an
+    * occupied-cell histogram: recursively halve the region along the
+    * x- or y-cut that best balances cost (minimizing the heavier half)
+    * until every region's cost is <= `maxCost` or it cannot be cut
+    * (single distinct cell coordinate on both axes). Pure function of the
+    * histogram — unit-testable without Spark. Returns one cell-array per
+    * region. Explicit worklist, not recursion: adversarially skewed
+    * histograms can force O(cells) sliver cuts, which would overflow the
+    * call stack at millions of cells. */
+  def bspRegions(cells: Array[(Long, Long, Long)],
+                 maxCost: Long): Seq[Array[(Long, Long, Long)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[(Long, Long, Long)]]
+    val work = scala.collection.mutable.Stack(cells)
+    while (work.nonEmpty) {
+      val cs = work.pop()
+      val total = cs.iterator.map(_._3).sum
+      // best cut on one axis: prefix-scan the per-coordinate costs in
+      // coordinate order; a cut after coordinate k sends <=k left.
+      // Returns (threshold, heavierHalfCost), None if < 2 distinct coords
+      def cut(keyOf: ((Long, Long, Long)) => Long): Option[(Long, Long)] = {
+        val byKey = cs.groupBy(keyOf).view
+          .mapValues(_.iterator.map(_._3).sum).toArray.sortBy(_._1)
+        if (byKey.length < 2) None
+        else {
+          var acc = 0L
+          var bestThr = 0L
+          var bestBal = Long.MaxValue
+          var i = 0
+          while (i < byKey.length - 1) {
+            acc += byKey(i)._2
+            val bal = math.max(acc, total - acc)
+            if (bal < bestBal) { bestBal = bal; bestThr = byKey(i)._1 }
+            i += 1
+          }
+          Some((bestThr, bestBal))
+        }
+      }
+      if (total <= maxCost) { if (cs.nonEmpty) out += cs }
+      else ((cut(_._1), cut(_._2)) match {
+        case (Some((tx, bx)), Some((ty, by))) =>
+          Some(if (bx <= by) (true, tx) else (false, ty))
+        case (Some((tx, _)), None) => Some((true, tx))
+        case (None, Some((ty, _))) => Some((false, ty))
+        case _ => None // one cell hotter than maxCost — cannot cut further
+      }) match {
+        case Some((onX, thr)) =>
+          val (l, r) = cs.partition(c => (if (onX) c._1 else c._2) <= thr)
+          work.push(l); work.push(r)
+        case None => if (cs.nonEmpty) out += cs
+      }
+    }
+    out.toSeq
+  }
+
+  /** Cost-based binary-space partitioning (reference: `PARTITION … USING
+    * bsp(...)` — parser/PigParser.scala:1007-1009, delegating to STARK's
+    * `BSPartitioner(rdd, sideLength, maxCostPerPartition, pointsOnly)`):
+    * balances partition COST (point count) on skewed data where a uniform
+    * grid leaves most cells empty and a few overloaded.
+    *
+    * Plan shape at scale: (1) ONE partial-agg pass builds the
+    * occupied-cell histogram at `sideLength` granularity (map-side
+    * combine, so the shuffle is distinct-cells-sized); (2) the driver
+    * runs [[bspRegions]] over it — bounded by `maxCells` occupied cells
+    * (raise `sideLength` to coarsen if hit; occupied cells, not grid
+    * area, is what is collected); (3) the tiny cell->region map
+    * broadcast-joins back and the data moves ONCE, through an identity
+    * Partitioner on the region id. The deliberate one-hop RDD detour is
+    * the point of the operator: region k -> partition k EXACTLY (like the
+    * reference's STARK partitioners), which no DataFrame repartition
+    * gives — hash folds distinct regions together and range partitioning
+    * samples its boundaries, both of which can break the maxCost bound.
+    *
+    * The visible schema is unchanged — like the reference's Partitioner,
+    * only physical placement moves.
+    */
+  def bspPartition(df: DataFrame, ptCol: String, sideLength: Double,
+                   maxCost: Long, maxCells: Int = 1 << 21): DataFrame = {
+    require(sideLength > 0,
+      s"bsp sideLength must be > 0 (got $sideLength)")
+    require(maxCost > 0,
+      s"bsp maxCostPerPartition must be > 0 (got $maxCost)")
+    val helpers = Seq("__bsp_cx", "__bsp_cy", "__bsp_pid")
+    require(!df.columns.exists(helpers.contains),
+      s"input already has a ${helpers.mkString("/")} column")
+    val cell = cellId(col(ptCol), sideLength)
+    val hist = df.where(col(ptCol).isNotNull)
+      .groupBy(cell.as("__cell")).agg(count(lit(1)).as("__n"))
+      .limit(maxCells + 1)
+      .select(col("__cell.cx"), col("__cell.cy"), col("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(hist.length <= maxCells,
+      s"bsp histogram exceeds $maxCells occupied cells at sideLength=" +
+        s"$sideLength — coarsen sideLength (the driver holds one row per " +
+        "OCCUPIED cell)")
+    if (hist.isEmpty) return df
+    val regions = bspRegions(hist, maxCost)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cellToPid = regions.zipWithIndex.flatMap { case (cs, pid) =>
+      cs.map(c => (c._1, c._2, pid)) }
+    val pidDf = spark.createDataset(cellToPid)
+      .toDF("__bsp_cx", "__bsp_cy", "__bsp_pid")
+    val tagged = df.join(broadcast(pidDf),
+      cell.getField("cx") === col("__bsp_cx") &&
+        cell.getField("cy") === col("__bsp_cy"), "left")
+    val pidIdx = tagged.schema.fieldIndex("__bsp_pid")
+    val width = df.schema.length // join output = left cols ++ right cols
+    val nRegions = regions.length
+    val placed = tagged.rdd
+      .map { row =>
+        // null-geometry rows never matched a cell -> region 0
+        val pid = if (row.isNullAt(pidIdx)) 0 else row.getInt(pidIdx)
+        (pid, org.apache.spark.sql.Row.fromSeq(row.toSeq.take(width)))
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = nRegions
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    spark.createDataFrame(placed, df.schema)
+  }
+
   // ---- SPATIAL_JOIN ---------------------------------------------------------
   /** Distance join: pairs (l, r) with dist <= radius.
     *

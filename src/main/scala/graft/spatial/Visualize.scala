@@ -15,8 +15,12 @@ import org.apache.spark.sql.types.DoubleType
   * rendering (headless AWT + ImageIO), no extra dependencies. */
 object Visualize {
 
+  /** `pointsOnly` (reference parser keyword POINTSONLY): uniform
+    * full-opacity dots — skips the density→opacity shading, so the
+    * per-pixel counts are only used for point placement. */
   def scatter(df: DataFrame, pt: Column, path: String,
-              width: Int, height: Int, pointSize: Int = 1): Unit = {
+              width: Int, height: Int, pointSize: Int = 1,
+              pointsOnly: Boolean = false): Unit = {
     require(width > 0 && height > 0, s"bad image size ${width}x$height")
     val xy = df.select(pt.getField("x").cast(DoubleType).as("x"),
         pt.getField("y").cast(DoubleType).as("y"))
@@ -42,7 +46,8 @@ object Visualize {
       val maxN = pixels.iterator.map(_.getLong(2)).foldLeft(1L)(math.max)
       val d = math.max(1, pointSize)
       pixels.foreach { r =>
-        val alpha = (55L + 200L * r.getLong(2) / maxN).toInt
+        val alpha =
+          if (pointsOnly) 255 else (55L + 200L * r.getLong(2) / maxN).toInt
         g.setColor(new java.awt.Color(30, 60, 160, alpha))
         g.fillOval(r.getInt(0) - d / 2, r.getInt(1) - d / 2, d, d)
       }

@@ -1,0 +1,207 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Pure-JVM ZMTP 3.0 wire codec (the ZeroMQ Message Transport Protocol,
+  * public spec rfc.zeromq.org/spec/23): greeting, frame, NULL-mechanism
+  * READY handshake and PUB/SUB subscription semantics. This is the
+  * transport half of the reference's zmq SOCKET_READ (reference:
+  * op/SocketRead.scala + sparklib ZmqStream): [[Streams.zmqFrames]]
+  * already implements the dataflow half (topic filter + frame split) over
+  * line-TCP, and this codec makes the byte protocol itself testable
+  * without a native libzmq — a live transport is the composition of the
+  * two over a plain TCP socket.
+  *
+  * All state lives in [[Zmtp.Decoder]], one instance per connection —
+  * nothing here touches Spark; executors use it inside a socket source.
+  */
+object Zmtp {
+
+  /** Parsed 64-octet greeting. */
+  final case class Greeting(major: Int, minor: Int, mechanism: String,
+                            asServer: Boolean)
+
+  /** One wire frame: `more` chains multipart messages, `command` marks
+    * protocol commands (READY, SUBSCRIBE, PING...). */
+  final case class Frame(body: Array[Byte], more: Boolean = false,
+                         command: Boolean = false)
+
+  /** Decoder output events. */
+  sealed trait Event
+  final case class GreetingEvent(greeting: Greeting) extends Event
+  /** A command frame, split into name + NULL-metadata properties. */
+  final case class CommandEvent(name: String,
+                                props: Map[String, String]) extends Event
+  /** A complete (possibly multipart) data message. */
+  final case class MessageEvent(parts: Seq[Array[Byte]]) extends Event
+
+  // ---- greeting (spec §greeting: 10+2+20+1+31 = 64 octets) -----------------
+  def greeting(mechanism: String = "NULL", asServer: Boolean = false,
+               minor: Int = 0): Array[Byte] = {
+    require(mechanism.length <= 20, s"mechanism too long: $mechanism")
+    val b = new Array[Byte](64)
+    b(0) = 0xFF.toByte // signature: FF, 8 padding octets, 7F
+    b(9) = 0x7F
+    b(10) = 3 // version-major
+    b(11) = minor.toByte
+    val m = mechanism.getBytes(UTF_8)
+    System.arraycopy(m, 0, b, 12, m.length) // zero-padded to 20
+    b(32) = if (asServer) 1 else 0
+    b // filler 33..63 stays zero
+  }
+
+  def parseGreeting(b: Array[Byte]): Either[String, Greeting] = {
+    if (b.length < 64) Left(s"greeting needs 64 octets, got ${b.length}")
+    else if (b(0) != 0xFF.toByte || b(9) != 0x7F)
+      Left("bad signature (expected FF ........ 7F)")
+    else if (b(10) != 3) Left(s"unsupported ZMTP major version ${b(10)}")
+    else {
+      val mech = new String(b.slice(12, 32).takeWhile(_ != 0), UTF_8)
+      Right(Greeting(b(10), b(11), mech, b(32) == 1))
+    }
+  }
+
+  // ---- frames (spec §framing: flags octet, size, body) ---------------------
+  private val FlagMore = 0x01
+  private val FlagLong = 0x02
+  private val FlagCommand = 0x04
+
+  def encodeFrame(f: Frame): Array[Byte] = {
+    val flags = (if (f.more) FlagMore else 0) |
+      (if (f.command) FlagCommand else 0)
+    if (f.body.length <= 0xFF) {
+      val out = new Array[Byte](2 + f.body.length)
+      out(0) = flags.toByte
+      out(1) = f.body.length.toByte
+      System.arraycopy(f.body, 0, out, 2, f.body.length)
+      out
+    } else {
+      val out = new Array[Byte](9 + f.body.length)
+      out(0) = (flags | FlagLong).toByte
+      var n = f.body.length.toLong
+      var i = 8
+      while (i >= 1) { out(i) = (n & 0xFF).toByte; n >>= 8; i -= 1 }
+      System.arraycopy(f.body, 0, out, 9, f.body.length)
+      out
+    }
+  }
+
+  // ---- NULL-mechanism commands (spec §NULL: READY + metadata) --------------
+  /** Encode a command frame: 1-octet name length, name, then metadata
+    * properties (1-octet name length, name, 4-octet BE value length,
+    * value). READY's canonical property is Socket-Type. */
+  def command(name: String, props: Seq[(String, String)]): Frame = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = name.getBytes(UTF_8)
+    out.write(n.length); out.write(n)
+    props.foreach { case (k, v) =>
+      val kb = k.getBytes(UTF_8); val vb = v.getBytes(UTF_8)
+      out.write(kb.length); out.write(kb)
+      out.write((vb.length >>> 24) & 0xFF); out.write((vb.length >>> 16) & 0xFF)
+      out.write((vb.length >>> 8) & 0xFF); out.write(vb.length & 0xFF)
+      out.write(vb)
+    }
+    Frame(out.toByteArray, command = true)
+  }
+
+  def ready(socketType: String): Frame =
+    command("READY", Seq("Socket-Type" -> socketType))
+
+  private def parseCommand(body: Array[Byte]): CommandEvent = {
+    val nameLen = body(0) & 0xFF
+    val name = new String(body, 1, nameLen, UTF_8)
+    var i = 1 + nameLen
+    val props = Map.newBuilder[String, String]
+    while (i < body.length) {
+      val kLen = body(i) & 0xFF
+      val k = new String(body, i + 1, kLen, UTF_8)
+      i += 1 + kLen
+      val vLen = ((body(i) & 0xFF) << 24) | ((body(i + 1) & 0xFF) << 16) |
+        ((body(i + 2) & 0xFF) << 8) | (body(i + 3) & 0xFF)
+      val v = new String(body, i + 4, vLen, UTF_8)
+      i += 4 + vLen
+      props += k -> v
+    }
+    CommandEvent(name, props.result())
+  }
+
+  // ---- PUB/SUB subscriptions (spec §PUB-SUB: 0x01+topic / 0x00+topic) ------
+  def subscribe(topic: String): Frame =
+    Frame(1.toByte +: topic.getBytes(UTF_8))
+  def cancel(topic: String): Frame =
+    Frame(0.toByte +: topic.getBytes(UTF_8))
+
+  /** PUB-side subscription table: prefix matching per the spec ("" matches
+    * everything). Feed it the SUB peer's subscribe/cancel messages. */
+  final class Subscriptions {
+    private var prefixes = Set.empty[String]
+    def feed(msg: Array[Byte]): Unit =
+      if (msg.nonEmpty) {
+        val topic = new String(msg, 1, msg.length - 1, UTF_8)
+        if (msg(0) == 1) prefixes += topic else prefixes -= topic
+      }
+    def accepts(topic: String): Boolean = prefixes.exists(topic.startsWith)
+    def active: Set[String] = prefixes
+  }
+
+  /** Incremental connection decoder: feed arbitrarily fragmented bytes,
+    * get complete protocol events. The greeting is consumed first;
+    * multipart messages accumulate until the final (MORE=0) frame. */
+  final class Decoder {
+    private var buf = Array.emptyByteArray
+    private var greeted = false
+    private var parts = Vector.empty[Array[Byte]]
+
+    def feed(bytes: Array[Byte]): Seq[Event] = {
+      buf = buf ++ bytes
+      val events = Seq.newBuilder[Event]
+      var progress = true
+      while (progress) {
+        progress = false
+        if (!greeted) {
+          if (buf.length >= 64) {
+            parseGreeting(buf) match {
+              case Left(err) => throw new IllegalStateException(err)
+              case Right(g) => events += GreetingEvent(g)
+            }
+            buf = buf.drop(64)
+            greeted = true
+            progress = true
+          }
+        } else if (buf.length >= 2) {
+          val flags = buf(0) & 0xFF
+          val long = (flags & FlagLong) != 0
+          val headLen = if (long) 9 else 2
+          if (buf.length >= headLen) {
+            val size =
+              if (long) {
+                var n = 0L
+                var i = 1
+                while (i <= 8) { n = (n << 8) | (buf(i) & 0xFF); i += 1 }
+                require(n <= Int.MaxValue - 9, s"frame too large: $n")
+                n.toInt
+              } else buf(1) & 0xFF
+            if (buf.length >= headLen + size) {
+              val body = buf.slice(headLen, headLen + size)
+              buf = buf.drop(headLen + size)
+              progress = true
+              if ((flags & FlagCommand) != 0) events += parseCommand(body)
+              else if ((flags & FlagMore) != 0) parts :+= body
+              else {
+                events += MessageEvent(parts :+ body)
+                parts = Vector.empty
+              }
+            }
+          }
+        }
+      }
+      events.result()
+    }
+  }
+
+  /** Bridge a decoded PUB/SUB multipart message into the "topic payload"
+    * line shape [[Streams.zmqFrames]] consumes — the seam where this
+    * codec plugs into the existing streaming dataflow. */
+  def messageToLine(parts: Seq[Array[Byte]]): String =
+    parts.map(new String(_, UTF_8)).mkString(" ")
+}

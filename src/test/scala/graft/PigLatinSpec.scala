@@ -315,6 +315,32 @@ class PigLatinSpec extends SparkSpec {
     assert(!nonWhite(32, 16), "center should be empty")
   }
 
+  test("VISUALIZE POINTSONLY draws uniform dots, no density shading") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vizpo").toString
+    // (0,0) once, (9,9) three times: shaded render gives them different
+    // opacity; POINTSONLY must render both at full opacity
+    val pts = Seq((1L, 0.0, 0.0), (2L, 9.0, 9.0), (3L, 9.0, 9.0),
+        (4L, 9.0, 9.0))
+      .toDF("id", "x", "y")
+      .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    PigScript.run(spark,
+      s"VISUALIZE p BY pt INTO '$dir/po.png' WITH POINTSIZE 3 POINTSONLY AS (16, 16);",
+      tables = Map("p" -> pts))
+    val img = javax.imageio.ImageIO.read(new java.io.File(s"$dir/po.png"))
+    // both clusters render the exact full-opacity point color (30,60,160)
+    assert(img.getRGB(0, 15) == 0xFF1E3CA0,
+      f"origin pixel 0x${img.getRGB(0, 15)}%08X")
+    assert(img.getRGB(15, 0) == 0xFF1E3CA0,
+      f"far pixel 0x${img.getRGB(15, 0)}%08X")
+    // the shaded variant distinguishes the densities (regression guard
+    // that POINTSONLY actually changed something)
+    PigScript.run(spark,
+      s"VISUALIZE p BY pt INTO '$dir/shade.png' WITH POINTSIZE 3 AS (16, 16);",
+      tables = Map("p" -> pts))
+    val sh = javax.imageio.ImageIO.read(new java.io.File(s"$dir/shade.png"))
+    assert(sh.getRGB(0, 15) != sh.getRGB(15, 0))
+  }
+
   test("SOCKET_WRITE streams a multi-partition relation without collecting " +
       "it to the driver") {
     // toLocalIterator pulls one partition at a time; this drives a

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.streaming.Zmtp
+import graft.streaming.Zmtp._
+
+/** ZMTP 3.0 codec vs the spec's canonical byte layouts
+  * (rfc.zeromq.org/spec/23) — no Spark, no sockets, no native libzmq.
+  */
+class ZmtpSpec extends AnyFunSuite {
+
+  test("greeting emits the spec's exact 64-octet layout for NULL") {
+    val g = Zmtp.greeting()
+    assert(g.length == 64)
+    // signature: FF, 8 padding, 7F
+    assert(g(0) == 0xFF.toByte && g.slice(1, 9).forall(_ == 0) && g(9) == 0x7F)
+    // version 3.0
+    assert(g(10) == 3 && g(11) == 0)
+    // mechanism "NULL" zero-padded to 20 octets
+    assert(g.slice(12, 32).toSeq ==
+      ("NULL".getBytes(UTF_8) ++ Array.fill[Byte](16)(0)).toSeq)
+    // as-server 0, filler zero
+    assert(g(32) == 0 && g.slice(33, 64).forall(_ == 0))
+    assert(Zmtp.parseGreeting(g) == Right(Greeting(3, 0, "NULL", false)))
+  }
+
+  test("greeting round-trips mechanism and as-server; bad bytes rejected") {
+    val g = Zmtp.greeting("CURVE", asServer = true, minor = 1)
+    assert(Zmtp.parseGreeting(g) == Right(Greeting(3, 1, "CURVE", true)))
+    assert(Zmtp.parseGreeting(Array.fill[Byte](64)(0)).isLeft)
+    assert(Zmtp.parseGreeting(Zmtp.greeting().take(10)).isLeft)
+    val wrongVer = Zmtp.greeting(); wrongVer(10) = 2
+    assert(Zmtp.parseGreeting(wrongVer).isLeft)
+  }
+
+  test("READY(SUB) encodes the spec's command-frame bytes exactly") {
+    val bytes = Zmtp.encodeFrame(Zmtp.ready("SUB"))
+    val expected: Array[Byte] =
+      Array[Byte](0x04, 0x19, 0x05) ++ "READY".getBytes(UTF_8) ++
+        Array[Byte](0x0B) ++ "Socket-Type".getBytes(UTF_8) ++
+        Array[Byte](0, 0, 0, 3) ++ "SUB".getBytes(UTF_8)
+    assert(bytes.toSeq == expected.toSeq)
+  }
+
+  test("long frames use the 8-octet big-endian size form") {
+    val body = Array.fill[Byte](300)('x'.toByte)
+    val enc = Zmtp.encodeFrame(Frame(body))
+    assert(enc(0) == 0x02) // LONG flag only
+    assert(enc.slice(1, 9).toSeq ==
+      Seq[Byte](0, 0, 0, 0, 0, 0, 0x01, 0x2C)) // 300 = 0x012C
+    assert(enc.length == 9 + 300)
+    // short frame boundary: 255 stays short
+    assert(Zmtp.encodeFrame(Frame(Array.fill[Byte](255)(1)))(0) == 0x00)
+  }
+
+  test("decoder replays a full PUB-side exchange from fragmented bytes") {
+    // recorded exchange: greeting, READY(SUB), subscribe("tick."),
+    // then a 2-part message tick.eur | 1.09
+    val wire = Zmtp.greeting() ++
+      Zmtp.encodeFrame(Zmtp.ready("SUB")) ++
+      Zmtp.encodeFrame(Zmtp.subscribe("tick.")) ++
+      Zmtp.encodeFrame(Frame("tick.eur".getBytes(UTF_8), more = true)) ++
+      Zmtp.encodeFrame(Frame("1.09".getBytes(UTF_8)))
+    // feed in adversarial fragment sizes (1..7 bytes, fixed seed)
+    val rnd = new scala.util.Random(42)
+    val dec = new Zmtp.Decoder
+    val events = scala.collection.mutable.ArrayBuffer.empty[Event]
+    var i = 0
+    while (i < wire.length) {
+      val n = math.min(1 + rnd.nextInt(7), wire.length - i)
+      events ++= dec.feed(wire.slice(i, i + n))
+      i += n
+    }
+    assert(events.length == 4)
+    assert(events(0) == GreetingEvent(Greeting(3, 0, "NULL", false)))
+    assert(events(1) == CommandEvent("READY", Map("Socket-Type" -> "SUB")))
+    val sub = events(2).asInstanceOf[MessageEvent]
+    assert(sub.parts.length == 1 && sub.parts.head.head == 1)
+    val msg = events(3).asInstanceOf[MessageEvent]
+    assert(msg.parts.map(new String(_, UTF_8)) == Seq("tick.eur", "1.09"))
+    assert(Zmtp.messageToLine(msg.parts) == "tick.eur 1.09")
+  }
+
+  test("subscription table: prefix match, cancel, empty-prefix wildcard") {
+    val subs = new Zmtp.Subscriptions
+    subs.feed(Zmtp.subscribe("tick.").body)
+    assert(subs.accepts("tick.eur") && !subs.accepts("trade.eur"))
+    subs.feed(Zmtp.cancel("tick.").body)
+    assert(!subs.accepts("tick.eur") && subs.active.isEmpty)
+    subs.feed(Zmtp.subscribe("").body) // "" = all topics (spec)
+    assert(subs.accepts("anything"))
+  }
+
+  test("decoded messages drive zmqFrames' topic filter unchanged") {
+    // the codec's line bridge feeds the existing dataflow: same split,
+    // same subscribe-prefix semantics
+    val line = Zmtp.messageToLine(
+      Seq("tick.eur".getBytes(UTF_8), "1.09 bid".getBytes(UTF_8)))
+    assert(line == "tick.eur 1.09 bid")
+  }
+}
