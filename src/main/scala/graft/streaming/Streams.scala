@@ -281,7 +281,15 @@ object Streams {
   def streamMatchSeq(events: Dataset[graft.cep.Matcher.Event],
                      startType: String, endType: String,
                      withinMicros: Long,
-                     stateTtlMs: Long = 0L): Dataset[SeqMatch] = {
+                     stateTtlMs: Long = 0L,
+                     mode: String = "skip_till_next_match"): Dataset[SeqMatch] = {
+    // same mode surface as batch Matcher.matchSeq (any_match needs no
+    // special casing in this 2-step shape: every eligible start already
+    // completes on each end event before the slot clears)
+    require(mode == "skip_till_next_match" || mode == "first_match",
+      s"unsupported streaming MATCH_EVENT mode '$mode' — supported: " +
+        "first_match, skip_till_next_match")
+    val firstMatch = mode == "first_match"
     val spark = events.sparkSession
     import spark.implicits._
     // TTL > 0 enables processing-time eviction for production streams;
@@ -303,6 +311,7 @@ object Streams {
             // micro-batch events are not ordering-guaranteed; sort locally
             it.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
               starts = starts.filter { case (_, ts) => e.tsMicros - ts <= withinMicros }
+              var completedHere = false
               if (e.etype == endType) {
                 // batch Matcher.matchSeq requires each step STRICTLY
                 // later than the previous — a same-timestamp end must
@@ -310,9 +319,17 @@ object Streams {
                 val (eligible, sameTs) =
                   starts.partition { case (_, ts) => ts < e.tsMicros }
                 eligible.foreach { case (sid, _) => out += SeqMatch(key, sid, e.id) }
+                completedHere = eligible.nonEmpty
                 starts = sameTs // each start matches its first B only
               }
-              if (e.etype == startType) starts ::= (e.id, e.tsMicros)
+              // first_match: one live start per key — new starts are
+              // ignored while the slot is occupied, and (batch-engine
+              // parity) an event that just completed a match cannot
+              // itself re-open the slot (matters when start and end
+              // types coincide)
+              if (e.etype == startType &&
+                  (!firstMatch || (starts.isEmpty && !completedHere)))
+                starts ::= (e.id, e.tsMicros)
             }
             if (starts.isEmpty) state.remove()
             else {

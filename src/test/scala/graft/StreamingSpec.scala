@@ -198,6 +198,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(Streams.SeqMatch(7L, 1L, 3L)))
   }
 
+  test("streaming first_match keeps one live start per key, like the " +
+      "batch engine, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Matcher.Event]
+    val matches = Streams.streamMatchSeq(input.toDS(), "signup", "purchase",
+      withinMicros = 100L * 1000000L, mode = "first_match")
+    val q = Streams.memorySink(matches.toDF(), "cep_fm_out", OutputMode.Append())
+    // batch 1: two signups — the second must be IGNORED (slot occupied)
+    input.addData(
+      Matcher.Event(7L, 1000000L, "signup", 1L, 0.0),
+      Matcher.Event(7L, 2000000L, "signup", 2L, 0.0))
+    q.processAllAvailable()
+    // batch 2: purchase completes (1,3); next signup+purchase pair reuse
+    // the freed slot -> (4,5). next_match would also emit (2,3)
+    input.addData(
+      Matcher.Event(7L, 3000000L, "purchase", 3L, 0.0),
+      Matcher.Event(7L, 4000000L, "signup", 4L, 0.0),
+      Matcher.Event(7L, 5000000L, "purchase", 5L, 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("cep_fm_out").as[Streams.SeqMatch].collect().toSet
+    q.stop()
+    assert(rows == Set(Streams.SeqMatch(7L, 1L, 3L), Streams.SeqMatch(7L, 4L, 5L)))
+    val err = intercept[IllegalArgumentException] {
+      Streams.streamMatchSeq(input.toDS(), "a", "b", 1L, mode = "recent_match")
+    }
+    assert(err.getMessage.contains("unsupported streaming MATCH_EVENT mode"))
+  }
+
   test("windowed stream-stream join matches within the event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val li = MemoryStream[(java.sql.Timestamp, Long, String)]
