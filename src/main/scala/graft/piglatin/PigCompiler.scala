@@ -998,15 +998,29 @@ class PigCompiler(spark: SparkSession) {
         case _ => None
       }).toMap
       val positional = params.filterNot(_.contains("="))
+      // mixed forms would silently misassign: positional indices shift
+      // after named params are removed (bsp(sideLength=2, 60) would drop
+      // the 60) — reject the mix outright
+      require(kv.isEmpty || positional.isEmpty,
+        s"PARTITION $method params must be all-named or all-positional, " +
+          s"got ${params.mkString(", ")}")
+      def num(name: String, raw: String): Double =
+        try raw.toDouble catch {
+          case _: NumberFormatException => sys.error(
+            s"PARTITION $method: $name must be numeric, got '$raw'")
+        }
       method match {
         case "grid" =>
           // partitionsPerDimension=n -> n^2 target partitions (reference
           // SpatialGridPartitioner); default: cluster parallelism.
           // repartition BY EXPRESSION — no helper column is ever added,
           // so a pre-existing field named "cell" survives untouched
-          val nParts = kv.get("partitionsperdimension")
-            .orElse(positional.headOption).map(_.toDouble.toInt)
-            .map(n => n * n)
+          val ppd = kv.get("partitionsperdimension")
+            .orElse(positional.headOption)
+            .map(v => num("partitionsPerDimension", v).toInt)
+          ppd.foreach(n => require(n > 0,
+            s"PARTITION grid: partitionsPerDimension must be > 0, got $n"))
+          val nParts = ppd.map(n => n * n)
             .getOrElse(spark.sparkContext.defaultParallelism)
           env(a) = Rel(() => df.repartition(nParts,
             graft.spatial.Spatial.cellId(df(geomField), cellSize = 1.0)))
@@ -1014,12 +1028,18 @@ class PigCompiler(spark: SparkSession) {
           // reference: STARK BSPartitioner(rdd, sideLength,
           // maxCostPerPartition, pointsOnly) — named or positional params
           val side = kv.get("sidelength").orElse(positional.headOption)
-            .map(_.toDouble).getOrElse(1.0)
+            .map(num("sideLength", _)).getOrElse(1.0)
           val maxCost = kv.get("maxcostperpartition")
-            .orElse(positional.lift(1)).map(_.toDouble.toLong)
-            .getOrElse(1000L)
+            .orElse(positional.lift(1))
+            .map(num("maxCostPerPartition", _).toLong).getOrElse(1000L)
           env(a) = Rel(() => graft.spatial.Spatial.bspPartition(
             df, geomField, side, maxCost))
+        case "rtree" =>
+          // bare `USING rtree(...)` was accepted pre-method-support as an
+          // advisory index hint; keep it a no-op grid, not a hard error
+          env(a) = Rel(() => df.repartition(
+            spark.sparkContext.defaultParallelism,
+            graft.spatial.Spatial.cellId(df(geomField), cellSize = 1.0)))
         case other => sys.error(
           s"unsupported PARTITION method '$other' (supported: grid, bsp)")
       }

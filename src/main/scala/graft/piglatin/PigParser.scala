@@ -446,13 +446,16 @@ object PigParser extends RegexParsers {
 
   private def partitionStmt: Parser[Stmt] =
     (ident <~ "=" <~ kw("partition")) ~ ident ~ (kw("on") ~> fieldRef) ~
-      opt(kw("using") ~> ident ~
-        opt("(" ~> repsep(partitionParam, ",") <~ ")")) ^^ {
+      // `USING INDEX rtree(order=2)` stays accepted as the ADVISORY index
+      // hint it always was (same as spatialFilter/spatialJoin) — tried
+      // first so `index` never binds as a partition method name
+      (opt(kw("using") ~> (
+        kw("index") ~> ident ~ opt("(" ~> repsep(partitionParam, ",") <~ ")") ^^
+          (_ => "grid" -> Seq.empty[String]) |
+        ident ~ opt("(" ~> repsep(partitionParam, ",") <~ ")") ^^ {
+          case mm ~ pp => mm.toLowerCase -> pp.getOrElse(Nil) }))) ^^ {
       case a ~ in ~ FieldRef(p) ~ m =>
-        val (method, ps) = m match {
-          case Some(mm ~ pp) => (mm.toLowerCase, pp.getOrElse(Nil))
-          case None => ("grid", Nil)
-        }
+        val (method, ps) = m.getOrElse("grid" -> Nil)
         PartitionStmt(a, in, p.mkString("."), method, ps) }
 
   private def stmt: Parser[Stmt] =

@@ -264,12 +264,15 @@ object Spatial {
     val nRegions = regions.length
     val placed = tagged.rdd
       .map { row =>
-        // null-geometry rows never matched a cell -> region 0
-        val pid = if (row.isNullAt(pidIdx)) 0 else row.getInt(pidIdx)
+        // rows with no region (null geometry, or a cell the histogram
+        // missed if `df` is nondeterministic between the two traversals)
+        // go to a dedicated OVERFLOW partition after the regions — never
+        // into region 0, whose <= maxCost bound must survive
+        val pid = if (row.isNullAt(pidIdx)) nRegions else row.getInt(pidIdx)
         (pid, org.apache.spark.sql.Row.fromSeq(row.toSeq.take(width)))
       }
       .partitionBy(new org.apache.spark.Partitioner {
-        def numPartitions: Int = nRegions
+        def numPartitions: Int = nRegions + 1
         def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
       .values

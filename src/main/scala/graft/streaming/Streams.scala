@@ -283,9 +283,12 @@ object Streams {
                      withinMicros: Long,
                      stateTtlMs: Long = 0L,
                      mode: String = "skip_till_next_match"): Dataset[SeqMatch] = {
-    // same mode surface as batch Matcher.matchSeq (any_match needs no
-    // special casing in this 2-step shape: every eligible start already
-    // completes on each end event before the slot clears)
+    // subset of the batch Matcher.matchSeq mode surface. NOTE
+    // skip_till_any_match is NOT equivalent here and must stay rejected:
+    // the batch engine keeps the ORIGINAL partial open after a
+    // completion (s@0,p@10,p@20 emits (s,p10) AND (s,p20)), while this
+    // scan clears each start after its first end — supporting any_match
+    // means keeping completed starts live until WITHIN expiry
     require(mode == "skip_till_next_match" || mode == "first_match",
       s"unsupported streaming MATCH_EVENT mode '$mode' — supported: " +
         "first_match, skip_till_next_match")

@@ -107,17 +107,30 @@ object Zmtp {
   def ready(socketType: String): Frame =
     command("READY", Seq("Socket-Type" -> socketType))
 
+  /** Malformed input from a peer is a PROTOCOL error, not an index
+    * crash: every length is bounds-checked (and the 4-octet value length
+    * sign-checked) before it is read. */
+  private def bad(msg: String): Nothing =
+    throw new IllegalStateException(s"malformed ZMTP command: $msg")
+
   private def parseCommand(body: Array[Byte]): CommandEvent = {
+    if (body.isEmpty) bad("empty command frame")
     val nameLen = body(0) & 0xFF
+    if (1 + nameLen > body.length)
+      bad(s"command name length $nameLen exceeds body ${body.length}")
     val name = new String(body, 1, nameLen, UTF_8)
     var i = 1 + nameLen
     val props = Map.newBuilder[String, String]
     while (i < body.length) {
       val kLen = body(i) & 0xFF
+      if (i + 1 + kLen + 4 > body.length)
+        bad(s"property header at offset $i overruns body ${body.length}")
       val k = new String(body, i + 1, kLen, UTF_8)
       i += 1 + kLen
       val vLen = ((body(i) & 0xFF) << 24) | ((body(i + 1) & 0xFF) << 16) |
         ((body(i + 2) & 0xFF) << 8) | (body(i + 3) & 0xFF)
+      if (vLen < 0 || i + 4 + vLen > body.length)
+        bad(s"property value length $vLen at offset $i overruns body ${body.length}")
       val v = new String(body, i + 4, vLen, UTF_8)
       i += 4 + vLen
       props += k -> v
@@ -148,42 +161,57 @@ object Zmtp {
     * get complete protocol events. The greeting is consumed first;
     * multipart messages accumulate until the final (MORE=0) frame. */
   final class Decoder {
-    private var buf = Array.emptyByteArray
+    // growable byte buffer with a consume offset: appends are amortized
+    // O(1) (no per-feed whole-buffer copy — a large frame dripping in
+    // over many reads must not cost O(frame) PER read), and the consumed
+    // prefix compacts at most once per feed, only after frames completed
+    private var buf = new Array[Byte](256)
+    private var end = 0 // filled length
+    private var pos = 0 // consumed offset
     private var greeted = false
     private var parts = Vector.empty[Array[Byte]]
 
+    private def avail: Int = end - pos
+
     def feed(bytes: Array[Byte]): Seq[Event] = {
-      buf = buf ++ bytes
+      if (end + bytes.length > buf.length) {
+        val grown = new Array[Byte](
+          math.max(buf.length * 2, end + bytes.length))
+        System.arraycopy(buf, 0, grown, 0, end)
+        buf = grown
+      }
+      System.arraycopy(bytes, 0, buf, end, bytes.length)
+      end += bytes.length
       val events = Seq.newBuilder[Event]
       var progress = true
       while (progress) {
         progress = false
         if (!greeted) {
-          if (buf.length >= 64) {
-            parseGreeting(buf) match {
+          if (avail >= 64) {
+            parseGreeting(buf.slice(pos, pos + 64)) match {
               case Left(err) => throw new IllegalStateException(err)
               case Right(g) => events += GreetingEvent(g)
             }
-            buf = buf.drop(64)
+            pos += 64
             greeted = true
             progress = true
           }
-        } else if (buf.length >= 2) {
-          val flags = buf(0) & 0xFF
+        } else if (avail >= 2) {
+          val flags = buf(pos) & 0xFF
           val long = (flags & FlagLong) != 0
           val headLen = if (long) 9 else 2
-          if (buf.length >= headLen) {
+          if (avail >= headLen) {
             val size =
               if (long) {
                 var n = 0L
                 var i = 1
-                while (i <= 8) { n = (n << 8) | (buf(i) & 0xFF); i += 1 }
+                while (i <= 8) { n = (n << 8) | (buf(pos + i) & 0xFF); i += 1 }
                 require(n <= Int.MaxValue - 9, s"frame too large: $n")
                 n.toInt
-              } else buf(1) & 0xFF
-            if (buf.length >= headLen + size) {
-              val body = buf.slice(headLen, headLen + size)
-              buf = buf.drop(headLen + size)
+              } else buf(pos + 1) & 0xFF
+            if (avail >= headLen + size) {
+              val body = buf.slice(pos + headLen, pos + headLen + size)
+              pos += headLen + size
               progress = true
               if ((flags & FlagCommand) != 0) events += parseCommand(body)
               else if ((flags & FlagMore) != 0) parts :+= body
@@ -194,6 +222,11 @@ object Zmtp {
             }
           }
         }
+      }
+      if (pos > 0) { // compact the consumed prefix
+        System.arraycopy(buf, pos, buf, 0, end - pos)
+        end -= pos
+        pos = 0
       }
       events.result()
     }

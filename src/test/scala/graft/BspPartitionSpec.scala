@@ -85,6 +85,52 @@ class BspPartitionSpec extends SparkSpec {
     assert(out.count() == 100)
   }
 
+  test("null-geometry rows go to the overflow partition, not region 0") {
+    val rows = (0 until 100).map(i => (i.toLong, Some((i % 10).toDouble))) ++
+      (100 until 150).map(i => (i.toLong, Option.empty[Double]))
+    val pts = rows.toDF("id", "x")
+      .select(col("id"), when(col("x").isNotNull,
+        Spatial.point(col("x"), col("x"))).as("pt"))
+    val out = Spatial.bspPartition(pts, "pt", sideLength = 1.0, maxCost = 20L)
+    val sizes = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.sum == 150)
+    // all 50 null rows share the LAST partition; every region partition
+    // keeps the cost bound (no cell exceeds 20 here)
+    assert(sizes.last == 50, s"sizes: ${sizes.toSeq}")
+    assert(sizes.dropRight(1).forall(_ <= 20), s"sizes: ${sizes.toSeq}")
+  }
+
+  test("USING INDEX rtree stays an accepted advisory hint; mixed or bad " +
+    "params fail fast") {
+    val pts = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0)).toDF("id", "x", "y")
+      .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    // the pre-method-support grammar forms still run (advisory no-ops)
+    val c = PigScript.run(spark,
+      """b = PARTITION a ON pt USING INDEX rtree(order=2);
+        |c = PARTITION a ON pt USING rtree(order=2);""".stripMargin,
+      tables = Map("a" -> pts))
+    assert(c.relation("b").count() == 2 && c.relation("c").count() == 2)
+    // mixed named+positional would silently shift positional indices
+    val e1 = intercept[RuntimeException] {
+      PigScript.run(spark, "b = PARTITION a ON pt USING bsp(sideLength=2.0, 60);",
+        tables = Map("a" -> pts)).relation("b")
+    }
+    assert(e1.getMessage.contains("all-named or all-positional"))
+    // non-positive / non-numeric grid sizing fails with a pointed message
+    val e2 = intercept[RuntimeException] {
+      PigScript.run(spark,
+        "b = PARTITION a ON pt USING grid(partitionsPerDimension=0);",
+        tables = Map("a" -> pts)).relation("b")
+    }
+    assert(e2.getMessage.contains("must be > 0"))
+    val e3 = intercept[RuntimeException] {
+      PigScript.run(spark,
+        "b = PARTITION a ON pt USING grid(partitionsPerDimension=lots);",
+        tables = Map("a" -> pts)).relation("b")
+    }
+    assert(e3.getMessage.contains("must be numeric"))
+  }
+
   test("unknown PARTITION method fails fast") {
     val pts = Seq((1L, 1.0, 1.0)).toDF("id", "x", "y")
       .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))

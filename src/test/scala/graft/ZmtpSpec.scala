@@ -82,6 +82,42 @@ class ZmtpSpec extends AnyFunSuite {
     assert(Zmtp.messageToLine(msg.parts) == "tick.eur 1.09")
   }
 
+  test("malformed command frames fail as protocol errors, not index crashes") {
+    def decodeAfterGreeting(frame: Array[Byte]) = {
+      val dec = new Zmtp.Decoder
+      dec.feed(Zmtp.greeting())
+      dec.feed(frame)
+    }
+    // zero-length command body
+    val e1 = intercept[IllegalStateException] {
+      decodeAfterGreeting(Array[Byte](0x04, 0x00))
+    }
+    assert(e1.getMessage.contains("malformed ZMTP command"))
+    // command name length overruns the body
+    val e2 = intercept[IllegalStateException] {
+      decodeAfterGreeting(Array[Byte](0x04, 0x02, 0x7F, 'R'))
+    }
+    assert(e2.getMessage.contains("malformed ZMTP command"))
+    // property value length with the sign bit set (would be negative)
+    val body = Array[Byte](0x01, 'X', 0x01, 'k',
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    val e3 = intercept[IllegalStateException] {
+      decodeAfterGreeting(Array[Byte](0x04, body.length.toByte) ++ body)
+    }
+    assert(e3.getMessage.contains("malformed ZMTP command"))
+  }
+
+  test("decoder reassembles a large long-frame dripped in small reads") {
+    val payload = Array.tabulate[Byte](100000)(i => (i % 251).toByte)
+    val wire = Zmtp.greeting() ++ Zmtp.encodeFrame(Frame(payload))
+    val dec = new Zmtp.Decoder
+    val events = scala.collection.mutable.ArrayBuffer.empty[Event]
+    wire.grouped(1024).foreach(chunk => events ++= dec.feed(chunk))
+    assert(events.length == 2)
+    assert(events(1).asInstanceOf[MessageEvent].parts.head.toSeq ==
+      payload.toSeq)
+  }
+
   test("subscription table: prefix match, cancel, empty-prefix wildcard") {
     val subs = new Zmtp.Subscriptions
     subs.feed(Zmtp.subscribe("tick.").body)
