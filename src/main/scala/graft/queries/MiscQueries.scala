@@ -182,6 +182,13 @@ object MiscQueries {
       graft.core.Pipe(t(s, dir, "customer"))
         .partitionBy(32, col("c_nationkey")).df
         .select(col("c_custkey"), col("c_nationkey"))),
+    // PARTITION ... USING bsp (#27): the whole histogram→cuts→placement
+    // path must also preserve the relation bit-for-bit; per-partition
+    // cost bounds are asserted in BspPartitionSpec
+    "q_spatial_bsp" -> ((s, dir) =>
+      Spatial.bspPartition(custPoints(s, dir), "pt", sideLength = 8.0,
+          maxCost = 200L)
+        .select(col("c_custkey"), col("pt.x").as("x"), col("pt.y").as("y"))),
 
     // -- reference IT scripts, DuckDB-oracled (the same scripts the
     //    ItCompatSpec runs against the reference's truth files) ---------------
@@ -320,6 +327,11 @@ object MiscQueries {
          CAST(floor(CAST((c_nationkey * 7) % 89 AS DOUBLE) / 8.0) AS BIGINT) AS cy
          FROM customer""",
     "q_partition" -> "SELECT c_custkey, c_nationkey FROM customer",
+    "q_spatial_bsp" ->
+      """SELECT c_custkey,
+         CAST(c_custkey % 97 AS DOUBLE) AS x,
+         CAST((c_nationkey * 7) % 89 AS DOUBLE) AS y
+         FROM customer""",
     // brute-force DBSCAN replica: neighbor counts by cross join, core-core
     // reachability closed by a recursive CTE (min-core-id labels — the
     // same representative the engine's connected components produce),
