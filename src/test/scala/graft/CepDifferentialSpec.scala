@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.cep.Matcher
+import graft.streaming.Streams
+
+/** Differential testing for CEP selection strategies: the distributed
+  * secondary-sort scan vs an independent in-memory automaton, and the
+  * streaming scan vs batch, over seeded random event streams (duplicate
+  * timestamps and interleaved keys arise by construction; seeds fixed so
+  * failures reproduce).
+  */
+class CepDifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent model of the 2-step s->p scan: a straight single-pass
+    * fold written from the DOCUMENTED semantics, not from the engine
+    * code. Returns (start_id, end_id) pairs. */
+  private def model(events: Seq[Matcher.Event], within: Long,
+                    firstMatch: Boolean): Set[(Long, Long)] = {
+    val out = Set.newBuilder[(Long, Long)]
+    events.groupBy(_.key).foreach { case (_, evs) =>
+      var starts = List.empty[(Long, Long)] // (id, ts), newest first
+      evs.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+        starts = starts.filter { case (_, ts) => e.tsMicros - ts <= within }
+        var completed = false
+        if (e.etype == "p") {
+          val (eligible, same) = starts.partition(_._2 < e.tsMicros)
+          eligible.foreach { case (sid, _) =>
+            out += ((sid, e.id)); completed = true }
+          starts = same
+        }
+        if (e.etype == "s" &&
+            (!firstMatch || (starts.isEmpty && !completed)))
+          starts ::= (e.id, e.tsMicros)
+      }
+    }
+    out.result()
+  }
+
+  private def randomEvents(seed: Int, n: Int): Seq[Matcher.Event] = {
+    val rnd = new scala.util.Random(seed)
+    val types = Vector("s", "p", "x")
+    (1 to n).map { i =>
+      Matcher.Event(rnd.nextInt(3).toLong,
+        rnd.nextInt(40).toLong * 1000000L,
+        types(rnd.nextInt(3)), i.toLong, 0.0)
+    }
+  }
+
+  private val pattern = Seq(Matcher.Pos(Matcher.typeIs("s")),
+    Matcher.Pos(Matcher.typeIs("p")))
+
+  test("batch matchSeq (next_match and first_match) equals the in-memory " +
+      "model on random streams") {
+    for (seed <- 1 to 8; fm <- Seq(false, true)) {
+      val evs = randomEvents(seed, 120)
+      val within = 8L * 1000000L
+      val got = Matcher.matchSeq(
+          evs.toDF("key", "tsMicros", "etype", "id", "value")
+            .withColumn("tsMicros", timestamp_micros(col("tsMicros"))),
+          "key", "tsMicros", "etype", "id", "value", pattern, within,
+          mode = if (fm) "first_match" else "skip_till_next_match")
+        .select(element_at(col("ids"), 1), element_at(col("ids"), 2))
+        .as[(Long, Long)].collect().toSet
+      assert(got == model(evs, within, fm),
+        s"seed=$seed firstMatch=$fm")
+    }
+  }
+
+  test("streaming scan equals batch across random batch boundaries") {
+    for (seed <- 3 to 5; fm <- Seq(false, true)) {
+      val evs = randomEvents(seed, 60)
+      val within = 8L * 1000000L
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Matcher.Event]
+      val mode = if (fm) "first_match" else "skip_till_next_match"
+      val q = Streams.memorySink(
+        Streams.streamMatchSeq(input.toDS(), "s", "p", within, mode = mode)
+          .toDF(), s"cep_diff_${seed}_$fm", OutputMode.Append())
+      // feed in event-time order (streaming state evolves forward), cut
+      // into random micro-batches
+      val rnd = new scala.util.Random(seed)
+      var rest = evs.sortBy(e => (e.tsMicros, e.id))
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(10)
+        input.addData(rest.take(k): _*)
+        rest = rest.drop(k)
+      }
+      q.processAllAvailable()
+      val got = spark.table(s"cep_diff_${seed}_$fm")
+        .as[Streams.SeqMatch].collect().map(m => (m.startId, m.endId)).toSet
+      q.stop()
+      assert(got == model(evs, within, fm), s"seed=$seed firstMatch=$fm")
+    }
+  }
+}
