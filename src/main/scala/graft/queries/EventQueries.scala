@@ -14,6 +14,18 @@ object EventQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Shared shape of the oracled CEP entries: a 1-hour pattern scan over
+    * events, (user_id, start_id, next_id) out. */
+  private def cepQuery(pattern: Seq[Matcher.Step],
+                       mode: String = "skip_till_next_match")
+      : (SparkSession, String) => DataFrame = (s, dir) =>
+    Matcher.matchSeq(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", "value",
+        pattern, withinMicros = 3600L * 1000000L, mode = mode)
+      .select(col("key").as("user_id"),
+              element_at(col("ids"), 1).as("start_id"),
+              element_at(col("ids"), 2).as("next_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- tumbling window (#43): 1-hour buckets, count+sum per type ----------
     "q_window_tumbling" -> ((s, dir) =>
@@ -39,42 +51,20 @@ object EventQueries {
         .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
                 col("cnt"))),
     // -- CEP SEQ (#41): signup → purchase within 1 hour per user -------------
-    "q_cep_seq" -> ((s, dir) => {
-      val m = Matcher.matchSeq(t(s, dir, "events"),
-        "user_id", "ts", "event_type", "event_id", "value",
-        Seq(Matcher.Pos(Matcher.typeIs("signup")),
-            Matcher.Pos(Matcher.typeIs("purchase"))),
-        withinMicros = 3600L * 1000000L)
-      m.select(col("key").as("user_id"),
-               element_at(col("ids"), 1).as("start_id"),
-               element_at(col("ids"), 2).as("next_id"))
-    }),
+    "q_cep_seq" -> (cepQuery(Seq(
+      Matcher.Pos(Matcher.typeIs("signup")),
+      Matcher.Pos(Matcher.typeIs("purchase"))))),
     // -- CEP SEQ+NEG (#41): signup → purchase with no intervening error ------
-    "q_cep_neg" -> ((s, dir) => {
-      val m = Matcher.matchSeq(t(s, dir, "events"),
-        "user_id", "ts", "event_type", "event_id", "value",
-        Seq(Matcher.Pos(Matcher.typeIs("signup")),
-            Matcher.Neg(Matcher.typeIs("error")),
-            Matcher.Pos(Matcher.typeIs("purchase"))),
-        withinMicros = 3600L * 1000000L)
-      m.select(col("key").as("user_id"),
-               element_at(col("ids"), 1).as("start_id"),
-               element_at(col("ids"), 2).as("next_id"))
-    }),
+    "q_cep_neg" -> (cepQuery(Seq(
+      Matcher.Pos(Matcher.typeIs("signup")),
+      Matcher.Neg(Matcher.typeIs("error")),
+      Matcher.Pos(Matcher.typeIs("purchase"))))),
     // -- CEP first_match (#41): single-slot automaton — one live partial
     //    per user, new signups ignored while it waits, slot frees on
     //    completion/expiry (reference ceplib engines/FirstMatch.scala) ------
-    "q_cep_first" -> ((s, dir) => {
-      val m = Matcher.matchSeq(t(s, dir, "events"),
-        "user_id", "ts", "event_type", "event_id", "value",
-        Seq(Matcher.Pos(Matcher.typeIs("signup")),
-            Matcher.Pos(Matcher.typeIs("purchase"))),
-        withinMicros = 3600L * 1000000L,
-        mode = "first_match")
-      m.select(col("key").as("user_id"),
-               element_at(col("ids"), 1).as("start_id"),
-               element_at(col("ids"), 2).as("next_id"))
-    }),
+    "q_cep_first" -> (cepQuery(Seq(
+      Matcher.Pos(Matcher.typeIs("signup")),
+      Matcher.Pos(Matcher.typeIs("purchase"))), mode = "first_match")),
     // -- as-of join: latest purchase at-or-before each click, per user ------
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
