@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Live ZMTP transport for zmq-mode SOCKET_READ, pure JVM: connects to a
+  * ZMTP 3.0 PUB endpoint as a SUB peer (NULL mechanism), performs the
+  * greeting + READY handshake, sends the subscriptions, and re-serves
+  * every decoded message as a newline-delimited "topic payload" line on
+  * a local port — exactly the shape `Streams.socketSource(mode="zmq")`
+  * already consumes. The relay is the deliberate composition point: the
+  * byte protocol lives in [[Zmtp]] (spec'd against the RFC 23 layouts),
+  * the dataflow in [[Streams.zmqFrames]], and Spark's battle-tested
+  * socket source stays the streaming entry (a custom DataSource V2
+  * would re-implement its offset/recovery machinery for no semantic
+  * gain at this transport layer).
+  *
+  * Driver-side bridging is the correct shape here for the same reason
+  * Spark's own socket source is driver-side: a PUB/SUB subscription is a
+  * single ordered connection, not a partitionable scan.
+  */
+object ZmtpRelay {
+
+  final class Relay private[ZmtpRelay] (val localPort: Int,
+                                        closeFn: () => Unit)
+      extends AutoCloseable {
+    override def close(): Unit = closeFn()
+  }
+
+  /** Connect to `host:port` (a ZMTP PUB/XPUB speaker), subscribe to the
+    * given topic prefixes ("" = everything), and return a relay serving
+    * decoded messages as lines on `relay.localPort`. */
+  def start(host: String, port: Int,
+            topics: Seq[String] = Seq("")): Relay = {
+    val upstream = new Socket(host, port)
+    val out = upstream.getOutputStream
+    val in = upstream.getInputStream
+    // NULL-mechanism handshake, pipelined like libzmq: greeting, READY
+    // and subscriptions go out immediately; the peer's greeting/READY
+    // are consumed (and validated) by the decoder in the pump below
+    out.write(Zmtp.greeting())
+    out.write(Zmtp.encodeFrame(Zmtp.ready("SUB")))
+    topics.foreach(t => out.write(Zmtp.encodeFrame(Zmtp.subscribe(t))))
+    out.flush()
+
+    val server = new ServerSocket(0)
+    val clients =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+    @volatile var closed = false
+
+    val acceptor = new Thread(() => {
+      try while (!closed) clients.add(server.accept())
+      catch { case _: java.io.IOException => () } // closed
+    }, "zmtp-relay-accept")
+    acceptor.setDaemon(true); acceptor.start()
+
+    val pump = new Thread(() => {
+      val dec = new Zmtp.Decoder
+      val buf = new Array[Byte](8192)
+      try {
+        var n = in.read(buf)
+        while (n >= 0 && !closed) {
+          dec.feed(java.util.Arrays.copyOf(buf, n)).foreach {
+            case Zmtp.MessageEvent(parts) =>
+              val line = (Zmtp.messageToLine(parts) + "\n").getBytes(UTF_8)
+              clients.forEach { c =>
+                try { c.getOutputStream.write(line); c.getOutputStream.flush() }
+                catch { case _: java.io.IOException => clients.remove(c) }
+              }
+            case _ => () // greeting / READY / other commands
+          }
+          n = in.read(buf)
+        }
+      } catch { case _: java.io.IOException => () }
+    }, "zmtp-relay-pump")
+    pump.setDaemon(true); pump.start()
+
+    new Relay(server.getLocalPort, () => {
+      closed = true
+      try upstream.close() catch { case _: Exception => () }
+      try server.close() catch { case _: Exception => () }
+      clients.forEach(c => try c.close() catch { case _: Exception => () })
+    })
+  }
+}

@@ -128,6 +128,69 @@ class ZmtpSpec extends AnyFunSuite {
     assert(subs.accepts("anything"))
   }
 
+  test("relay performs the live SUB handshake against a ZMTP PUB server " +
+      "and re-serves decoded messages as lines") {
+    import graft.streaming.ZmtpRelay
+    import java.util.concurrent.{CountDownLatch, LinkedBlockingQueue, TimeUnit}
+    val pubReceived = new LinkedBlockingQueue[Event]()
+    // gate: the PUB publishes only after the test's line-reader client is
+    // connected to the relay (otherwise the broadcast finds no client yet)
+    val publishGate = new CountDownLatch(1)
+    val server = new java.net.ServerSocket(0)
+    val pub = new Thread(() => {
+      val s = server.accept()
+      val out = s.getOutputStream
+      // PUB side of the NULL handshake
+      out.write(Zmtp.greeting())
+      out.write(Zmtp.encodeFrame(Zmtp.ready("PUB")))
+      out.flush()
+      // read + decode the SUB peer's greeting, READY and subscription
+      val dec = new Zmtp.Decoder
+      val buf = new Array[Byte](4096)
+      val in = s.getInputStream
+      var need = 3 // greeting + READY + subscribe message
+      while (need > 0) {
+        val n = in.read(buf)
+        assert(n >= 0, "SUB peer hung up mid-handshake")
+        dec.feed(java.util.Arrays.copyOf(buf, n)).foreach { e =>
+          pubReceived.put(e); need -= 1
+        }
+      }
+      // publish: one multipart on the subscribed topic, one off-topic
+      assert(publishGate.await(15, TimeUnit.SECONDS))
+      out.write(Zmtp.encodeFrame(Frame("tick.eur".getBytes(UTF_8), more = true)))
+      out.write(Zmtp.encodeFrame(Frame("1.09".getBytes(UTF_8))))
+      out.write(Zmtp.encodeFrame(Frame("trade.usd done".getBytes(UTF_8))))
+      out.flush()
+      Thread.sleep(3000)
+      s.close(); server.close()
+    })
+    pub.setDaemon(true); pub.start()
+
+    val relay = ZmtpRelay.start("localhost", server.getLocalPort,
+      topics = Seq("tick."))
+    try {
+      // the PUB server saw a correct SUB handshake
+      assert(pubReceived.take() ==
+        GreetingEvent(Greeting(3, 0, "NULL", false)))
+      assert(pubReceived.take() ==
+        CommandEvent("READY", Map("Socket-Type" -> "SUB")))
+      val sub = pubReceived.take().asInstanceOf[MessageEvent]
+      assert(sub.parts.head.toSeq ==
+        (1.toByte +: "tick.".getBytes(UTF_8)).toSeq)
+      // a plain TCP client on the relay port reads decoded lines
+      val client = new java.net.Socket("localhost", relay.localPort)
+      client.setSoTimeout(10000)
+      Thread.sleep(500) // let the acceptor register the client
+      publishGate.countDown()
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(client.getInputStream, UTF_8))
+      val lines = Seq(reader.readLine(), reader.readLine())
+      client.close()
+      assert(lines == Seq("tick.eur 1.09", "trade.usd done"))
+    } finally relay.close()
+  }
+
   test("decoded messages drive zmqFrames' topic filter unchanged") {
     // the codec's line bridge feeds the existing dataflow: same split,
     // same subscribe-prefix semantics
