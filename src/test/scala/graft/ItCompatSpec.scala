@@ -160,6 +160,18 @@ class ItCompatSpec extends SparkSpec {
     }
   }
 
+  test("reference IT: spatialpartitioning.pig with grid swapped to bsp " +
+      "yields the same relation (BSP moves placement, not content)") {
+    val raw = Files.readString(Paths.get(s"$base/spatialpartitioning.pig"))
+    assert(raw.contains("using grid("), "reference script changed shape")
+    val bsp = raw.replace("using grid(partitionsPerDimension=4, withExtent=false)",
+      "using bsp(sideLength=8.0, maxCostPerPartition=100)")
+    assert(bsp != raw)
+    val got = runScriptText(bsp)
+    assert(got.sorted == runScript("spatialpartitioning.pig").sorted)
+    assert(got.sorted == truthLines("spatialfilter.data").sorted)
+  }
+
   test("reference IT: jdbc.pig matches truth/jdbc-data.data (embedded Derby " +
       "standing in for the H2 driver this build lacks)") {
     val dbDir = Files.createTempDirectory("graft-it-derby")
