@@ -139,7 +139,9 @@ object StreamQueries {
          event_type, COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
-    // streamMatchSeq semantics — IDENTICAL to batch Matcher.matchSeq:
+    // streamMatchSeq semantics — equal to batch Matcher.matchSeq GIVEN
+    // per-key event-time order across batches (this replayed file stream
+    // delivers in order; see the ordering contract on streamMatchSeq):
     // every open signup matches the FIRST purchase STRICTLY later than
     // it within 1h (inclusive bound), same-ts purchases never match
     "q_stream_cep" ->

@@ -199,28 +199,34 @@ object Streams {
           else Some(spark0.read.parquet(prevDir))
         val all = openPrev.fold(fresh)(fresh.unionByName(_))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // advance the watermark with this batch's max event time (monotonic,
-        // as Spark's own watermark is)
-        val mxRow = batch
-          .agg(expr(s"max($tsCol) - INTERVAL $watermarkDelay").as("w")).head()
-        if (!mxRow.isNullAt(0)) {
-          val mx = mxRow.getTimestamp(0)
-          if (wm == null || mx.after(wm)) wm = mx
-        }
-        val (closed, open) =
-          if (wm == null) (None, all)
-          else (Some(all.where(col("window.end") <= lit(wm))),
-                all.where(col("window.end") > lit(wm)))
-        open.write.mode("overwrite").parquet(nextDir)
-        gen += 1
-        closed.foreach { c => if (!c.isEmpty) sink(f(c), id) }
-        lastBatchId = id
-        // checkpoint AFTER the sink: a failure before this line leaves the
-        // previous (gen, wm, lastBatchId) on disk, so recovery re-reads the
-        // old spool generation and re-emits rather than losing a closed
-        // window
-        persistState()
-        all.unpersist()
+        try {
+          // advance the watermark (monotonic, as Spark's own is). The agg
+          // runs over `all`, NOT `batch`, so this first action populates
+          // the cache and the source is scanned ONCE per trigger — and
+          // the value is identical: a late row (window already closed)
+          // has ts < wm, and prior-gen spool rows fed an earlier max, so
+          // neither can raise max - delay above max(wm, batchMax - delay)
+          val mxRow = all
+            .agg(expr(s"max($tsCol) - INTERVAL $watermarkDelay").as("w")).head()
+          if (!mxRow.isNullAt(0)) {
+            val mx = mxRow.getTimestamp(0)
+            if (wm == null || mx.after(wm)) wm = mx
+          }
+          val (closed, open) =
+            if (wm == null) (None, all)
+            else (Some(all.where(col("window.end") <= lit(wm))),
+                  all.where(col("window.end") > lit(wm)))
+          open.write.mode("overwrite").parquet(nextDir)
+          gen += 1
+          closed.foreach { c => if (!c.isEmpty) sink(f(c), id) }
+          lastBatchId = id
+          // checkpoint AFTER the sink: a failure before this line leaves the
+          // previous (gen, wm, lastBatchId) on disk, so recovery re-reads the
+          // old spool generation and re-emits rather than losing a closed
+          // window
+          persistState()
+        } finally all.unpersist() // incl. on sink/write failure: a driver
+        // that catches and restarts must not accumulate orphaned caches
       }
     }
   }
@@ -274,7 +280,16 @@ object Streams {
     * via flatMapGroupsWithState: per-key open-starts state with
     * processing-time timeout eviction, so keys that go quiet do not hold
     * state forever (unbounded key cardinality would otherwise OOM the
-    * state store). Emits (key, startId, endId) on completion. */
+    * state store). Emits (key, startId, endId) on completion.
+    *
+    * ORDERING CONTRACT: events are sorted within each micro-batch, but
+    * the scan cannot look backwards across batch boundaries — a start
+    * arriving in a LATER batch than its (event-time-earlier) end is a
+    * missed match vs the batch engine. Equivalence with batch
+    * `Matcher.matchSeq` therefore holds when per-key event-time order is
+    * non-decreasing across batches (true for the replayed file streams
+    * here and for any source that preserves per-key order); out-of-order
+    * sources would need a watermark-delayed reorder buffer in front. */
   case class SeqState(starts: List[(Long, Long)]) // (startId, startMicros)
   case class SeqMatch(key: Long, startId: Long, endId: Long)
 

@@ -129,7 +129,9 @@ object Zmtp {
       i += 1 + kLen
       val vLen = ((body(i) & 0xFF) << 24) | ((body(i + 1) & 0xFF) << 16) |
         ((body(i + 2) & 0xFF) << 8) | (body(i + 3) & 0xFF)
-      if (vLen < 0 || i + 4 + vLen > body.length)
+      // compare as `vLen > remaining`, never `i + 4 + vLen > length`: a
+      // huge positive vLen overflows the Int sum and slips past the guard
+      if (vLen < 0 || vLen > body.length - i - 4)
         bad(s"property value length $vLen at offset $i overruns body ${body.length}")
       val v = new String(body, i + 4, vLen, UTF_8)
       i += 4 + vLen
@@ -145,22 +147,36 @@ object Zmtp {
     Frame(0.toByte +: topic.getBytes(UTF_8))
 
   /** PUB-side subscription table: prefix matching per the spec ("" matches
-    * everything). Feed it the SUB peer's subscribe/cancel messages. */
+    * everything). Feed it the SUB peer's subscribe/cancel messages.
+    * REFCOUNTED like libzmq's trie: N subscribes to the same prefix need
+    * N cancels before it deactivates (two components subscribing and one
+    * cancelling must not silently filter the other's messages). */
   final class Subscriptions {
-    private var prefixes = Set.empty[String]
+    private var prefixes = Map.empty[String, Int]
     def feed(msg: Array[Byte]): Unit =
       if (msg.nonEmpty) {
         val topic = new String(msg, 1, msg.length - 1, UTF_8)
-        if (msg(0) == 1) prefixes += topic else prefixes -= topic
+        if (msg(0) == 1)
+          prefixes = prefixes.updated(topic, prefixes.getOrElse(topic, 0) + 1)
+        else prefixes.get(topic).foreach { n =>
+          if (n <= 1) prefixes -= topic
+          else prefixes = prefixes.updated(topic, n - 1)
+        }
       }
-    def accepts(topic: String): Boolean = prefixes.exists(topic.startsWith)
-    def active: Set[String] = prefixes
+    def accepts(topic: String): Boolean =
+      prefixes.keysIterator.exists(topic.startsWith)
+    def active: Set[String] = prefixes.keySet
   }
 
   /** Incremental connection decoder: feed arbitrarily fragmented bytes,
     * get complete protocol events. The greeting is consumed first;
-    * multipart messages accumulate until the final (MORE=0) frame. */
-  final class Decoder {
+    * multipart messages accumulate until the final (MORE=0) frame.
+    *
+    * `maxMessageBytes` bounds what an untrusted peer can make this side
+    * buffer — both a single frame's declared size and the accumulated
+    * multipart total. Exceeding it is a protocol error (ZMQ itself has
+    * the same guard as ZMQ_MAXMSGSIZE). */
+  final class Decoder(maxMessageBytes: Int = 64 << 20) {
     // growable byte buffer with a consume offset: appends are amortized
     // O(1) (no per-feed whole-buffer copy — a large frame dripping in
     // over many reads must not cost O(frame) PER read), and the consumed
@@ -170,6 +186,7 @@ object Zmtp {
     private var pos = 0 // consumed offset
     private var greeted = false
     private var parts = Vector.empty[Array[Byte]]
+    private var partBytes = 0L
 
     private def avail: Int = end - pos
 
@@ -206,7 +223,12 @@ object Zmtp {
                 var n = 0L
                 var i = 1
                 while (i <= 8) { n = (n << 8) | (buf(pos + i) & 0xFF); i += 1 }
-                require(n <= Int.MaxValue - 9, s"frame too large: $n")
+                // the sign check matters: a negative declared size would
+                // make headLen + size <= headLen and the loop would spin
+                // forever consuming nothing (or walk pos negative)
+                if (n < 0 || n > maxMessageBytes)
+                  throw new IllegalStateException(
+                    s"ZMTP frame size $n outside [0, $maxMessageBytes]")
                 n.toInt
               } else buf(pos + 1) & 0xFF
             if (avail >= headLen + size) {
@@ -214,10 +236,16 @@ object Zmtp {
               pos += headLen + size
               progress = true
               if ((flags & FlagCommand) != 0) events += parseCommand(body)
-              else if ((flags & FlagMore) != 0) parts :+= body
-              else {
+              else if ((flags & FlagMore) != 0) {
+                partBytes += body.length
+                if (partBytes > maxMessageBytes)
+                  throw new IllegalStateException(
+                    s"multipart message exceeds $maxMessageBytes bytes")
+                parts :+= body
+              } else {
                 events += MessageEvent(parts :+ body)
                 parts = Vector.empty
+                partBytes = 0L
               }
             }
           }

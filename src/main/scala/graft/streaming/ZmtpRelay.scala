@@ -54,6 +54,14 @@ object ZmtpRelay {
     }, "zmtp-relay-accept")
     acceptor.setDaemon(true); acceptor.start()
 
+    def shutdown(): Unit = {
+      closed = true
+      try upstream.close() catch { case _: Exception => () }
+      try server.close() catch { case _: Exception => () }
+      clients.forEach(c => try c.close() catch { case _: Exception => () })
+      clients.clear()
+    }
+
     val pump = new Thread(() => {
       val dec = new Zmtp.Decoder
       val buf = new Array[Byte](8192)
@@ -62,24 +70,34 @@ object ZmtpRelay {
         while (n >= 0 && !closed) {
           dec.feed(java.util.Arrays.copyOf(buf, n)).foreach {
             case Zmtp.MessageEvent(parts) =>
-              val line = (Zmtp.messageToLine(parts) + "\n").getBytes(UTF_8)
+              // the socket source is LINE framed: embedded newlines in a
+              // payload would split one message into bogus rows, so they
+              // are flattened to spaces (a payload needing binary-clean
+              // transport should not ride a text line bridge)
+              val line = (Zmtp.messageToLine(parts)
+                .replace('\n', ' ').replace('\r', ' ') + "\n").getBytes(UTF_8)
               clients.forEach { c =>
                 try { c.getOutputStream.write(line); c.getOutputStream.flush() }
-                catch { case _: java.io.IOException => clients.remove(c) }
+                catch { case _: java.io.IOException =>
+                  clients.remove(c)
+                  try c.close() catch { case _: Exception => () } // no fd leak
+                }
               }
             case _ => () // greeting / READY / other commands
           }
           n = in.read(buf)
         }
-      } catch { case _: java.io.IOException => () }
+      } catch {
+        // IOException = upstream gone; IllegalState/IllegalArgument =
+        // protocol violation from a non-ZMTP or corrupt peer — either
+        // way the relay is dead, so tear everything down instead of
+        // leaving downstream readers blocked on a silent zombie
+        case _: java.io.IOException | _: IllegalStateException |
+             _: IllegalArgumentException => ()
+      } finally shutdown() // incl. clean upstream EOF: readers see EOF too
     }, "zmtp-relay-pump")
     pump.setDaemon(true); pump.start()
 
-    new Relay(server.getLocalPort, () => {
-      closed = true
-      try upstream.close() catch { case _: Exception => () }
-      try server.close() catch { case _: Exception => () }
-      clients.forEach(c => try c.close() catch { case _: Exception => () })
-    })
+    new Relay(server.getLocalPort, () => shutdown())
   }
 }

@@ -107,6 +107,41 @@ class ZmtpSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("malformed ZMTP command"))
   }
 
+  test("adversarial frame sizes are protocol errors, not spins or crashes") {
+    def afterGreeting(bytes: Array[Byte]) = {
+      val dec = new Zmtp.Decoder
+      dec.feed(Zmtp.greeting())
+      dec.feed(bytes)
+    }
+    // negative declared long-frame size (sign bit set): headLen + size
+    // would stop consuming and spin feed() forever without the guard
+    val neg = intercept[IllegalStateException] {
+      afterGreeting(Array[Byte](0x02, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+        0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xF7.toByte))
+    }
+    assert(neg.getMessage.contains("outside"))
+    // a 2 GB declared size must be rejected up-front, not buffered
+    val huge = intercept[IllegalStateException] {
+      afterGreeting(Array[Byte](0x02, 0, 0, 0, 0, 0x7F, 0, 0, 0))
+    }
+    assert(huge.getMessage.contains("outside"))
+    // unbounded multipart accumulation is capped too
+    val dec = new Zmtp.Decoder(maxMessageBytes = 1024)
+    dec.feed(Zmtp.greeting())
+    val part = Zmtp.encodeFrame(Frame(Array.fill[Byte](200)(1), more = true))
+    val acc = intercept[IllegalStateException] {
+      (1 to 10).foreach(_ => dec.feed(part))
+    }
+    assert(acc.getMessage.contains("multipart"))
+    // property value length that overflows i+4+vLen stays a protocol error
+    val body = Array[Byte](0x01, 'X', 0x01, 'k',
+      0x7F, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    val ovf = intercept[IllegalStateException] {
+      afterGreeting(Array[Byte](0x04, body.length.toByte) ++ body)
+    }
+    assert(ovf.getMessage.contains("malformed ZMTP command"))
+  }
+
   test("decoder reassembles a large long-frame dripped in small reads") {
     val payload = Array.tabulate[Byte](100000)(i => (i % 251).toByte)
     val wire = Zmtp.greeting() ++ Zmtp.encodeFrame(Frame(payload))
@@ -126,6 +161,18 @@ class ZmtpSpec extends AnyFunSuite {
     assert(!subs.accepts("tick.eur") && subs.active.isEmpty)
     subs.feed(Zmtp.subscribe("").body) // "" = all topics (spec)
     assert(subs.accepts("anything"))
+  }
+
+  test("subscriptions are refcounted like libzmq: N subscribes need N cancels") {
+    val subs = new Zmtp.Subscriptions
+    subs.feed(Zmtp.subscribe("a").body)
+    subs.feed(Zmtp.subscribe("a").body) // second component, same prefix
+    subs.feed(Zmtp.cancel("a").body)    // one cancels...
+    assert(subs.accepts("abc"))         // ...the other still subscribed
+    subs.feed(Zmtp.cancel("a").body)
+    assert(!subs.accepts("abc") && subs.active.isEmpty)
+    subs.feed(Zmtp.cancel("a").body) // over-cancel is a no-op
+    assert(subs.active.isEmpty)
   }
 
   test("relay performs the live SUB handshake against a ZMTP PUB server " +
