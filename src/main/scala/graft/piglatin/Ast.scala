@@ -107,9 +107,13 @@ object Ast {
                               rows: Boolean, size: Long, sizeUnit: String,
                               slide: Long, slideUnit: String) extends Stmt
 
+  /** SOCKET_READ 'h:p' [MODE zmq] [USING ...] [AS schema]
+    * [TIMESTAMP(field)] — tsField marks the event-time column (reference
+    * zmq production, parser :839). */
   final case class SocketRead(alias: String, address: String, mode: String,
                               loader: Option[(String, Seq[String])],
-                              schema: Option[Seq[FieldSchema]]) extends Stmt
+                              schema: Option[Seq[FieldSchema]],
+                              tsField: Option[String] = None) extends Stmt
   final case class SocketWrite(in: String, address: String,
                                mode: String) extends Stmt
 

@@ -767,10 +767,21 @@ class PigCompiler(spark: SparkSession) {
       }
 
     // ---- sockets (reference: op/SocketRead/Write.scala) --------------------
-    case SocketRead(a, addr, _, loader, schema) =>
+    case SocketRead(a, addr, mode, loader, schema, tsField) =>
       val Array(host, port) = addr.split(":")
-      val raw = graft.streaming.Streams.socketSource(spark, host, port.toInt)
-      val df = schema.fold(raw) { fs =>
+      // the mode must reach the source — silently reading zmq frames as
+      // plain lines would skip the topic split/filter with no diagnostic
+      val srcMode = mode match {
+        case "plain" | "" => ""
+        case "zmq" => "zmq"
+        case other => sys.error(
+          s"unsupported SOCKET_READ mode '$other' (plain, zmq)")
+      }
+      val raw = graft.streaming.Streams.socketSource(spark, host,
+        port.toInt, mode = srcMode)
+      val df0 = schema.fold(raw) { fs =>
+        // zmq frames carry the tuple in the payload column; the topic is
+        // transport framing (the subscription filter's key), not data
         val delim = loader.flatMap(_._2.headOption).getOrElse(",")
         val parts = split(col("value"), java.util.regex.Pattern.quote(delim))
         raw.select(fs.zipWithIndex.map { case (f, i) =>
@@ -779,30 +790,61 @@ class PigCompiler(spark: SparkSession) {
           else cast.as(f.name)
         }: _*)
       }
+      // TIMESTAMP(f): mark f as event time by casting it to a real
+      // timestamp (the reference records the field index on the schema
+      // for downstream windows; a typed column is the Spark-native form)
+      val df = tsField.fold(df0) { f =>
+        require(df0.columns.contains(f),
+          s"SOCKET_READ TIMESTAMP($f): no such field in schema " +
+            df0.columns.mkString("(", ", ", ")"))
+        df0.withColumn(f,
+          when(col(f).cast("double").isNotNull,
+            timestamp_seconds(col(f).cast("double")))
+            .otherwise(col(f).cast("timestamp")))
+      }
       env(a) = Rel(() => df)
 
-    case SocketWrite(in, addr, _) =>
+    case SocketWrite(in, addr, mode) =>
       val df = relation(in)
       val Array(host, port) = addr.split(":")
-      def push(batch: DataFrame): Unit = {
-        val sock = new java.net.Socket(host, port.toInt)
-        try {
-          val out = new java.io.PrintWriter(new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(sock.getOutputStream,
-              java.nio.charset.StandardCharsets.UTF_8)))
-          // toLocalIterator streams one partition at a time to the driver
-          // — a single TCP endpoint is inherently driver-throughput-bound,
-          // but memory stays bounded by the largest partition, never the
-          // whole relation (a collect() here OOMs on large relations)
-          val it = batch.toJSON.toLocalIterator()
-          while (it.hasNext) out.println(it.next())
-          out.flush()
-        } finally sock.close()
+      def stream(push: DataFrame => Unit): Unit =
+        if (df.isStreaming)
+          graft.streaming.Streams.foreachBatchSink(df, s"socket_$in") {
+            (batch, _) => push(batch) }
+        else push(df)
+      mode match {
+        case "plain" | "" =>
+          stream { batch =>
+            val sock = new java.net.Socket(host, port.toInt)
+            try {
+              val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+                new java.io.OutputStreamWriter(sock.getOutputStream,
+                  java.nio.charset.StandardCharsets.UTF_8)))
+              // toLocalIterator streams one partition at a time to the
+              // driver — a single TCP endpoint is inherently driver-
+              // throughput-bound, but memory stays bounded by the largest
+              // partition, never the whole relation (a collect() here
+              // OOMs on large relations)
+              val it = batch.toJSON.toLocalIterator()
+              while (it.hasNext) out.println(it.next())
+              out.flush()
+            } finally sock.close()
+          }
+        case "zmq" =>
+          // bind a real ZMTP PUB endpoint at the given port (binding is
+          // local; the host part of the address is advisory) and publish
+          // each tuple as one frame — SUB peers' prefix subscriptions
+          // filter server-side. PUB/SUB slow-joiner semantics apply:
+          // rows published before a peer subscribes are not delivered
+          val pub = graft.streaming.ZmtpPub.bind(port.toInt)
+          stream { batch =>
+            val it = batch.toJSON.toLocalIterator()
+            while (it.hasNext) pub.publish(Seq(it.next()
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        case other => sys.error(
+          s"unsupported SOCKET_WRITE mode '$other' (plain, zmq)")
       }
-      if (df.isStreaming)
-        graft.streaming.Streams.foreachBatchSink(df, s"socket_$in") {
-          (batch, _) => push(batch) }
-      else push(df)
 
     // ---- RDF (reference: op/RDFLoad/Tuplify/BGPFilter.scala) ---------------
     case RdfLoad(a, uri, grouped) =>

@@ -330,9 +330,11 @@ object PigParser extends RegexParsers {
   private def socketRead: Parser[Stmt] =
     (ident <~ "=" <~ kw("socket_read")) ~ quoted ~
       opt(kw("mode") ~> ident) ~ opt(usingClause) ~
-      opt(kw("as") ~> schemaSpec) ^^ {
-      case a ~ addr ~ mode ~ u ~ s =>
-        SocketRead(a, addr, mode.getOrElse("plain"), u, s)
+      opt(kw("as") ~> schemaSpec) ~
+      opt(kw("timestamp") ~> "(" ~> fieldRef <~ ")") ^^ {
+      case a ~ addr ~ mode ~ u ~ s ~ ts =>
+        SocketRead(a, addr, mode.getOrElse("plain"), u, s,
+          ts.map { case FieldRef(p) => p.mkString(".") })
     }
 
   private def socketWrite: Parser[Stmt] =

@@ -341,6 +341,30 @@ class PigLatinSpec extends SparkSpec {
     assert(sh.getRGB(0, 15) != sh.getRGB(15, 0))
   }
 
+  test("SOCKET_READ carries mode and TIMESTAMP(field) into the plan; " +
+      "unknown modes fail fast") {
+    // readStream.load() is lazy — building the frame needs no live server
+    val c = PigScript.run(spark,
+      """a = SOCKET_READ 'localhost:19999' MODE zmq
+        |    AS (ts: long, v: chararray) TIMESTAMP(ts);""".stripMargin)
+    val df = c.relation("a")
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.columns.toSeq == Seq("ts", "v"))
+    val err = intercept[RuntimeException] {
+      PigScript.run(spark, "a = SOCKET_READ 'localhost:19999' MODE carrier;")
+        .relation("a")
+    }
+    assert(err.getMessage.contains("unsupported SOCKET_READ mode"))
+    val werr = intercept[RuntimeException] {
+      PigScript.run(spark,
+        "SOCKET_WRITE b TO 'localhost:19998' MODE carrier;",
+        tables = Map("b" -> Seq(1).toDF("v")))
+    }
+    assert(werr.getMessage.contains("unsupported SOCKET_WRITE mode"))
+  }
+
   test("SOCKET_WRITE streams a multi-partition relation without collecting " +
       "it to the driver") {
     // toLocalIterator pulls one partition at a time; this drives a

@@ -238,6 +238,29 @@ class ZmtpSpec extends AnyFunSuite {
     } finally relay.close()
   }
 
+  test("PUB endpoint to SUB relay composition delivers with server-side " +
+      "subscription filtering") {
+    import graft.streaming.{ZmtpPub, ZmtpRelay}
+    val pub = ZmtpPub.bind()
+    val relay = ZmtpRelay.start("localhost", pub.port, topics = Seq("tick."))
+    try {
+      // line reader must be attached before publishing (relay broadcasts
+      // only to connected clients)
+      val client = new java.net.Socket("localhost", relay.localPort)
+      client.setSoTimeout(10000)
+      Thread.sleep(300) // acceptor registration
+      assert(pub.awaitSubscribers(1), "SUB handshake never completed")
+      pub.publish(Seq("tick.eur 1.09".getBytes(UTF_8)))
+      pub.publish(Seq("trade.usd done".getBytes(UTF_8))) // filtered at PUB
+      pub.publish(Seq("tick.gbp 1.27".getBytes(UTF_8)))
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(client.getInputStream, UTF_8))
+      assert(Seq(reader.readLine(), reader.readLine()) ==
+        Seq("tick.eur 1.09", "tick.gbp 1.27"))
+      client.close()
+    } finally { relay.close(); pub.close() }
+  }
+
   test("decoded messages drive zmqFrames' topic filter unchanged") {
     // the codec's line bridge feeds the existing dataflow: same split,
     // same subscribe-prefix semantics
