@@ -50,14 +50,21 @@ object Materializer {
     val reused = fs.exists(target)
     if (!reused) {
       // temp-write + atomic-ish rename: concurrent writers race only on
-      // the rename; the loser's rename fails into a no-op because the
-      // target now exists, and readers never see partial part files
+      // the rename; readers never see partial part files. NOTE the
+      // Hadoop FS contract for rename-onto-existing-DIRECTORY is "move
+      // the source INTO it" (returning true), not "fail" — so a losing
+      // writer's snapshot would land as target/.tmp_xxx and leak. Handle
+      // both loser shapes: rename returned false, or it "succeeded" by
+      // nesting the tmp dir inside the winner's target.
       val tmp = new Path(baseDir,
         s".tmp_${target.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
       df.write.mode("overwrite").parquet(tmp.toString)
       if (!fs.rename(tmp, target)) {
         // another writer won; drop our copy
         fs.delete(tmp, true)
+      } else {
+        val nested = new Path(target, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
       }
     }
     (spark.read.parquet(target.toString), reused)

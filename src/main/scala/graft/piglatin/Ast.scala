@@ -22,7 +22,13 @@ object Ast {
   final case class CastExpr(typeName: String, e: Expr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
 
-  final case class GenItem(expr: Expr, as: Option[String])
+  /** GENERATE item: `expr [AS name[:type]]`. The declared type is kept
+    * as INTENT only — Pig's GENERATE AS declares without casting (only
+    * LOAD's AS coerces; explicit `(type)` operators cast), and the
+    * reference's rscript.pig truth confirms (`AS cluster:int` over a
+    * double stores 4.0). */
+  final case class GenItem(expr: Expr, as: Option[String],
+                           asType: Option[String] = None)
 
   // ---- schema --------------------------------------------------------------
   final case class FieldSchema(name: String, typeName: String)

@@ -88,8 +88,14 @@ object CompiledFn {
 
   private[piglatin] def resolve(code: String, name: String): AnyRef =
     cache.computeIfAbsent((code, name), { _ =>
-      EmbeddedCode.toolbox.eval(EmbeddedCode.toolbox.parse(
-        s"$code\n$name _")).asInstanceOf[AnyRef]
+      // ToolBox is not thread-safe and computeIfAbsent only locks
+      // per-KEY: two tasks resolving DIFFERENT functions would otherwise
+      // run parse/eval concurrently on the shared toolbox and crash the
+      // compiler nondeterministically
+      EmbeddedCode.toolbox.synchronized {
+        EmbeddedCode.toolbox.eval(EmbeddedCode.toolbox.parse(
+          s"$code\n$name _")).asInstanceOf[AnyRef]
+      }
     })
 
   def forArity(fn: EmbeddedCode.EmbeddedFn): AnyRef = fn.arity match {

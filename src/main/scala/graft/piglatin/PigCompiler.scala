@@ -218,7 +218,16 @@ class PigCompiler(spark: SparkSession) {
       case "UCFIRST" => concat(upper(substring(a0, 1, 1)), expr_tail(a0))
       case "TRIM" => trim(a0)
       case "CONCAT" => concat(args.map(compileExpr(df, _)): _*)
-      case "STRLEN" | "SIZE" => length(a0)
+      case "STRLEN" => length(a0)
+      case "SIZE" =>
+        // Pig SIZE is polymorphic (returns long): element count for
+        // bags/maps, field count for tuples, length for chararray —
+        // a bare length() rejects array inputs at analysis time
+        df.select(a0).schema.head.dataType match {
+          case _: ArrayType | _: MapType => size(a0).cast(LongType)
+          case st: StructType => lit(st.size.toLong)
+          case _ => length(a0).cast(LongType)
+        }
       case "SUBSTRING" =>
         val s = args(1).asInstanceOf[Lit].v.toString.toInt
         val e = args(2).asInstanceOf[Lit].v.toString.toInt
@@ -495,7 +504,7 @@ class PigCompiler(spark: SparkSession) {
       // the nested aliases added below (reference nforeach2.pig:
       // GENERATE *, COUNT(r1) emits (group, bag, cnt), not the temp bags)
       val items = items0.flatMap {
-        case GenItem(Star, None) =>
+        case GenItem(Star, None, _) =>
           base.columns.toSeq.map(c => GenItem(FieldRef(Seq(c)), None))
         case other => Seq(other)
       }
@@ -541,11 +550,20 @@ class PigCompiler(spark: SparkSession) {
         val g = GroupedRel(df, keyCols, keyIsStruct = keys.length > 1, in)
         materializeGroup(g)
       }
-      env(a) = Rel(() => parts.reduceLeft { (l, r) =>
-        val rr = r.withColumnRenamed("group", "group__r")
-        l.join(rr, l("group") <=> rr("group__r"), "full_outer")
-          .withColumn("group", coalesce(l("group"), rr("group__r")))
-          .drop("group__r")
+      env(a) = Rel(() => {
+        val joined = parts.reduceLeft { (l, r) =>
+          val rr = r.withColumnRenamed("group", "group__r")
+          l.join(rr, l("group") <=> rr("group__r"), "full_outer")
+            .withColumn("group", coalesce(l("group"), rr("group__r")))
+            .drop("group__r")
+        }
+        // Pig semantics: a group missing from one input contributes an
+        // EMPTY bag, never null (COUNT over it must be 0; same coalesce
+        // Pipe.cogroupWith applies)
+        joined.select(col("group") +:
+          joined.columns.filterNot(_ == "group").map(c =>
+            coalesce(col(s"`$c`"),
+              array().cast(joined.schema(c).dataType)).as(c)): _*)
       })
 
     case Join(a, ins, joinType) =>
@@ -563,16 +581,22 @@ class PigCompiler(spark: SparkSession) {
           (l.join(r, cond, joinType), rk)
       }._1)
 
+    // NOTE every statement resolves its input aliases EAGERLY (outside
+    // the Rel thunk): Pig allows alias reassignment, so a lazy
+    // relation(in) would rewire earlier-defined relations to the LATER
+    // binding — and `a = DISTINCT a;` would recurse into itself
     case Cross(a, ins) =>
-      env(a) = Rel(() => ins.map(relation).reduceLeft(_.crossJoin(_)))
+      val dfs = ins.map(relation)
+      env(a) = Rel(() => dfs.reduceLeft(_.crossJoin(_)))
 
     case Union(a, ins, onSchema) =>
       // plain Pig UNION is POSITIONAL (same arity, the left relation's
       // names win); ONSCHEMA aligns by name and null-pads
+      val dfs = ins.map(relation)
       env(a) = Rel(() =>
-        if (onSchema) ins.map(relation)
+        if (onSchema) dfs
           .reduceLeft(_.unionByName(_, allowMissingColumns = true))
-        else ins.map(relation).reduceLeft { (l, r) =>
+        else dfs.reduceLeft { (l, r) =>
           require(l.columns.length == r.columns.length,
             s"UNION arity mismatch: ${l.columns.length} vs " +
               s"${r.columns.length} columns (use UNION ONSCHEMA to " +
@@ -581,10 +605,12 @@ class PigCompiler(spark: SparkSession) {
         })
 
     case DistinctStmt(a, in) =>
-      env(a) = Rel(() => relation(in).distinct())
+      val df = relation(in)
+      env(a) = Rel(() => df.distinct())
 
     case LimitStmt(a, in, n) =>
-      env(a) = Rel(() => relation(in).limit(n))
+      val df = relation(in)
+      env(a) = Rel(() => df.limit(n))
 
     case OrderBy(a, in, keys) =>
       val df = relation(in)
@@ -593,7 +619,8 @@ class PigCompiler(spark: SparkSession) {
       env(a) = Rel(() => df.orderBy(cols: _*))
 
     case SampleStmt(a, in, f) =>
-      env(a) = Rel(() => relation(in).sample(withReplacement = false, f, 42L))
+      val df = relation(in)
+      env(a) = Rel(() => df.sample(withReplacement = false, f, 42L))
 
     case SplitInto(in, branches) =>
       val df = relation(in)
@@ -615,7 +642,10 @@ class PigCompiler(spark: SparkSession) {
       val df = relation(in)
       env(a) = Rel(() =>
         if (keys.isEmpty)
+          // Pig's RANK is 1-based in both forms (zipWithIndex itself
+          // stays 0-based — that is ZIP WITH INDEX's contract)
           graft.core.Pipe(df).zipWithIndex(Nil, "rank").df
+            .withColumn("rank", col("rank") + lit(1L))
         else
           // ties share ranks — scalable rank via broadcast of distinct keys
           graft.core.Pipe(df).rankByKeys(
@@ -626,9 +656,11 @@ class PigCompiler(spark: SparkSession) {
       env(a) = Rel(() => globalAgg(in, df, items))
 
     case IntersectStmt(a, l, r) =>
-      env(a) = Rel(() => relation(l).intersect(relation(r)))
+      val (ld, rd) = (relation(l), relation(r))
+      env(a) = Rel(() => ld.intersect(rd))
     case DifferenceStmt(a, l, r) =>
-      env(a) = Rel(() => relation(l).except(relation(r)))
+      val (ld, rd) = (relation(l), relation(r))
+      env(a) = Rel(() => ld.except(rd))
 
     case StreamThrough(a, in, op, args, outSchema) =>
       val key = op.toUpperCase
@@ -649,8 +681,9 @@ class PigCompiler(spark: SparkSession) {
         case None => plain.getOrElse(
           sys.error(s"unregistered stream operator $op"))
       }
+      val inDf = relation(in)
       env(a) = Rel(() => {
-        val out = f(relation(in))
+        val out = f(inDf)
         // AS (name:type, ...) — positional rename + cast, like LOAD
         outSchema.fold(out) { fs =>
           require(fs.length == out.columns.length,
@@ -987,7 +1020,8 @@ class PigCompiler(spark: SparkSession) {
     case ZipBagsStmt(a, ins) =>
       // positional zip of ≥2 relations: chained index-joins, truncating
       // to the shortest input (reference Zip withIndex=false semantics)
-      env(a) = Rel(() => ins.map(relation).map(graft.core.Pipe(_))
+      val dfs = ins.map(relation)
+      env(a) = Rel(() => dfs.map(graft.core.Pipe(_))
         .reduceLeft((l, r) => l.zipWith(r, Nil, Nil)).df)
 
     case CacheStmt(a, in, mode) =>
@@ -1153,10 +1187,15 @@ class PigCompiler(spark: SparkSession) {
     // GENERATE * keeps the flat schema (Star as a FUNCTION ARG still
     // means the whole tuple)
     val items = items0.flatMap {
-      case GenItem(Ast.Star, None) =>
+      case GenItem(Ast.Star, None, _) =>
         df.columns.toSeq.map(c => GenItem(FieldRef(Seq(c)), None))
       case other => Seq(other)
     }
+    // `AS name:type` in GENERATE DECLARES, it does not cast — Pig only
+    // coerces on LOAD's AS; casts need the explicit (type) operator. The
+    // reference agrees: rscript.pig's `$2 AS cluster: int` over a double
+    // matrix stores 4.0 in truth/cluster.data, not 4. The parsed type is
+    // kept on GenItem as intent documentation only.
     val hasFlatten = items.exists(i => containsFlatten(i.expr))
     if (!hasFlatten) {
       df.select(items.map(i =>
@@ -1268,20 +1307,57 @@ object PigScript {
     ("""\$""" + java.util.regex.Pattern.quote(name) + """(?![A-Za-z0-9_])""").r
       .replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(value))
 
-  private val macroRe =
-    """(?is)DEFINE\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+RETURNS\s+([A-Za-z_]\w*)\s*\{(.*?)\};""".r
+  private val macroHeadRe =
+    """(?is)DEFINE\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+RETURNS\s+([A-Za-z_]\w*)\s*\{""".r
   private val invokeRe =
     """(?m)^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\(([^)]*)\)\s*;""".r
   private val importRe = """(?i)IMPORT\s+'([^']+)'\s*;""".r
 
   /** DEFINE name(params) RETURNS out { body }; — textual expansion, the
-    * macro model of the reference (op/MacroOp.scala). */
+    * macro model of the reference (op/MacroOp.scala). The body is
+    * extracted by BRACE COUNTING, not a non-greedy regex: a nested
+    * FOREACH { ...; }; block inside the macro would otherwise truncate
+    * the body at the inner `};` and leave dangling statements. (Braces
+    * inside string literals would still miscount — same caveat as every
+    * textual macro processor.) */
   private[graft] def expandMacros(script: String): String = {
-    val macros = macroRe.findAllMatchIn(script).map { m =>
-      m.group(1) -> (m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-        m.group(3), m.group(4))
-    }.toMap
-    val stripped = macroRe.replaceAllIn(script, "")
+    val macros =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Seq[String], String, String)]
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var lastEnd = 0
+    macroHeadRe.findAllMatchIn(script).foreach { m =>
+      if (m.start >= lastEnd) { // skip headers nested inside a prior body
+        var depth = 1
+        var j = m.end // just past the opening '{'
+        while (j < script.length && depth > 0) {
+          script(j) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1
+            case _ => ()
+          }
+          j += 1
+        }
+        if (depth == 0) {
+          val body = script.substring(m.end, j - 1)
+          var k = j
+          while (k < script.length && script(k).isWhitespace) k += 1
+          if (k < script.length && script(k) == ';') k += 1
+          macros(m.group(1)) =
+            (m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+              m.group(3), body)
+          spans += ((m.start, k))
+          lastEnd = k
+        }
+      }
+    }
+    val stripped = {
+      val b = new StringBuilder
+      var pos = 0
+      spans.foreach { case (s, e) =>
+        b.append(script.substring(pos, s)); pos = e }
+      b.append(script.substring(pos))
+      b.toString
+    }
     if (macros.isEmpty) stripped
     else invokeRe.replaceAllIn(stripped, m =>
       java.util.regex.Matcher.quoteReplacement(macros.get(m.group(2)) match {
@@ -1324,8 +1400,12 @@ object PigScript {
           chain :+ real))
     })
 
-  /** Substitute `$param`s, inline IMPORTs, expand macros, compile embedded
-    * Scala, parse, execute; returns the compiler holding every alias. */
+  /** Inline IMPORTs, substitute `$param`s, expand macros, compile embedded
+    * Scala, parse, execute; returns the compiler holding every alias.
+    * Imports resolve BEFORE params (reference PigletCompiler
+    * createDataflowPlan:203-212 does resolveImports, then
+    * replaceParameters line-by-line) so `$param` references inside
+    * imported files substitute too. */
   def run(spark: SparkSession, script: String,
           params: Map[String, String] = Map.empty,
           tables: Map[String, DataFrame] = Map.empty,
@@ -1333,9 +1413,9 @@ object PigScript {
           importBase: Option[String] = None,
           udosWithArgs: Map[String, (Seq[String], DataFrame) => DataFrame] =
             Map.empty): PigCompiler = {
-    val substituted = params.foldLeft(script) { case (s, (k, v)) =>
+    val inlined = expandImports(script, importBase)
+    val imported = params.foldLeft(inlined) { case (s, (k, v)) =>
       substParam(s, k, v) }
-    val imported = expandImports(substituted, importBase)
     val expanded = expandMacros(imported)
     val (cleaned, embedded) = EmbeddedCode.extract(expanded)
     val compiler = new PigCompiler(spark)

@@ -151,9 +151,10 @@ object PigParser extends RegexParsers {
       case a ~ in ~ c => Filter(a, in, c) }
 
   private def genItem: Parser[GenItem] =
-    expr ~ opt(kw("as") ~> (ident <~ opt(":" ~> typeName) |
-      "(" ~> ident <~ opt(":" ~> typeName) <~ ")")) ^^ {
-      case e ~ n => GenItem(e, n) }
+    expr ~ opt(kw("as") ~> (ident ~ opt(":" ~> typeName) |
+      "(" ~> (ident ~ opt(":" ~> typeName)) <~ ")")) ^^ {
+      case e ~ Some(n ~ t) => GenItem(e, Some(n), t)
+      case e ~ None => GenItem(e, None) }
 
   private def nestedAssign: Parser[(String, NestedOp)] =
     (ident <~ "=") ~ (
@@ -353,13 +354,17 @@ object PigParser extends RegexParsers {
     (ident <~ "=" <~ kw("tuplify")) ~ ident ~ (kw("on") ~> (fieldRef | posRef)) ^^ {
       case a ~ in ~ on => TuplifyStmt(a, in, on) }
 
+  // each constant form is ONE regex token: split tokens ("\"" ~> body)
+  // would let the whitespace skipper (which also eats `--` comments) run
+  // INSIDE the literal — a quoted " " would collapse to "" and an IRI
+  // containing "--" would swallow the rest of the line
   private def tripleTerm: Parser[Either[String, String]] =
     "?" ~> ident ^^ (v => Left(v)) |
     "$" ~> """\d+""".r ^^ (n => Left(s"v$n")) |
-    "\"" ~> """[^"]*""".r <~ "\"" ^^ (c => Right(c)) |
+    """"[^"]*"""".r ^^ (c => Right(c.substring(1, c.length - 1))) |
     // KEEP the angle brackets: RDFLOAD stores raw N-Triples tokens
     // ('<urn:x>'), so a stripped constant would silently match nothing
-    "<" ~> """[^>]*""".r <~ ">" ^^ (c => Right(s"<$c>"))
+    """<[^>]*>""".r ^^ (c => Right(c))
 
   private def bgpFilter: Parser[Stmt] =
     (ident <~ "=" <~ kw("bgp_filter")) ~ ident ~
