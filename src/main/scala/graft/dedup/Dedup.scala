@@ -60,18 +60,27 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** Exact Jaccard between two shingle-set columns. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0)).otherwise(
-      size(array_intersect(a, b)).cast(DoubleType) /
-        size(array_union(a, b)).cast(DoubleType))
+  /** Exact Jaccard between two shingle-SET columns (distinct elements —
+    * the contract of every producer here): |∩| / (|a|+|b|-|∩|), computed
+    * with ONE set operation. The previous |∪|-based form evaluated
+    * array_union twice (conditional branches are not common-subexpression
+    * merged), doubling the dominant per-pair refine cost. */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b))
+    // both-empty => i = 0 and greatest(...,1) yields 0.0, no branch
+    i.cast(DoubleType) /
+      greatest(size(a) + size(b) - i, lit(1)).cast(DoubleType)
+  }
 
   /** Shingle sets as distinct 64-bit hashes (array<long>): every
     * downstream op — minhash permutations, LSH bands, inverted indexes,
     * Jaccard refines — works on longs, so shuffles carry 8-byte keys
-    * instead of ~100-char strings and string hashing happens once. */
+    * instead of ~100-char strings and string hashing happens once.
+    * Same native expression (FNV-1a) as [[hashedShingleDF]], so the two
+    * entry points share one hash universe — a caller refining one
+    * against the other must see matching gram hashes. */
   def hashedShingles(text: Column, n: Int = 3): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    graft.functions.ShingleExpressions.hashedShingles(text, n)
 
   /** (id, sh) with sh = hashed shingle set, built in STAGED projections.
     *
@@ -96,7 +105,8 @@ object Dedup {
   // ---- MinHash + LSH -------------------------------------------------------
   /** k-permutation MinHash signature as an array<long>.
     *
-    * Each shingle string is hashed ONCE (xxhash64); the k permutations are
+    * Each shingle string is hashed ONCE (FNV-1a in the native shingle
+    * expression); the k permutations are
     * seeded xorshift64 mixes of the base hash — XOR/shift bijections on
     * longs, so they wrap under ANSI mode (multiplication would throw
     * ARITHMETIC_OVERFLOW) and cost ~nothing vs k string hashes. All inside
@@ -158,8 +168,13 @@ object Dedup {
     * (doc, token) rows (an explode+groupBy shape would exchange |tokens|
     * rows; this shape exchanges nothing). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    widen(df).select(col(idCol).as("id"),
-      graft.functions.ShingleExpressions.simhash(col(textCol)).as("simhash"))
+    // blank docs all hash to simhash 0 — without this filter (same rule
+    // as hashedShingleDF) a corpus with m empty docs turns the banded
+    // self-join into one bucket of C(m,2) pairs, the exact quadratic
+    // blowup the pigeonhole split exists to avoid
+    widen(df.where(length(trim(col(textCol))) > 0))
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleExpressions.simhash(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs within `maxDist` Hamming bits. Pigeonhole LSH:
     * split 64 bits into (maxDist+1) chunks — any pair within maxDist must
@@ -306,8 +321,12 @@ object Dedup {
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integralIds = pairs.schema.fields.take(2).forall(f =>
-      Seq(LongType, IntegerType, ShortType, ByteType).contains(f.dataType))
+    // the id columns are looked up BY NAME — the frame may carry extra
+    // or reordered columns (a positional take(2) once chose the driver
+    // path from a leading non-id column and crashed the Long decode)
+    val integralIds = Seq("id_a", "id_b").forall(n =>
+      pairs.schema.fields.find(_.name == n).exists(f =>
+        Seq(LongType, IntegerType, ShortType, ByteType).contains(f.dataType)))
     // persisted: the probe and the collect below share one computation of
     // the caller's upstream plan, and on the iterative path the edge set
     // feeds every round (plus the label init)
@@ -387,6 +406,14 @@ object Dedup {
         println(s"[cc] iter=$iter changed=$anyChanged " +
           f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // exiting at maxIter with labels still moving means some component
+    // carries MULTIPLE labels — silently returning would make downstream
+    // dedup keep both copies of a duplicate cluster (this exact failure
+    // was once only caught by an external oracle). Fail loudly; raising
+    // maxIter is cheap because pointer jumping contracts geometrically.
+    if (!converged)
+      sys.error(s"connectedComponents did not converge in $maxIter " +
+        "iterations — labels were still changing; raise maxIter")
     labels
   }
 }

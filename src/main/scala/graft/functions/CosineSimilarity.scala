@@ -28,6 +28,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // are private[sql], so declarative input typing is unavailable here)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  override def nullable: Boolean = true
+
+  /** Null SLOTS inside a vector (containsNull schemas) would read as 0.0
+    * from ArrayData and produce a plausible-but-wrong similarity — the
+    * whole row's similarity becomes NULL instead (null-vector rows are
+    * dropped by every caller, so a null-slot vector degrades the same
+    * way, not silently). The check is emitted only when the schema says
+    * nulls can occur, so containsNull=false corpora pay nothing. */
+  private def mayHaveNullSlots: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+      case _ => true
+    })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -41,7 +54,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"${y.numElements()}")
     val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val checkNulls = mayHaveNullSlots
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -60,6 +75,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val d = ctx.freshName("d")
+      val nullCheck =
+        if (mayHaveNullSlots)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+                ${ev.isNull} = true; break;
+              }"""
+        else ""
       s"""
         if ($a.numElements() != $b.numElements())
           throw new IllegalArgumentException(
@@ -68,12 +89,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
         int $n = $a.numElements();
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          $nullCheck
           double $xi = $a.getDouble($i);
           double $yi = $b.getDouble($i);
           $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         }
-        double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-        ${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
+        if (!${ev.isNull}) {
+          double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+          ${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
+        }
       """
     })
 

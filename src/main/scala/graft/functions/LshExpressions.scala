@@ -24,12 +24,31 @@ case class HyperplaneBands(child: Expression, planeSets: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_lsh_bands"
+  override def nullable: Boolean = true
 
   @transient private lazy val planes: Array[Array[Array[Double]]] =
     planeSets.map(_.map(_.toArray).toArray).toArray
 
+  // emitted only for containsNull schemas (same rule as graft_cosine): a
+  // null SLOT read as 0.0 would bucket the vector plausibly-but-wrong
+  // and silently lose its true near-neighbours — yield null instead
+  @transient private lazy val mayHaveNullSlots: Boolean =
+    child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val ad = input.asInstanceOf[ArrayData]
+    if (mayHaveNullSlots) {
+      var i = 0
+      val n = ad.numElements()
+      while (i < n) {
+        if (ad.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    val v = ad.toDoubleArray()
     // truncating to min length would bucket a mixed-dimensionality vector
     // "plausibly" and silently lose its true near-neighbours — fail loudly
     // (same contract as graft_cosine)

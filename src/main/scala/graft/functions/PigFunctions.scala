@@ -26,10 +26,14 @@ object PigFunctions {
     * reference fidelity. */
   def MEDIAN(c: Column): Column = percentile(c, lit(0.5))
 
-  /** reference-faithful median: the sorted bag's element at index n/2. */
+  /** reference-faithful median: the sorted bag's element at index n/2.
+    * All-null groups collect an EMPTY bag — guard it, or ANSI mode's
+    * element_at(empty, 1) raises INVALID_ARRAY_INDEX instead of the
+    * null a median over nothing should yield. */
   def MEDIAN_ELEMENT(c: Column): Column = {
     val sorted = sort_array(collect_list(c))
-    element_at(sorted, (size(sorted) / 2 + 1).cast(IntegerType))
+    when(size(sorted) === 0, lit(null))
+      .otherwise(element_at(sorted, (size(sorted) / 2 + 1).cast(IntegerType)))
   }
 
   // ---- bag functions ----

@@ -149,7 +149,11 @@ object Similarity {
   def ivfCentroids(corpus: DataFrame, nCells: Int = 16,
                    vecCol: String = "vec", seed: Long = 42L,
                    sampleSize: Int = 2048, iters: Int = 10): Seq[Array[Double]] = {
+    // null vectors are tolerated (dropped) everywhere else in this file;
+    // here an included null would sort FIRST (null hash) into the sample
+    // and NPE the driver-side k-means on .toArray
     val vecs = corpus.select(col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
+      .where(col("cv").isNotNull)
     // a REAL seeded sample: fraction derived from the corpus count
     // (sample(1.0).limit(n) would just take the head rows in partition
     // order — clustered corpora would train centroids on one region)

@@ -24,7 +24,8 @@ import graft.dedup.Dedup
   * join; only MATCHED (id, gram, bench_id) rows — a tiny fraction of the
   * corpus — reach the per-doc aggregation exchange, with map-side partial
   * distinct-agg before it. Nothing is all-pairs and the 100-char gram
-  * strings never shuffle (8-byte xxhash64 keys throughout).
+  * strings never shuffle (8-byte gram-hash keys — the shingle
+  * expression's FNV-1a — throughout).
   */
 object Decontaminate {
 
