@@ -32,9 +32,18 @@ object MatrixOps {
       typedLit((0 until m.rows).flatMap(i => (0 until m.cols).map(j => m(i, j)))))
 
   // ---- codegen-friendly per-cell ops ---------------------------------------
+  /** Shape-checked: zip_with pads the shorter array with nulls, so a
+    * silent 2x2 + 3x3 would emit a corrupt 9-value "2x2" matrix. */
   def madd(a: Column, b: Column): Column =
-    matrix(a.getField("rows"), a.getField("cols"),
-      zip_with(a.getField("values"), b.getField("values"), _ + _))
+    when(a.getField("rows") =!= b.getField("rows") ||
+         a.getField("cols") =!= b.getField("cols"),
+      raise_error(concat(lit("madd: shape mismatch "),
+        a.getField("rows").cast(StringType), lit("x"),
+        a.getField("cols").cast(StringType), lit(" vs "),
+        b.getField("rows").cast(StringType), lit("x"),
+        b.getField("cols").cast(StringType))))
+    .otherwise(matrix(a.getField("rows"), a.getField("cols"),
+      zip_with(a.getField("values"), b.getField("values"), _ + _)))
 
   def mscale(a: Column, k: Column): Column =
     matrix(a.getField("rows"), a.getField("cols"),
@@ -51,14 +60,25 @@ object MatrixOps {
     * one cell; for big matrices use block partitioning (see [[blockMultiply]]). */
   def mmul(a: Column, b: Column): Column = {
     val n = a.getField("rows"); val m = a.getField("cols")
-    val p = b.getField("cols")
+    val m2 = b.getField("rows"); val p = b.getField("cols")
     val av = a.getField("values"); val bv = b.getField("values")
-    val values = flatten(transform(sequence(lit(0), n - 1), i =>
-      transform(sequence(lit(0), p - 1), j =>
-        aggregate(sequence(lit(0), m - 1), lit(0.0), (acc, k) =>
-          acc + element_at(av, (i * m + k + 1).cast(IntegerType)) *
-                element_at(bv, (k * p + j + 1).cast(IntegerType))))))
-    matrix(n, p, values)
+    // guards matter: sequence(0, n-1) at n = 0 DESCENDS ([0,-1] — Spark
+    // defaults step to -1 when start > stop) and element_at's out-of-
+    // range index errors under ANSI; a non-conformable pair would read
+    // past bv. CaseWhen branches evaluate lazily, so only the taken arm
+    // runs per row.
+    val values =
+      when(n === 0 || p === 0, array().cast(ArrayType(DoubleType)))
+        .when(m === 0, array_repeat(lit(0.0), n * p)) // empty contraction
+        .otherwise(flatten(transform(sequence(lit(0), n - 1), i =>
+          transform(sequence(lit(0), p - 1), j =>
+            aggregate(sequence(lit(0), m - 1), lit(0.0), (acc, k) =>
+              acc + element_at(av, (i * m + k + 1).cast(IntegerType)) *
+                    element_at(bv, (k * p + j + 1).cast(IntegerType)))))))
+    when(m =!= m2,
+      raise_error(concat(lit("mmul: dimension mismatch a.cols="),
+        m.cast(StringType), lit(" b.rows="), m2.cast(StringType))))
+      .otherwise(matrix(n, p, values))
   }
 
   /** Distributed block matrix multiply over a (blockRow, blockCol, block)

@@ -132,6 +132,13 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload))
         try {
           val fmt = in.getFormat
+          // ULAW/ALAW WAVs are valid RIFF with 8/16-bit samples — decoding
+          // the companded bytes as linear PCM would yield plausible-but-
+          // garbage features; fail here so Auto's fallback-to-Fake fires
+          val enc = fmt.getEncoding
+          if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+            sys.error(s"WAV: unsupported encoding $enc (PCM only)")
           val bytesPerSample = fmt.getSampleSizeInBits / 8
           val frames = in.getFrameLength
           val data = in.readAllBytes()
@@ -224,11 +231,16 @@ object Multimodal {
     * the shuffle. */
   def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000L,
                    decoder: Decoder = Decoder.Fake): DataFrame = {
+    require(everyMs > 0, s"sampleFrames needs everyMs > 0 (got $everyMs)")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.filter(_.modality == "video").mapPartitions { it =>
       it.flatMap { a =>
-        val n = math.max(1L, a.durationMs / everyMs).toInt
+        // clamp BEFORE the Int cast: a corrupt/huge durationMs would wrap
+        // .toInt negative and silently emit ZERO frames for the asset
+        // (the contract is at least one)
+        val n = math.min(Int.MaxValue.toLong,
+          math.max(1L, a.durationMs / everyMs)).toInt
         // ONE per-asset payload copy: appending the frame index to the
         // payload per frame would churn n × |payload| transient bytes
         // (a 1 MB payload at n=10000 frames = ~10 GB of allocations)

@@ -131,7 +131,22 @@ object TopK {
     // guard and die executor-side on heap.head of an empty queue
     require(k > 0, s"topKPerGroup requires k > 0, got $k")
     register(df.sparkSession)
-    val g = groupCols.map(GraftColumnBridge.catalystExpression)
+    // float/double group keys: 0.0 and -0.0 have distinct bit patterns,
+    // so raw UnsafeProjection keys (and the hash distribution) would
+    // split them into two groups where SQL grouping — which runs
+    // NormalizeFloatingNumbers on aggregate/window keys — yields one.
+    // `+ 0.0` collapses -0.0 to 0.0 without touching other values.
+    val normalized = groupCols.map { c =>
+      import org.apache.spark.sql.functions.lit
+      // resolve the column's type against df (the raw expression may be
+      // an UnresolvedAttribute whose dataType throws)
+      df.select(c).schema.head.dataType match {
+        case org.apache.spark.sql.types.DoubleType => c + lit(0.0)
+        case org.apache.spark.sql.types.FloatType => c + lit(0.0f)
+        case _ => c
+      }
+    }
+    val g = normalized.map(GraftColumnBridge.catalystExpression)
     val o = orderCols.map(GraftColumnBridge.catalystExpression).map {
       case so: SortOrder => so
       case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)

@@ -21,13 +21,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
   private object RankBound {
-    /** Matches rn <= k / rn < k over an integer literal; yields k. */
-    def unapply(e: Expression): Option[(Attribute, Int)] = e match {
-      case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) => Some((a, k))
-      case LessThan(a: Attribute, Literal(k: Int, _)) => Some((a, k - 1))
-      case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) => Some((a, k))
-      case GreaterThan(Literal(k: Int, _), a: Attribute) => Some((a, k - 1))
-      case _ => None
+    /** Matches rn <= k / rn < k over an integer literal; yields k. The
+      * k-1 is computed in Long: `rn < Int.MinValue` would otherwise wrap
+      * to Int.MaxValue and rewrite an always-false filter into
+      * top-everything-per-group. Out-of-range bounds just don't match —
+      * the window plan keeps its (correct) semantics. */
+    def unapply(e: Expression): Option[(Attribute, Int)] = {
+      val m: Option[(Attribute, Long)] = e match {
+        case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) => Some((a, k.toLong))
+        case LessThan(a: Attribute, Literal(k: Int, _)) => Some((a, k.toLong - 1))
+        case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) => Some((a, k.toLong))
+        case GreaterThan(Literal(k: Int, _), a: Attribute) => Some((a, k.toLong - 1))
+        case _ => None
+      }
+      m.collect { case (a, k) if k > 0 && k <= Int.MaxValue => (a, k.toInt) }
     }
   }
 

@@ -217,6 +217,7 @@ object MiniR {
           RList(Map("cluster" -> RMat(m.rows, 1, labels.map(_.toDouble))))
         case "cbind" =>
           val mats = args.map(asMat)
+          if (mats.isEmpty) fail("cbind: needs at least one argument")
           val nr = mats.map(_.rows).max
           val bcast = mats.map { m =>
             if (m.rows == nr) m
@@ -237,6 +238,7 @@ object MiniR {
           RMat(nr, nc, out)
         case "rbind" =>
           val mats = args.map(asMat)
+          if (mats.isEmpty) fail("rbind: needs at least one argument")
           val nc = mats.head.cols
           if (mats.exists(_.cols != nc)) fail("rbind: ragged cols")
           RMat(mats.map(_.rows).sum, nc, mats.toArray.flatMap(_.data))

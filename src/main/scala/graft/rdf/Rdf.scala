@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object Rdf {
 
-  /** RDFLOAD: parse an N-Triples text file into (s, p, o). The line
-    * grammar (`<iri>|_:blank  <iri>  <iri>|literal .`) is a pure regex —
-    * a narrow, codegen'd map over the text scan. */
-  def loadNTriples(spark: SparkSession, path: String): DataFrame = {
+  /** The shared N-Triples line parse (`<iri>|_:blank  <iri>  token .`):
+    * ONE copy of the grammar for both load variants — a fix applied to
+    * one must not leave the other parsing differently. */
+  private def parseLines(spark: SparkSession, path: String): DataFrame = {
     val line = spark.read.text(path)
     val pat = """^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s*\.\s*$"""
     line.select(
@@ -23,31 +23,34 @@ object Rdf {
         regexp_extract(col("value"), pat, 2).as("p"),
         regexp_extract(col("value"), pat, 3).as("o"))
       .where(col("s") =!= "" && col("p") =!= "")
+  }
+
+  /** RDFLOAD: parse an N-Triples text file into (s, p, o). The line
+    * grammar is a pure regex — a narrow, codegen'd map over the text
+    * scan. */
+  def loadNTriples(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark, path)
       .select(strip(col("s")).as("s"), strip(col("p")).as("p"),
         strip(col("o")).as("o"))
-  }
 
   /** RDFLOAD with piglet's token fidelity: IRIs keep their `<>`, literals
     * keep their quotes; only a typed literal's `^^<datatype>` suffix is
     * dropped (reference truth/groupedrdf.data renders `"2000-07-04"` for
     * an `^^xsd:date` literal). [[loadNTriples]] is the cleaned
     * Spark-native variant the graft API exposes. */
-  def loadNTriplesRaw(spark: SparkSession, path: String): DataFrame = {
-    val line = spark.read.text(path)
-    val pat = """^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s*\.\s*$"""
-    line.select(
-        regexp_extract(col("value"), pat, 1).as("s"),
-        regexp_extract(col("value"), pat, 2).as("p"),
-        regexp_replace(regexp_extract(col("value"), pat, 3),
-          "\\^\\^<[^>]*>$", "").as("o"))
-      .where(col("s") =!= "" && col("p") =!= "")
-  }
+  def loadNTriplesRaw(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark, path)
+      .withColumn("o", regexp_replace(col("o"), "\\^\\^<[^>]*>$", ""))
 
   private def strip(c: Column): Column =
     when(c.startsWith("<") && c.endsWith(">"), c.substr(lit(2), length(c) - 2))
       // typed ("5"^^<xsd:int>) and language-tagged ("x"@en) literals keep
-      // only the quoted lexical form; plain literals lose their quotes
-      .when(c.startsWith("\""), regexp_extract(c, "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1))
+      // only the quoted lexical form; plain literals lose their quotes.
+      // An unterminated/malformed quoted token falls back to the RAW
+      // token — regexp_extract would return "" on no-match, silently
+      // turning a corrupt line into an empty object
+      .when(c.startsWith("\"") && c.rlike("^\"(?:[^\"\\\\]|\\\\.)*\""),
+        regexp_extract(c, "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1))
       .otherwise(c)
 
   /** TUPLIFY: group triples by subject into a predicate→objects map
@@ -77,6 +80,9 @@ object Rdf {
     * reorders; constant filters prune at the parquet scan.
     */
   def bgpFilter(triples: DataFrame, patterns: Seq[Pattern]): DataFrame = {
+    require(patterns.nonEmpty,
+      "bgpFilter needs at least one triple pattern (an empty BGP has no " +
+        "variable bindings to return)")
     val scans = patterns.map { pat =>
       var scan = triples
       if (!isVar(pat.s)) scan = scan.where(col("s") === pat.s)
