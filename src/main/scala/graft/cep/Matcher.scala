@@ -47,6 +47,13 @@ object Matcher {
 
   /** Match a SEQ pattern per key over an event DataFrame.
     *
+    * Time column contract: TimestampType converts to epoch micros;
+    * NUMERIC columns are read as micros directly (the Pig dialect, whose
+    * numeric time unit is seconds, converts before calling — see
+    * PigCompiler's MATCH_EVENT). Rows with a null key/time/id/value are
+    * dropped (they cannot participate in a keyed time-ordered scan and
+    * would crash the primitive encoder).
+    *
     * Semantics: skip-till-next-match — every event satisfying step 0 opens
     * a partial match; each partial independently takes the earliest event
     * at a STRICTLY LATER timestamp satisfying its next Pos step (events
@@ -96,12 +103,25 @@ object Matcher {
       i
     }
 
+    // numeric time columns are ALREADY micros (casting a long through
+    // TimestampType would read it as seconds — a 1e6 scale error or an
+    // ANSI overflow); only real timestamps convert (same dtype branch as
+    // TemporalJoins)
+    val tsMicros = events.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast(LongType)
+    }
     val prepared = events.select(
         col(keyCol).cast(LongType).as("key"),
-        unix_micros(col(tsCol).cast(TimestampType)).as("tsMicros"),
+        tsMicros.as("tsMicros"),
         col(typeCol).cast(StringType).as("etype"),
         col(idCol).cast(LongType).as("id"),
         col(valueCol).cast(DoubleType).as("value"))
+      // rows with a null key/time/id cannot participate in a keyed,
+      // time-ordered scan, and a null value would crash the primitive
+      // Event encoder — drop them instead of dying on one dirty row
+      .where(col("key").isNotNull && col("tsMicros").isNotNull &&
+        col("id").isNotNull && col("value").isNotNull)
       .as[Event]
       .repartition(col("key"))
       .sortWithinPartitions(col("key"), col("tsMicros"), col("id"))

@@ -734,10 +734,17 @@ class PigCompiler(spark: SparkSession) {
       val tsCol = df.schema.fields
         .find(_.dataType == TimestampType).map(_.name)
         .getOrElse(df.columns.head)
-      val prepared = df.withColumn("__etype", etype)
+      val prepared0 = df.withColumn("__etype", etype)
         .withColumn("__key", lit(0L))
         .withColumn("__val", lit(0.0))
         .withColumn("__id", xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))
+      // matchSeq reads numeric time columns as MICROS; the Pig dialect's
+      // contract (like WITHIN's unit) is SECONDS for numeric fields —
+      // convert here, fractional seconds preserved
+      val (prepared, tsName) =
+        if (df.schema(tsCol).dataType == TimestampType) (prepared0, tsCol)
+        else (prepared0.withColumn("__tsm",
+          (col(tsCol).cast(DoubleType) * 1e6).cast(LongType)), "__tsm")
       def steps(p: Pat): Seq[Matcher.Step] = p match {
         case PSimple(n) => Seq(Matcher.Pos(Matcher.typeIs(n)))
         case PNeg(PSimple(n)) => Seq(Matcher.Neg(Matcher.typeIs(n)))
@@ -748,7 +755,7 @@ class PigCompiler(spark: SparkSession) {
         case PSeq(items) => items.flatMap(steps)
         case PAnd(_) => sys.error("top-level AND handled separately")
       }
-      def run(p: Pat) = Matcher.matchSeq(prepared, "__key", tsCol,
+      def run(p: Pat) = Matcher.matchSeq(prepared, "__key", tsName,
         "__etype", "__id", "__val", steps(p), withinSec * 1000000L, mode)
         .select(col("ids"), col("startMicros"), col("endMicros"))
       val out = pattern match {

@@ -115,7 +115,13 @@ object Spatial {
     * first vertex (covers full containment). Proper-crossing test only —
     * shared-boundary-touch without interior overlap is not reported. */
   def polyIntersectsPoly(a: Column, b: Column): Column = {
+    // empty rings (wktPolygon's malformed-WKT output) must yield FALSE,
+    // not a dead job: sequence(0, size-1) at size 0 DESCENDS to [0,-1]
+    // and element_at(poly, 0) errors in every mode — same guard rule as
+    // containsPoint. The wrapper is at the end of this method.
     def edges(poly: Column) = sequence(lit(0), size(poly) - 1)
+    def nonDegenerate(body: Column): Column =
+      when(size(a) === 0 || size(b) === 0, lit(false)).otherwise(body)
     val anyCross = exists(edges(a), i => {
       val p1 = element_at(a, i + 1)
       val p2 = element_at(a, pmod(i + 1, size(a)) + 1)
@@ -133,9 +139,9 @@ object Spatial {
         (o1 * o2 < 0) && (o3 * o4 < 0)
       })
     })
-    anyCross ||
+    nonDegenerate(anyCross ||
       containsPoint(a, element_at(b, 1)) ||
-      containsPoint(b, element_at(a, 1))
+      containsPoint(b, element_at(a, 1)))
   }
 
   // ---- grid index (INDEX op analog) ----------------------------------------
@@ -146,11 +152,23 @@ object Spatial {
     struct(floor(pt.getField("x") / cellSize).cast(LongType).as("cx"),
            floor(pt.getField("y") / cellSize).cast(LongType).as("cy"))
 
+  /** Helper-column guard shared by the grid joins (the same fail-fast
+    * rule as TemporalJoins.reserveCols and bspPartition): silently
+    * overwriting-then-dropping a user's column of the same name would
+    * LOSE that column from the output. */
+  private def reserveHelpers(existing: Seq[String], helpers: Seq[String]): Unit = {
+    val clash = helpers.filter(existing.contains)
+    require(clash.isEmpty,
+      s"input already has reserved column(s) ${clash.mkString(", ")}")
+  }
+
   /** Attach an index column + co-partition by it. */
   def spatialIndex(df: DataFrame, ptCol: String, cellSize: Double,
-                   partitions: Int): DataFrame =
+                   partitions: Int): DataFrame = {
+    reserveHelpers(df.columns, Seq("cell"))
     df.withColumn("cell", cellId(col(ptCol), cellSize))
       .repartition(partitions, col("cell"))
+  }
 
   // ---- BSP partitioning (PARTITION ... USING bsp) ---------------------------
   /** Driver-side cost-balanced binary space partitioning over an
@@ -239,7 +257,12 @@ object Spatial {
     require(!df.columns.exists(helpers.contains),
       s"input already has a ${helpers.mkString("/")} column")
     val cell = cellId(col(ptCol), sideLength)
-    val hist = df.where(col(ptCol).isNotNull)
+    // a non-null point STRUCT can still carry null x/y fields — its cell
+    // is struct(null, null), which would NPE the driver's getLong on the
+    // histogram; exclude it here so such rows flow to the overflow
+    // partition like null structs do
+    val hist = df.where(col(ptCol).isNotNull &&
+        cell.getField("cx").isNotNull && cell.getField("cy").isNotNull)
       .groupBy(cell.as("__cell")).agg(count(lit(1)).as("__n"))
       .limit(maxCells + 1)
       .select(col("__cell.cx"), col("__cell.cy"), col("__n"))
@@ -299,14 +322,22 @@ object Spatial {
     val (right, rPt) =
       if (rPt0 == lPt) (right0.withColumnRenamed(rPt0, s"${rPt0}__r"), s"${rPt0}__r")
       else (right0, rPt0)
+    reserveHelpers(left.columns ++ right.columns,
+      Seq("__dx", "__dy", "__cell"))
     val cellSize = radius
-    val lCells = left.withColumn("__dx", explode(array(lit(-1), lit(0), lit(1))))
+    // null points (wktPoint's malformed-WKT output) can never satisfy
+    // the distance refine, but their struct(null,null) cell ids DO
+    // equi-join each other (struct comparison treats null fields as
+    // equal) — 9·|Lnull|·|Rnull| wasted pairs on dirty data; drop early
+    val lCells = left.where(col(lPt).isNotNull)
+      .withColumn("__dx", explode(array(lit(-1), lit(0), lit(1))))
       .withColumn("__dy", explode(array(lit(-1), lit(0), lit(1))))
       .withColumn("__cell", struct(
         (floor(col(lPt).getField("x") / cellSize).cast(LongType) + col("__dx")).as("cx"),
         (floor(col(lPt).getField("y") / cellSize).cast(LongType) + col("__dy")).as("cy")))
       .drop("__dx", "__dy")
-    val rCells = right.withColumn("__cell", cellId(col(rPt), cellSize))
+    val rCells = right.where(col(rPt).isNotNull)
+      .withColumn("__cell", cellId(col(rPt), cellSize))
     lCells.join(rCells, "__cell")
       .where(dist(col(lPt), col(rPt)) <= radius)
       .drop("__cell")
@@ -332,10 +363,18 @@ object Spatial {
     * Shuffle cost O(|polys|·cellsPerEnvelope + |points|) — never a cross
     * join; AQE rebalances hot cells. Pick `cellSize` near the typical
     * envelope extent so polygons replicate to O(1) cells. */
-  def polygonJoin(points: DataFrame, polys0: DataFrame,
-                  ptCol: String, polyCol: String,
+  def polygonJoin(points: DataFrame, polys1: DataFrame,
+                  ptCol: String, polyCol0: String,
                   cellSize: Double): DataFrame = {
     require(cellSize > 0, s"polygonJoin needs cellSize > 0 (got $cellSize)")
+    // same rename guard as distanceJoin/equalityJoin: identical column
+    // names would be AMBIGUOUS_REFERENCE after the cell join
+    val (polys0, polyCol) =
+      if (polyCol0 == ptCol)
+        (polys1.withColumnRenamed(polyCol0, s"${polyCol0}__r"), s"${polyCol0}__r")
+      else (polys1, polyCol0)
+    reserveHelpers(points.columns ++ polys0.columns,
+      Seq("__cx", "__cy", "__cell"))
     val env = envelope(col(polyCol))
     val polyCells = polys0
       .withColumn("__cx", explode(sequence(
@@ -346,7 +385,10 @@ object Spatial {
         floor(env.getField("ymax") / cellSize).cast(LongType))))
       .withColumn("__cell", struct(col("__cx").as("cx"), col("__cy").as("cy")))
       .drop("__cx", "__cy")
-    val ptCells = points.withColumn("__cell", cellId(col(ptCol), cellSize))
+    // null points can't be contained, and their null-field cell structs
+    // would still equi-join (see distanceJoin) — drop early
+    val ptCells = points.where(col(ptCol).isNotNull)
+      .withColumn("__cell", cellId(col(ptCol), cellSize))
     // a point lives in exactly one cell, so no post-join dedup is needed
     polyCells.join(ptCells, "__cell")
       .where(containsPoint(col(polyCol), col(ptCol)))

@@ -22,9 +22,13 @@ object Visualize {
               width: Int, height: Int, pointSize: Int = 1,
               pointsOnly: Boolean = false): Unit = {
     require(width > 0 && height > 0, s"bad image size ${width}x$height")
+    // NaN coordinates are as toxic as nulls: max() sorts NaN greatest,
+    // collapsing the scale to 0 (every point lands in pixel column 0),
+    // and the ANSI int cast of floor(NaN) errors — filter both
     val xy = df.select(pt.getField("x").cast(DoubleType).as("x"),
         pt.getField("y").cast(DoubleType).as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull)
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
     val b = xy.agg(min("x"), max("x"), min("y"), max("y")).head()
     if (b.isNullAt(0)) return // empty relation: nothing to draw
     val (minX, maxX) = (b.getDouble(0), b.getDouble(1))
@@ -52,8 +56,13 @@ object Visualize {
         g.fillOval(r.getInt(0) - d / 2, r.getInt(1) - d / 2, d, d)
       }
     } finally g.dispose()
-    val dot = path.lastIndexOf('.')
-    val ext = if (dot > 0 && dot < path.length - 1) path.substring(dot + 1)
+    // sniff the extension from the FILENAME only — a dotted directory
+    // ("/data/run.2026/plot") would otherwise yield ext "2026/plot" and
+    // fail both writer lookups instead of defaulting to png
+    val fname = path.substring(
+      math.max(path.lastIndexOf('/'), path.lastIndexOf('\\')) + 1)
+    val dot = fname.lastIndexOf('.')
+    val ext = if (dot > 0 && dot < fname.length - 1) fname.substring(dot + 1)
               else "png"
     // ImageIO.write returns false when no writer accepts the image (e.g.
     // ARGB to jpeg on many JDKs) — retry with the alpha channel dropped,

@@ -70,9 +70,12 @@ object TemporalJoins {
     // can match nothing, so drop it before the union (Window.partitionBy
     // would otherwise group null with null and fabricate matches);
     // null-keyed LEFT rows then sit in a partition with no right rows
-    // and correctly pick up nulls
-    val rNonNull = keys.map(col(_).isNotNull)
-      .reduceOption(_ && _).map(right.where).getOrElse(right)
+    // and correctly pick up nulls. A null-TIME right row is equally
+    // unmatched in an as-of ("as of when?") — and it would sort FIRST
+    // (nulls-first asc), fabricating itself as the running match for
+    // every earlier left row — so it drops too.
+    val rNonNull = (keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull)
+      .reduce(_ && _) match { case cond => right.where(cond) }
     val rr = rNonNull.select(
       (keys.map(col) :+ col(rightTime).as("__t") :+
         lit(rSide).as("__side") :+ rStruct.as("__r")): _*)
@@ -94,7 +97,10 @@ object TemporalJoins {
       if (t == TimestampType) unix_micros(c) else c.cast("long")
     val lt = left.schema(leftTime).dataType
 
-    val base = u.withColumn("__p", picked).where(col("__side") === lSide)
+    // a null-TIME left row matches nothing either (forward direction
+    // would otherwise span every right row from its nulls-first slot)
+    val base = u.withColumn("__p", when(col("__t").isNotNull, picked))
+      .where(col("__side") === lSide)
     val gated = toleranceMicros match {
       case Some(tol) =>
         val diff =
