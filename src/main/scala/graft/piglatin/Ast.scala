@@ -50,7 +50,9 @@ object Ast {
                         schema: Option[Seq[FieldSchema]]) extends Stmt
   final case class Store(alias: String, path: String,
                          loader: Option[(String, Seq[String])]) extends Stmt
-  final case class Dump(alias: String) extends Stmt
+  /** DUMP a [mute] — mute (ref dumpStmt, parser :425) evaluates the
+    * relation without printing rows (the reference's timing-only mode). */
+  final case class Dump(alias: String, mute: Boolean = false) extends Stmt
   final case class Describe(alias: String) extends Stmt
   final case class Filter(alias: String, in: String, cond: Expr) extends Stmt
   final case class Foreach(alias: String, in: String,

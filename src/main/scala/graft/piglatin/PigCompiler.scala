@@ -448,7 +448,11 @@ class PigCompiler(spark: SparkSession) {
       df.write.mode("overwrite").options(opts).format(fmt).save(path)
       stored(path) = df
 
-    case Dump(a) => relation(a).show(20, truncate = false)
+    case Dump(a, mute) =>
+      // mute still EXECUTES the plan (the reference dumps to a null
+      // writer for timing runs) — it only suppresses the console rows
+      if (mute) relation(a).queryExecution.toRdd.count()
+      else relation(a).show(20, truncate = false)
     case Describe(a) => println(relation(a).schema.treeString)
 
     case Filter(a, in, cond) =>

@@ -143,7 +143,8 @@ object PigParser extends RegexParsers {
 
   // DISPLAY is the reference's pretty-print variant of DUMP (op/Display)
   private def dump: Parser[Stmt] =
-    (kw("dump") | kw("display")) ~> ident ^^ Dump.apply
+    (kw("dump") | kw("display")) ~> ident ~ opt(kw("mute")) ^^ {
+      case a ~ m => Dump(a, m.isDefined) }
   private def describe: Parser[Stmt] = kw("describe") ~> ident ^^ Describe.apply
 
   private def filter: Parser[Stmt] =

@@ -30,6 +30,23 @@ class PigLatinSpec extends SparkSpec {
     assert(stmts.length == 2)
   }
 
+  test("DUMP ... mute executes the plan without printing rows") {
+    val df = Seq((1, 10), (2, 20)).toDF("x", "y")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      PigScript.run(spark,
+        "b = filter a by x > 0;\ndump b mute;\n", tables = Map("a" -> df))
+    }
+    assert(!out.toString("UTF-8").contains("10"), out.toString("UTF-8"))
+    // unmuted dump DOES print
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      PigScript.run(spark,
+        "b = filter a by x > 0;\ndump b;\n", tables = Map("a" -> df))
+    }
+    assert(out2.toString("UTF-8").contains("10"))
+  }
+
   test("group + aggregate FOREACH fuses to groupBy().agg() — no bag in plan") {
     val df = Seq((1, 10), (1, 20), (2, 30)).toDF("x", "y")
     val c = PigScript.run(spark,
