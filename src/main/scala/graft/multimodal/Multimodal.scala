@@ -14,11 +14,12 @@ import org.apache.spark.sql.types._
   *  - decode/feature-extract runs per-partition in batches via
   *    `mapPartitions` over a typed Dataset — the Scala analog of a
   *    batched `mapInPandas` — so per-record codec setup amortizes;
-  *  - image and audio codecs are REAL (pure-JDK: `javax.imageio` for
-  *    PNG/JPEG/GIF/BMP, `javax.sound.sampled` for PCM WAV — see
-  *    [[Decoder.Image]]/[[Decoder.Wav]]/[[Decoder.Auto]]); only video
-  *    decode is a documented deterministic stand-in ([[Decoder.Fake]] —
-  *    no video codec ships with the JVM or this environment).
+  *  - image, audio AND MJPEG-video codecs are REAL (pure-JDK:
+  *    `javax.imageio` for PNG/JPEG/GIF/BMP, `javax.sound.sampled` for PCM
+  *    WAV, [[Avi]] + imageio for MJPEG AVI — see [[Decoder.Image]]/
+  *    [[Decoder.Wav]]/[[Decoder.Mjpeg]]/[[Decoder.Auto]]); only
+  *    inter-frame codecs (H.264/VP9 — no JVM decoder exists) remain a
+  *    documented deterministic stand-in ([[Decoder.Fake]]).
   */
 object Multimodal {
 
@@ -41,12 +42,14 @@ object Multimodal {
 
   /** Pluggable batched decoder, initialized once per partition.
     *
-    * REAL codecs ship for images and audio — the JDK itself carries them:
-    * [[Decoder.Image]] decodes PNG/JPEG/GIF/BMP via `javax.imageio` and
-    * [[Decoder.Wav]] decodes PCM WAV via `javax.sound.sampled`. Only video
-    * remains a documented stand-in ([[Decoder.Fake]] — no video codec in
-    * the JVM or this environment). [[Decoder.Auto]] sniffs the container
-    * magic and routes. */
+    * REAL codecs ship for images, audio and MJPEG video — the JDK itself
+    * carries them: [[Decoder.Image]] decodes PNG/JPEG/GIF/BMP via
+    * `javax.imageio`, [[Decoder.Wav]] decodes PCM WAV via
+    * `javax.sound.sampled`, and [[Decoder.Mjpeg]] decodes MJPEG AVI via
+    * the [[Avi]] RIFF walk + imageio per frame. Only inter-frame codecs
+    * (H.264/VP9) remain a documented stand-in ([[Decoder.Fake]] — no JVM
+    * decoder exists). [[Decoder.Auto]] sniffs the container magic and
+    * routes. */
   trait Decoder extends Serializable {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float])
   }
@@ -168,12 +171,32 @@ object Multimodal {
       }
     }
 
+    /** REAL video decode for MJPEG AVI (see [[Avi]] — pure-JVM RIFF walk,
+      * every frame a standalone JPEG for `javax.imageio`): returns the
+      * container dimensions (header, falling back to the first frame's
+      * true pixel dims) and the FIRST frame's image features with the
+      * frame count in the last slot:
+      * [meanR, meanG, meanB, meanLuma, stdLuma, aspect, log10(area),
+      * frameCount]. Non-AVI or frameless payloads raise — [[Auto]] then
+      * falls back to [[Fake]], keeping the one-bad-payload contract. */
+    object Mjpeg extends Decoder {
+      def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+        val (header, frames) = Avi.parse(payload)
+        if (frames.isEmpty) sys.error("AVI: no video frame chunks")
+        val (fw, fh, feats) = Image.decode(Avi.frameBytes(payload, frames.head))
+        val w = header.map(_.width).filter(_ > 0).getOrElse(fw)
+        val h = header.map(_.height).filter(_ > 0).getOrElse(fh)
+        (w, h, feats.updated(7, frames.size.toFloat))
+      }
+    }
+
     /** Magic-byte sniffing router: PNG/JPEG/GIF/BMP → [[Image]], RIFF-WAVE
-      * → [[Wav]], anything else (video containers, unknown) → [[Fake]].
-      * A sniff hit whose codec then fails (the 2-byte 'BM' prefix false-
-      * positives on ordinary text; non-PCM WAV variants) also falls back
-      * to [[Fake]] — "unknown → Fake" is the contract, and one bad
-      * payload must not kill a distributed decode job. */
+      * → [[Wav]], RIFF-AVI → [[Mjpeg]], anything else (non-MJPEG video,
+      * unknown) → [[Fake]]. A sniff hit whose codec then fails (the
+      * 2-byte 'BM' prefix false-positives on ordinary text; non-PCM WAV
+      * variants; H.264-in-AVI) also falls back to [[Fake]] — "unknown →
+      * Fake" is the contract, and one bad payload must not kill a
+      * distributed decode job. */
     object Auto extends Decoder {
       def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
         def at(i: Int): Int = if (i < payload.length) payload(i) & 0xff else -1
@@ -187,6 +210,7 @@ object Multimodal {
         try {
           if (isImage) Image.decode(payload)
           else if (isWav) Wav.decode(payload)
+          else if (Avi.isAvi(payload)) Mjpeg.decode(payload)
           else Fake.decode(payload)
         } catch {
           case scala.util.control.NonFatal(_) => Fake.decode(payload)
@@ -236,6 +260,36 @@ object Multimodal {
     import spark.implicits._
     assets.filter(_.modality == "video").mapPartitions { it =>
       it.flatMap { a =>
+        val aviFrames =
+          if (Avi.isAvi(a.payload)) Avi.parse(a.payload) else (None, Vector.empty)
+        if (aviFrames._2.nonEmpty) {
+          // REAL container path (MJPEG AVI): sample actual frame chunks
+          // at the header frame rate; frameIdx is the true container
+          // frame index. A frame that fails to decode (non-MJPEG codec
+          // inside an AVI) degrades to the deterministic fake on ITS
+          // bytes rather than killing the task.
+          val (header, spans) = aviFrames
+          val periodUs = header.map(_.microSecPerFrame)
+            .filter(_ > 0).getOrElse(33333L)
+          val stride = math.max(1L,
+            (everyMs * 1000L + periodUs / 2) / periodUs).toInt
+          (0 until spans.size by stride).iterator.map { fi =>
+            val bytes = Avi.frameBytes(a.payload, spans(fi))
+            val (w, h, f) =
+              try Decoder.Image.decode(bytes)
+              catch { case scala.util.control.NonFatal(_) =>
+                Decoder.Fake.decode(bytes) }
+            DecodedFrame(a.id, fi, w, h, f)
+          }
+        } else sampleSynthetic(a, everyMs, decoder)
+      }
+    }.toDF()
+  }
+
+  /** The non-container sampling path: deterministic per-(asset, index)
+    * decode over duration-derived frame slots. */
+  private def sampleSynthetic(a: Asset, everyMs: Long,
+      decoder: Decoder): Iterator[DecodedFrame] = {
         // clamp BEFORE the Int cast: a corrupt/huge durationMs would wrap
         // .toInt negative and silently emit ZERO frames for the asset
         // (the contract is at least one)
@@ -253,8 +307,6 @@ object Multimodal {
           val (w, h, f) = decoder.decode(buf)
           DecodedFrame(a.id, fi, w, h, f)
         }
-      }
-    }.toDF()
   }
 
   /** REAL distributed image resize: payloads re-encoded per-partition
