@@ -161,9 +161,9 @@ object Ast {
   final case class CacheStmt(alias: String, in: String,
                              mode: Option[String]) extends Stmt
   /** b = INDEX a ON field USING rtree(...) (reference indexStmt /
-    * op/IndexOp.scala). */
-  final case class IndexStmt(alias: String, in: String,
-                             field: String) extends Stmt
+    * op/IndexOp.scala). method = the USING ident, lowercased. */
+  final case class IndexStmt(alias: String, in: String, field: String,
+                             method: String = "grid") extends Stmt
   /** b = DELAY a BY (wtime, samplePct) — stream-rate simulation
     * (reference op/Delay.scala). */
   final case class DelayStmt(alias: String, in: String, waitMs: Long,

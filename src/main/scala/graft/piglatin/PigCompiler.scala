@@ -1051,15 +1051,20 @@ class PigCompiler(spark: SparkSession) {
           env(a) = Rel(() => cached)
       }
 
-    case IndexStmt(a, in, field) =>
-      // the RTREE index analog: a grid-cell index column + co-partition
-      // (same runtime as PARTITION — the reference's IndexOp materializes
-      // an index the later spatial ops probe; graft's grid join does the
-      // probing via cell equi-joins)
+    case IndexStmt(a, in, field, method) =>
+      // USING rtree → Z-order curve range partitioning (the Spark analog
+      // of a bulk-loaded R-tree: each partition covers a compact spatial
+      // region, like an R-tree leaf page); anything else → grid-cell
+      // index column + co-partition (same runtime as PARTITION — the
+      // reference's IndexOp materializes an index the later spatial ops
+      // probe; graft's grid join does the probing via cell equi-joins)
       val df = relation(in)
-      env(a) = Rel(() => graft.spatial.Spatial.spatialIndex(
-        df, field, cellSize = 1.0,
-        partitions = spark.sparkContext.defaultParallelism))
+      env(a) = Rel(() =>
+        if (method == "rtree") graft.spatial.Spatial.zOrderIndex(
+          df, field, partitions = spark.sparkContext.defaultParallelism)
+        else graft.spatial.Spatial.spatialIndex(
+          df, field, cellSize = 1.0,
+          partitions = spark.sparkContext.defaultParallelism))
 
     case DelayStmt(a, in, waitMs, pct) =>
       val df = relation(in)

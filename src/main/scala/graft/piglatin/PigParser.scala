@@ -374,10 +374,11 @@ object PigParser extends RegexParsers {
           case s ~ p ~ o => TriplePat(s, p, o) }, ".") <~ "}") ^^ {
       case a ~ in ~ pats => BgpFilter(a, in, pats) }
 
-  /** `USING INDEX rtree(order=2)` style suffix — accepted, advisory only
-    * (graft's spatial index is the grid-cell partitioning). */
-  private def indexClause: Parser[Any] =
-    kw("using") ~ opt(kw("index")) ~ ident ~
+  /** `USING INDEX rtree(order=2)` style suffix — yields the method name
+    * (`rtree` routes to the Z-order curve index, the Spark analog of a
+    * bulk-loaded R-tree; anything else takes the grid-cell path). */
+  private def indexClause: Parser[String] =
+    kw("using") ~> opt(kw("index")) ~> ident <~
       opt("(" ~ repsep(ident ~ "=" ~ (number | ident), ",") ~ ")")
 
   private def spatialFilter: Parser[Stmt] =
@@ -406,9 +407,10 @@ object PigParser extends RegexParsers {
 
   /** `b = INDEX a ON field USING rtree(order=2)` (reference indexStmt). */
   private def indexStmt: Parser[Stmt] =
-    (ident <~ "=" <~ kw("index")) ~ ident ~ (kw("on") ~> fieldRef) <~
+    (ident <~ "=" <~ kw("index")) ~ ident ~ (kw("on") ~> fieldRef) ~
       indexClause ^^ {
-      case a ~ in ~ FieldRef(p) => IndexStmt(a, in, p.mkString(".")) }
+      case a ~ in ~ FieldRef(p) ~ m =>
+        IndexStmt(a, in, p.mkString("."), m.toLowerCase) }
 
   /** `b = DELAY a BY (wtime, samplePct)` — wtime is an ISO-8601 duration
     * body ('0.5S', '2M') or plain milliseconds (reference delayStmt). */

@@ -170,6 +170,52 @@ object Spatial {
       .repartition(partitions, col("cell"))
   }
 
+  /** Interleave the low `bits` bits of two quantized coordinates into a
+    * Morton (Z-order) code — pure column arithmetic, fully codegen'd. */
+  private def morton(qx: Column, qy: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftright(qx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(qy, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Space-filling-curve index (the `INDEX ... USING rtree` analog): the
+    * Spark-native equivalent of a bulk-loaded (STR-packed) R-tree is
+    * RANGE partitioning on a Z-order curve — each partition then covers
+    * a compact spatial region (what an R-tree leaf page is), so later
+    * spatial joins and range filters touch few partitions instead of
+    * hashing neighbors apart. Coordinates quantize to `bits`-bit cells
+    * over the data's bounding box (one tiny driver agg — 4 doubles, same
+    * bounded-collect budget as bspPartition's histogram); the Morton
+    * code lands in a `zorder` column, range-partitioned and sorted
+    * within partitions. Null/NaN points sort into the nulls partition,
+    * matching the grid index's behavior for dirty rows. */
+  def zOrderIndex(df: DataFrame, ptCol: String, partitions: Int,
+                  bits: Int = 16): DataFrame = {
+    require(partitions > 0, s"zOrderIndex needs partitions > 0 (got $partitions)")
+    require(bits > 0 && bits <= 24, s"zOrderIndex bits must be 1..24 (got $bits)")
+    reserveHelpers(df.columns, Seq("zorder"))
+    val x = col(ptCol).getField("x").cast(DoubleType)
+    val y = col(ptCol).getField("y").cast(DoubleType)
+    val b = df.agg(min(x), max(x), min(y), max(y)).head()
+    if (b.isNullAt(0)) // empty (or all-null-point) relation
+      return df.withColumn("zorder", lit(null).cast(LongType))
+    val (minX, maxX) = (b.getDouble(0), b.getDouble(1))
+    val (minY, maxY) = (b.getDouble(2), b.getDouble(3))
+    val scaleMax = (1L << bits) - 1
+    // degenerate spans (all points share a coordinate) divide by 1, not 0
+    def quant(c: Column, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(greatest(
+        floor((c - lit(lo)) / lit(span) * scaleMax).cast(LongType),
+        lit(0L)), lit(scaleMax))
+    }
+    df.withColumn("zorder",
+        when(x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y),
+          morton(quant(x, minX, maxX), quant(y, minY, maxY), bits)))
+      .repartitionByRange(partitions, col("zorder"))
+      .sortWithinPartitions(col("zorder"))
+  }
+
   // ---- BSP partitioning (PARTITION ... USING bsp) ---------------------------
   /** Driver-side cost-balanced binary space partitioning over an
     * occupied-cell histogram: recursively halve the region along the

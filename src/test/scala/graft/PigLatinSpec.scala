@@ -283,10 +283,12 @@ class PigLatinSpec extends SparkSpec {
     c.relation("ca").unpersist()
     val pts = Seq((1L, 1.0, 2.0)).toDF("id", "x", "y")
       .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    // rtree now routes to the Z-order curve index (ZOrderIndexSpec covers
+    // both methods in depth)
     val ci = PigScript.run(spark,
       "ix = INDEX p ON pt USING rtree(order=2);",
       tables = Map("p" -> pts))
-    assert(ci.relation("ix").columns.contains("cell"))
+    assert(ci.relation("ix").columns.contains("zorder"))
   }
 
   test("SKYLINE statement filters to the Pareto front, MAX flips a dim") {
