@@ -271,8 +271,11 @@ object Multimodal {
           val (header, spans) = aviFrames
           val periodUs = header.map(_.microSecPerFrame)
             .filter(_ > 0).getOrElse(33333L)
-          val stride = math.max(1L,
-            (everyMs * 1000L + periodUs / 2) / periodUs).toInt
+          // clamp BEFORE the Int cast (same rule as sampleSynthetic): a
+          // corrupt 1µs-per-frame header with a large everyMs would wrap
+          // the stride negative and silently emit zero frames
+          val stride = math.min(Int.MaxValue.toLong, math.max(1L,
+            (everyMs * 1000L + periodUs / 2) / periodUs)).toInt
           (0 until spans.size by stride).iterator.map { fi =>
             val bytes = Avi.frameBytes(a.payload, spans(fi))
             val (w, h, f) =

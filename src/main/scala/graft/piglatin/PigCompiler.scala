@@ -1059,12 +1059,17 @@ class PigCompiler(spark: SparkSession) {
       // reference's IndexOp materializes an index the later spatial ops
       // probe; graft's grid join does the probing via cell equi-joins)
       val df = relation(in)
-      env(a) = Rel(() =>
-        if (method == "rtree") graft.spatial.Spatial.zOrderIndex(
+      if (method == "rtree") {
+        // zOrderIndex runs an EAGER bounds job (one 4-double agg); Rel
+        // thunks re-evaluate per reference, so memoize — a script that
+        // dumps, joins and stores the indexed alias must not re-scan the
+        // input for bounds each time
+        lazy val indexed = graft.spatial.Spatial.zOrderIndex(
           df, field, partitions = spark.sparkContext.defaultParallelism)
-        else graft.spatial.Spatial.spatialIndex(
-          df, field, cellSize = 1.0,
-          partitions = spark.sparkContext.defaultParallelism))
+        env(a) = Rel(() => indexed)
+      } else env(a) = Rel(() => graft.spatial.Spatial.spatialIndex(
+        df, field, cellSize = 1.0,
+        partitions = spark.sparkContext.defaultParallelism))
 
     case DelayStmt(a, in, waitMs, pct) =>
       val df = relation(in)

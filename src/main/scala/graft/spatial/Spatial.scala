@@ -162,11 +162,26 @@ object Spatial {
       s"input already has reserved column(s) ${clash.mkString(", ")}")
   }
 
-  /** Attach an index column + co-partition by it. */
+  /** A usable coordinate: non-null and finite. NaN/±Inf coordinates are
+    * toxic under ANSI mode — their grid-cell Long cast throws, killing a
+    * whole job on one dirty row — and they poison driver-side min/max
+    * bounds; every index/join below filters on this first. */
+  private def finiteCoord(c: Column): Column =
+    !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+
+  private def finitePoint(pt: Column): Column =
+    pt.isNotNull && finiteCoord(pt.getField("x").cast(DoubleType)) &&
+      finiteCoord(pt.getField("y").cast(DoubleType))
+
+  /** Attach an index column + co-partition by it. A pre-existing `cell`
+    * column (re-indexing an already-indexed relation) is replaced — it is
+    * this operator's own output name, withColumn-style. */
   def spatialIndex(df: DataFrame, ptCol: String, cellSize: Double,
                    partitions: Int): DataFrame = {
-    reserveHelpers(df.columns, Seq("cell"))
-    df.withColumn("cell", cellId(col(ptCol), cellSize))
+    // null/NaN/Inf points get a null cell (grouped together) instead of
+    // an ANSI Long-cast crash on the first dirty row
+    df.drop("cell").withColumn("cell",
+        when(finitePoint(col(ptCol)), cellId(col(ptCol), cellSize)))
       .repartition(partitions, col("cell"))
   }
 
@@ -193,12 +208,16 @@ object Spatial {
                   bits: Int = 16): DataFrame = {
     require(partitions > 0, s"zOrderIndex needs partitions > 0 (got $partitions)")
     require(bits > 0 && bits <= 24, s"zOrderIndex bits must be 1..24 (got $bits)")
-    reserveHelpers(df.columns, Seq("zorder"))
+    val df0 = df.drop("zorder") // re-indexing replaces our own output col
     val x = col(ptCol).getField("x").cast(DoubleType)
     val y = col(ptCol).getField("y").cast(DoubleType)
-    val b = df.agg(min(x), max(x), min(y), max(y)).head()
-    if (b.isNullAt(0)) // empty (or all-null-point) relation
-      return df.withColumn("zorder", lit(null).cast(LongType))
+    // bounds over FINITE coordinates only: one NaN row would make
+    // max() = NaN (NaN sorts greatest) and poison every row's quant;
+    // one Inf row would collapse the span the same way
+    val clean = finitePoint(col(ptCol))
+    val b = df0.where(clean).agg(min(x), max(x), min(y), max(y)).head()
+    if ((0 to 3).exists(b.isNullAt)) // empty, all-null or x/y-null points
+      return df0.withColumn("zorder", lit(null).cast(LongType))
     val (minX, maxX) = (b.getDouble(0), b.getDouble(1))
     val (minY, maxY) = (b.getDouble(2), b.getDouble(3))
     val scaleMax = (1L << bits) - 1
@@ -209,9 +228,8 @@ object Spatial {
         floor((c - lit(lo)) / lit(span) * scaleMax).cast(LongType),
         lit(0L)), lit(scaleMax))
     }
-    df.withColumn("zorder",
-        when(x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y),
-          morton(quant(x, minX, maxX), quant(y, minY, maxY), bits)))
+    df0.withColumn("zorder",
+        when(clean, morton(quant(x, minX, maxX), quant(y, minY, maxY), bits)))
       .repartitionByRange(partitions, col("zorder"))
       .sortWithinPartitions(col("zorder"))
   }
@@ -305,10 +323,11 @@ object Spatial {
     val cell = cellId(col(ptCol), sideLength)
     // a non-null point STRUCT can still carry null x/y fields — its cell
     // is struct(null, null), which would NPE the driver's getLong on the
-    // histogram; exclude it here so such rows flow to the overflow
-    // partition like null structs do
-    val hist = df.where(col(ptCol).isNotNull &&
-        cell.getField("cx").isNotNull && cell.getField("cy").isNotNull)
+    // histogram — and a NaN/Inf coordinate would throw in the cell Long
+    // cast under ANSI before any null check ran; exclude both on the RAW
+    // coordinates so such rows flow to the overflow partition like null
+    // structs do
+    val hist = df.where(finitePoint(col(ptCol)))
       .groupBy(cell.as("__cell")).agg(count(lit(1)).as("__n"))
       .limit(maxCells + 1)
       .select(col("__cell.cx"), col("__cell.cy"), col("__n"))
@@ -325,9 +344,12 @@ object Spatial {
       cs.map(c => (c._1, c._2, pid)) }
     val pidDf = spark.createDataset(cellToPid)
       .toDF("__bsp_cx", "__bsp_cy", "__bsp_pid")
+    // the same ANSI NaN/Inf hazard as the histogram: guard the per-row
+    // cell exprs so dirty rows compare null (→ no match → overflow)
+    val safeCx = when(finitePoint(col(ptCol)), cell.getField("cx"))
+    val safeCy = when(finitePoint(col(ptCol)), cell.getField("cy"))
     val tagged = df.join(broadcast(pidDf),
-      cell.getField("cx") === col("__bsp_cx") &&
-        cell.getField("cy") === col("__bsp_cy"), "left")
+      safeCx === col("__bsp_cx") && safeCy === col("__bsp_cy"), "left")
     val pidIdx = tagged.schema.fieldIndex("__bsp_pid")
     val width = df.schema.length // join output = left cols ++ right cols
     val nRegions = regions.length
@@ -374,15 +396,17 @@ object Spatial {
     // null points (wktPoint's malformed-WKT output) can never satisfy
     // the distance refine, but their struct(null,null) cell ids DO
     // equi-join each other (struct comparison treats null fields as
-    // equal) — 9·|Lnull|·|Rnull| wasted pairs on dirty data; drop early
-    val lCells = left.where(col(lPt).isNotNull)
+    // equal) — 9·|Lnull|·|Rnull| wasted pairs on dirty data; and a
+    // NaN/Inf coordinate would throw in the cell Long cast under ANSI —
+    // drop both classes early
+    val lCells = left.where(finitePoint(col(lPt)))
       .withColumn("__dx", explode(array(lit(-1), lit(0), lit(1))))
       .withColumn("__dy", explode(array(lit(-1), lit(0), lit(1))))
       .withColumn("__cell", struct(
         (floor(col(lPt).getField("x") / cellSize).cast(LongType) + col("__dx")).as("cx"),
         (floor(col(lPt).getField("y") / cellSize).cast(LongType) + col("__dy")).as("cy")))
       .drop("__dx", "__dy")
-    val rCells = right.where(col(rPt).isNotNull)
+    val rCells = right.where(finitePoint(col(rPt)))
       .withColumn("__cell", cellId(col(rPt), cellSize))
     lCells.join(rCells, "__cell")
       .where(dist(col(lPt), col(rPt)) <= radius)
@@ -431,9 +455,10 @@ object Spatial {
         floor(env.getField("ymax") / cellSize).cast(LongType))))
       .withColumn("__cell", struct(col("__cx").as("cx"), col("__cy").as("cy")))
       .drop("__cx", "__cy")
-    // null points can't be contained, and their null-field cell structs
-    // would still equi-join (see distanceJoin) — drop early
-    val ptCells = points.where(col(ptCol).isNotNull)
+    // null points can't be contained, their null-field cell structs
+    // would still equi-join (see distanceJoin), and NaN/Inf coords throw
+    // in the cell Long cast under ANSI — drop early
+    val ptCells = points.where(finitePoint(col(ptCol)))
       .withColumn("__cell", cellId(col(ptCol), cellSize))
     // a point lives in exactly one cell, so no post-join dedup is needed
     polyCells.join(ptCells, "__cell")

@@ -22,13 +22,16 @@ object Visualize {
               width: Int, height: Int, pointSize: Int = 1,
               pointsOnly: Boolean = false): Unit = {
     require(width > 0 && height > 0, s"bad image size ${width}x$height")
-    // NaN coordinates are as toxic as nulls: max() sorts NaN greatest,
-    // collapsing the scale to 0 (every point lands in pixel column 0),
-    // and the ANSI int cast of floor(NaN) errors — filter both
+    // non-finite coordinates are as toxic as nulls: max() sorts NaN
+    // greatest and an Inf bound zeroes the scale (every point lands in
+    // pixel column 0), and the ANSI int cast of floor(NaN/Inf·0) errors —
+    // keep only finite rows
     val xy = df.select(pt.getField("x").cast(DoubleType).as("x"),
         pt.getField("y").cast(DoubleType).as("y"))
       .where(col("x").isNotNull && col("y").isNotNull &&
-        !isnan(col("x")) && !isnan(col("y")))
+        !isnan(col("x")) && !isnan(col("y")) &&
+        abs(col("x")) =!= Double.PositiveInfinity &&
+        abs(col("y")) =!= Double.PositiveInfinity)
     val b = xy.agg(min("x"), max("x"), min("y"), max("y")).head()
     if (b.isNullAt(0)) return // empty relation: nothing to draw
     val (minX, maxX) = (b.getDouble(0), b.getDouble(1))

@@ -74,8 +74,8 @@ object TemporalJoins {
     // unmatched in an as-of ("as of when?") — and it would sort FIRST
     // (nulls-first asc), fabricating itself as the running match for
     // every earlier left row — so it drops too.
-    val rNonNull = (keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull)
-      .reduce(_ && _) match { case cond => right.where(cond) }
+    val rNonNull = right.where(
+      (keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
     val rr = rNonNull.select(
       (keys.map(col) :+ col(rightTime).as("__t") :+
         lit(rSide).as("__side") :+ rStruct.as("__r")): _*)

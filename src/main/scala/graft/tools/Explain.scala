@@ -26,7 +26,7 @@ object Explain {
         case Some(fn) =>
           val plan =
             try fn(spark, dir).queryExecution.executedPlan.toString
-            catch { case e: Throwable =>
+            catch { case scala.util.control.NonFatal(e) =>
               println(s"[explain] ===== $q ===== FAILED: ${e.getMessage}")
               ""
             }

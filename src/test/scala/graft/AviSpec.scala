@@ -74,6 +74,18 @@ class AviSpec extends SparkSpec {
     assert(spans.size <= 1) // never reports a span past the cut
   }
 
+  test("corrupt 1µs-per-frame header cannot wrap the stride negative: " +
+      "frame 0 still emits") {
+    import spark.implicits._
+    val avi = Avi.build(Seq(jpegBytes(8, 8, 0x123456)), 8, 8,
+      microSecPerFrame = 1L)
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(1L, "video", avi, "avi", 0, 0, 100L)))
+    val got = Multimodal.sampleFrames(assets, everyMs = 3_000_000_000L)
+      .select("frameIdx").as[Int].collect()
+    assert(got.toSeq == Seq(0))
+  }
+
   test("sampleFrames on a real MJPEG AVI samples true container frames " +
       "at the header rate") {
     import spark.implicits._

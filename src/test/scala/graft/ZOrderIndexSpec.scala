@@ -93,6 +93,51 @@ class ZOrderIndexSpec extends SparkSpec {
       got(2L).isEmpty && got(3L).isEmpty)
   }
 
+  test("one NaN or Infinity row neither crashes the build nor poisons " +
+      "the bounds of clean rows") {
+    val df = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, Double.NaN, 5.0),
+        (4L, Double.PositiveInfinity, 5.0), (5L, 5.0, Double.NegativeInfinity))
+      .toDF("id", "x", "y")
+      .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    val got = Spatial.zOrderIndex(df, "pt", partitions = 2, bits = 10)
+      .select("id", "zorder").as[(Long, Option[Long])].collect().toMap
+    assert(got.size == 5)
+    assert(got(3L).isEmpty && got(4L).isEmpty && got(5L).isEmpty)
+    // bounds come from the FINITE rows only: (0,0) and (10,10) map to the
+    // quantization extremes, exactly as if the dirty rows were absent
+    assert(got(1L).contains(0L))
+    assert(got(2L).contains(modelMorton(10, 10, (0.0, 0.0), (10.0, 10.0), 10)))
+  }
+
+  test("re-indexing an indexed relation replaces the index column") {
+    val df = Seq((1L, 1.0, 2.0), (2L, 3.0, 4.0)).toDF("id", "x", "y")
+      .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    val once = Spatial.zOrderIndex(df, "pt", partitions = 2)
+    val twice = Spatial.zOrderIndex(once, "pt", partitions = 2)
+    assert(twice.columns.count(_ == "zorder") == 1 && twice.count() == 2)
+    val gridTwice = Spatial.spatialIndex(
+      Spatial.spatialIndex(df, "pt", 1.0, 2), "pt", 2.0, 2)
+    assert(gridTwice.columns.count(_ == "cell") == 1 && gridTwice.count() == 2)
+  }
+
+  test("grid spatialIndex gives dirty points a null cell instead of an " +
+      "ANSI cast crash; bspPartition routes them to overflow") {
+    val df = Seq((1L, 1.0, 1.0), (2L, Double.NaN, 1.0),
+        (3L, Double.PositiveInfinity, 2.0))
+      .toDF("id", "x", "y")
+      .select(col("id"), Spatial.point(col("x"), col("y")).as("pt"))
+    val cells = Spatial.spatialIndex(df, "pt", 1.0, 2)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(cells == Map(1L -> false, 2L -> true, 3L -> true))
+    val placed = Spatial.bspPartition(df, "pt", sideLength = 1.0, maxCost = 10)
+    assert(placed.count() == 3) // dirty rows survive in the overflow part
+    // distance join simply excludes them
+    val j = Spatial.distanceJoin(df, df.withColumnRenamed("pt", "p2")
+      .withColumnRenamed("id", "id2"), "pt", "p2", 1.0)
+    assert(j.select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("dialect: INDEX USING rtree takes the Z-order path, grid keeps cells") {
     val df = Seq((1.0, 2.0), (3.0, 4.0), (50.0, 60.0)).toDF("x", "y")
       .select(Spatial.point(col("x"), col("y")).as("loc"))
