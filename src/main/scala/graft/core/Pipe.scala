@@ -84,6 +84,34 @@ final case class Pipe(df: DataFrame) {
     Pipe(df.where(Pipe.hashBucket(keys) < pct))
   }
 
+  /** Deterministic train/validation/test assignment over the same md5
+    * bucket as [[sampleByHash]]: `splits` are ordered (name, percent)
+    * pairs summing to 100; a row whose bucket falls in a split's
+    * cumulative range gets that split's name in new column `outCol`.
+    * Pure narrow map — no shuffle, reproducible across engines, retries
+    * and repartitionings, and STABLE under corpus growth: a document's
+    * assignment depends only on its own key, so rows never migrate
+    * between train and eval when data is added (the property a
+    * count-based `randomSplit` cannot give). */
+  def splitByHash(splits: Seq[(String, Int)], keys: Column*): Pipe =
+    splitByHashAs("split", splits, keys: _*)
+
+  def splitByHashAs(outCol: String, splits: Seq[(String, Int)],
+                    keys: Column*): Pipe = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got $splits")
+    require(splits.forall(_._2 > 0), s"split percents must be > 0: $splits")
+    require(!df.columns.contains(outCol),
+      s"splitByHash output column '$outCol' already exists in the input")
+    val bucket = Pipe.hashBucket(keys)
+    val uppers = splits.scanLeft(0)(_ + _._2).tail // cumulative bounds
+    val assign = splits.init.zip(uppers.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), hi), acc) => when(bucket < hi, name).otherwise(acc)
+      }
+    Pipe(df.withColumn(outCol, assign))
+  }
+
   /** reference: op/OrderBy.scala — range-partitioned total sort (scales:
     * each partition sorts locally after the range exchange). */
   def orderByCols(cols: Column*): Pipe = Pipe(df.orderBy(cols: _*))

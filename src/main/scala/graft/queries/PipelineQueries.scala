@@ -93,6 +93,12 @@ object PipelineQueries {
 
   private val enStop = TextOps.enStopwords
 
+  // ---- shared relevance parameters (query and oracle must agree) ----------
+  private val TfIdfK = 3
+  private val Bm25Terms = Seq("spark", "window", "agg") // in-vocab keywords
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis (#64–67) ------------------------------------------------
     "q_token_count" -> ((s, dir) =>
@@ -190,6 +196,26 @@ object PipelineQueries {
       graft.text.Decontaminate.report(corpus, "doc_id", "text",
         bench, "doc_id", "text", n = 8)
     }),
+
+    // -- relevance scoring / split assignment -----------------------------------
+    // integer-idf variant: every output column integral/text, so the
+    // oracle hash-matches exactly (ln() is 1-ulp engine-dependent and
+    // tf-idf has exact cross-pair ties — see Relevance scaladoc)
+    "q_tfidf" -> ((s, dir) =>
+      graft.text.Relevance.tfIdfTopKExact(
+        t(s, dir, "documents"), "doc_id", "text", k = TfIdfK)),
+    // doubles, but IEEE basic ops only in fixed order + integer idf —
+    // the oracle replays scores bit-exactly
+    "q_bm25" -> ((s, dir) =>
+      graft.text.Relevance.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, Bm25K1, Bm25B)),
+    // deterministic md5-bucket train/val/test assignment (stable under
+    // corpus growth, unlike count-based randomSplit)
+    "q_split_hash" -> ((s, dir) =>
+      graft.core.Pipe(t(s, dir, "documents"))
+        .splitByHash(Seq("train" -> 80, "val" -> 10, "test" -> 10),
+          col("doc_id"))
+        .generate(col("doc_id"), col("lang"), col("split")).df),
 
     // -- dedup (#57–61) ---------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
@@ -439,6 +465,65 @@ object PipelineQueries {
   private def doubleList(a: Seq[Double]): String =
     a.mkString("[", ", ", "]")
 
+  /** Lowercased-tokens CTE body shared by the relevance oracles (mirrors
+    * Relevance.terms = TextOps.tokens ∘ lower). */
+  private val lowerToksSql =
+    """SELECT doc_id,
+       list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+       FROM documents"""
+
+  /** Exact replica of Relevance.tfIdfTopKExact: wordcount tf, df over the
+    * tf rows, integer idf = length(bin(N)) − (length(bin(df)) − 1) —
+    * length(bin(x)) renders identical digits on both engines, so scores,
+    * ties and therefore ranks agree exactly (no float log anywhere). */
+  private def tfIdfSql(k: Int): String =
+    s"""WITH tok AS ($lowerToksSql),
+       tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+              GROUP BY doc_id, term),
+       df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       n AS (SELECT count(*)::BIGINT AS n FROM documents),
+       ranked AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           (tf.tf * (length(bin(n.n)) - (length(bin(df.df)) - 1)))::BIGINT
+             AS score,
+           row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf * (length(bin(n.n)) - (length(bin(df.df)) - 1))
+               DESC, tf.term)::BIGINT AS rnk
+         FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+       SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= $k"""
+
+  /** Bit-exact replica of Relevance.bm25: the corpus scalars reduce in a
+    * CTE, each per-term contribution mirrors the engine's expression tree
+    * parenthesis-for-parenthesis, contributions add in the same literal
+    * term order, and the constants are the SAME pre-evaluated Scala
+    * doubles (toString round-trips through DuckDB's decimal→double
+    * promotion — the doubleList/hyperplane precedent). Only IEEE basic
+    * ops appear, so every engine rounds identically. */
+  private def bm25Sql(termsQ: Seq[String], k1: Double, b: Double): String = {
+    val dfAggs = termsQ.indices.map { i =>
+      s"sum(CASE WHEN list_contains(toks, '${termsQ(i)}') THEN 1 ELSE 0 END)::BIGINT AS df_$i"
+    }.mkString(",\n           ")
+    val dlSql = "CAST(len(toks) AS DOUBLE)"
+    val avgdlSql = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    val contribs = termsQ.indices.map { i =>
+      val tfSql =
+        s"CAST(len(list_filter(toks, x -> x = '${termsQ(i)}')) AS DOUBLE)"
+      val idfSql =
+        s"CAST(length(bin(n)) - (length(bin(df_$i)) - 1) AS DOUBLE)"
+      s"(($idfSql * ($tfSql * ${k1 + 1.0})) / " +
+        s"($tfSql + $k1 * (${1.0 - b} + $b * ($dlSql / $avgdlSql))))"
+    }.mkString(" + ")
+    s"""WITH tok AS ($lowerToksSql),
+       stats AS (SELECT count(*)::BIGINT AS n,
+           sum(len(toks))::BIGINT AS sumdl,
+           $dfAggs
+         FROM tok)
+       SELECT doc_id, score FROM (
+         SELECT tok.doc_id, $contribs AS score
+         FROM tok CROSS JOIN stats)
+       WHERE score > 0.0"""
+  }
+
   /** Exact SQL replica of sign-LSH bucketed ANN: the seeded hyperplanes
     * are embedded as literals; bucket bits, the (band, bucket) equi-join,
     * cosine scoring and the per-query rank replay the engine exactly.
@@ -566,6 +651,15 @@ object PipelineQueries {
            FROM tok""",
       "q_lang_id" -> langIdSql,
       "q_decontaminate" -> decontaminateSql(n = 8),
+      "q_tfidf" -> tfIdfSql(TfIdfK),
+      "q_bm25" -> bm25Sql(Bm25Terms, Bm25K1, Bm25B),
+      "q_split_hash" ->
+        """SELECT doc_id, lang,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+           FROM documents)""",
       // the full chain, each stage the already-verified oracle fragment:
       // canonicalize (nfc/strip/lower) → ≥5-token gate → min-id winner
       // per md5 fingerprint → 8-gram overlap removal vs the % 20 = 3
