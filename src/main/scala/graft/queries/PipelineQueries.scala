@@ -98,6 +98,10 @@ object PipelineQueries {
   private val Bm25Terms = Seq("spark", "window", "agg") // in-vocab keywords
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
+  private val PackSeqLen = 512L // training-sequence length (tokens)
+  private val ChunkWidth = 64 // RAG chunk window (tokens)
+  private val ChunkStride = 32 // RAG chunk stride (tokens)
+  private val ShuffleSeed = "graft-shuffle-42"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis (#64–67) ------------------------------------------------
@@ -216,6 +220,39 @@ object PipelineQueries {
         .splitByHash(Seq("train" -> 80, "val" -> 10, "test" -> 10),
           col("doc_id"))
         .generate(col("doc_id"), col("lang"), col("split")).df),
+
+    // -- sequence layout / LM scoring -------------------------------------------
+    // GPT-style concat-and-chunk packing: the global token prefix sum
+    // runs distributed (range partition + driver offsets over
+    // numPartitions longs), never as a single-partition window
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.text.Pack.packConcat(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", TextOps.tokenCount(col("text")), seqLen = PackSeqLen)
+        .select(col("doc_id"), col("n_tok"), col("tok_start"),
+          col("seq_first"), col("seq_last"))),
+    // RAG sliding-window chunking: narrow codegen pass, output rows
+    // ∝ tokens/stride
+    "q_chunk" -> ((s, dir) =>
+      graft.text.Pack.chunk(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", width = ChunkWidth, stride = ChunkStride)),
+    // corpus-trained add-one unigram surprisal (the CCNet-style
+    // perplexity quality filter); fixed-point log2 units so the oracle
+    // replays scores hash-exactly (see LangModel scaladoc)
+    "q_lm_score" -> ((s, dir) =>
+      graft.text.LangModel.scoreNllFx(
+        t(s, dir, "documents"), "doc_id", "text")),
+    // deterministic global shuffle: reproducible + resumable training
+    // order by seeded md5 rank, on the distributed zipWithIndex machinery
+    "q_shuffle_det" -> ((s, dir) =>
+      graft.core.Pipe(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")))
+        .zipWithIndex(
+          Seq(md5(concat_ws("|", col("doc_id").cast(StringType),
+            lit(ShuffleSeed)).cast(BinaryType))),
+          "shuffle_pos")
+        .df.select(col("doc_id"), col("lang"), col("shuffle_pos"))),
 
     // -- dedup (#57–61) ---------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
@@ -660,6 +697,80 @@ object PipelineQueries {
            FROM (SELECT doc_id, lang,
              ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
            FROM documents)""",
+      // windowed SUM returns HUGEINT (float64 at compare time): every
+      // output is CAST to BIGINT; // is integer division like Spark div
+      "q_pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tok FROM documents),
+           c AS (SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS tok_start FROM t)
+           SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(tok_start AS BIGINT) AS tok_start,
+             CAST(tok_start // $PackSeqLen AS BIGINT) AS seq_first,
+             CAST((tok_start + greatest(n_tok, 1) - 1) // $PackSeqLen
+               AS BIGINT) AS seq_last
+           FROM c""",
+      "q_chunk" ->
+        s"""WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks FROM documents),
+           st AS (SELECT doc_id, toks,
+             unnest(range(0, len(toks), $ChunkStride)) AS s0
+           FROM t WHERE len(toks) > 0)
+           SELECT doc_id, CAST(s0 // $ChunkStride AS BIGINT) AS chunk_idx,
+             CAST(least($ChunkWidth, len(toks) - s0) AS BIGINT)
+               AS chunk_tokens,
+             array_to_string(toks[s0 + 1 : s0 + $ChunkWidth], ' ')
+               AS chunk_text
+           FROM st""",
+      // exact fixed-point log2 replay of LangModel.ratioLog2Fx: integer
+      // digit counts, ONE double divide, then 16 repeated-squaring steps
+      // (multiply / compare / halve — all correctly-rounded IEEE ops, so
+      // both engines produce identical bits; see LangModel scaladoc)
+      "q_lm_score" ->
+        """WITH RECURSIVE tokx AS (
+             SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '')) AS tok
+             FROM documents),
+           dtf AS (SELECT doc_id, tok, COUNT(*) AS cnt
+             FROM tokx GROUP BY 1, 2),
+           voc AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c
+             FROM dtf GROUP BY 1),
+           tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
+             FROM voc),
+           base AS (SELECT c, n + v AS num, c + 1 AS den,
+               length(bin(n + v)) - length(bin(c + 1)) AS e0
+             FROM (SELECT DISTINCT c FROM voc) dc, tot),
+           b2 AS (SELECT c, e0,
+               CAST(num AS DOUBLE) / CAST(den << e0 AS DOUBLE) AS y0
+             FROM base),
+           fx AS (
+             SELECT c,
+               CASE WHEN y0 < 1 THEN y0 * 2 ELSE y0 END AS y,
+               CASE WHEN y0 < 1 THEN e0 - 1 ELSE e0 END AS e,
+               CAST(0 AS BIGINT) AS bits, 0 AS step FROM b2
+             UNION ALL
+             SELECT c,
+               CASE WHEN y * y >= 2 THEN y * y / 2 ELSE y * y END, e,
+               bits * 2 + CASE WHEN y * y >= 2 THEN 1 ELSE 0 END, step + 1
+             FROM fx WHERE step < 16),
+           sc AS (SELECT c, CAST(e AS BIGINT) * 65536 + bits AS sfx
+             FROM fx WHERE step = 16),
+           scored AS (SELECT v.tok, s2.sfx FROM voc v JOIN sc s2 USING (c))
+           SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_tok,
+             CAST(SUM(d.cnt * s3.sfx) AS BIGINT) AS nll_fx
+           FROM dtf d JOIN scored s3 USING (tok)
+           GROUP BY 1""",
+      "q_shuffle_det" ->
+        s"""SELECT doc_id, lang,
+             row_number() OVER (
+               ORDER BY md5(doc_id::VARCHAR || '|' || '$ShuffleSeed')) - 1
+               AS shuffle_pos
+           FROM documents""",
       // the full chain, each stage the already-verified oracle fragment:
       // canonicalize (nfc/strip/lower) → ≥5-token gate → min-id winner
       // per md5 fingerprint → 8-gram overlap removal vs the % 20 = 3

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Unigram language-model scoring — the classic perplexity-style quality
+  * filter a pretraining pipeline runs over every document: train token
+  * counts on the corpus itself (one pass), score each document by its
+  * total surprisal under the add-one-smoothed model. High surprisal per
+  * token ⇒ gibberish / rare-token soup; low ⇒ boilerplate. (CCNet-style
+  * pipelines do exactly this with a 5-gram KenLM; the unigram form is the
+  * same plan shape with a trivial model.)
+  *
+  * Scale shape: explode → groupBy(doc, tok) gets map-side partial
+  * aggregation, so the shuffle carries distinct (doc, token) pairs, not
+  * tokens; the vocabulary aggregates from that in one more exchange; the
+  * score join shuffles on token unless AQE broadcasts the (small) vocab;
+  * the final per-doc sum is a partial-agg groupBy. Nothing touches the
+  * driver and no stage depends on corpus size beyond the shuffles.
+  *
+  * Cross-engine determinism: surprisal is −log p, but `ln` is not
+  * correctly rounded and Spark/DuckDB may disagree in the last ulp (see
+  * [[Relevance]] scaladoc). [[surprisalFx]] therefore computes
+  * fixed-point log₂(1/p) EXACTLY: [[ratioLog2Fx]] uses only integer ops,
+  * one correctly-rounded division, and a repeated-squaring bit loop of
+  * correctly-rounded multiplies — identical bit patterns on every IEEE
+  * engine, so the oracle replays it hash-exactly. [[scoreNll]] is the
+  * float library variant (natural-log nats) for users; its agreement
+  * with the fx scores is spec'd, not oracled.
+  */
+object LangModel {
+
+  /** Fixed-point log₂(num/den) with `fracBits` fractional bits, for
+    * integral columns num ≥ den > 0 (result ≥ 0). EXACT cross-engine —
+    * see [[graft.functions.Log2FxExpr]] (a native codegen Expression: a
+    * Column-level unrolling of the squaring loop makes the Catalyst
+    * conversion exponential in fracBits). */
+  def ratioLog2Fx(num: Column, den: Column, fracBits: Int = 16): Column =
+    graft.functions.Log2FxExpr(num.cast(LongType), den.cast(LongType), fracBits)
+
+  /** Lowercased whitespace tokens — shares [[Relevance.terms]]. */
+  private def toks(text: Column): Column = Relevance.terms(text)
+
+  /** (id, tok, cnt): per-document token frequencies. */
+  def docTokenFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(toks(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** (tok, c, surprisal_fx): add-one-smoothed unigram surprisal per
+    * vocabulary token, fixed-point log₂ units ([[ratioLog2Fx]], 16
+    * fractional bits): surprisal_fx = log2fx((N+V)/(c+1)) where N =
+    * corpus tokens, V = vocabulary size. */
+  def surprisalFx(dtf: DataFrame): DataFrame = {
+    val voc = dtf.groupBy("tok").agg(sum("cnt").as("c"))
+    // corpus scalars reduce to ONE row; the cross join broadcasts it
+    val tot = voc.agg(sum("c").as("__n"), count(lit(1)).as("__v"))
+    voc.crossJoin(tot)
+      .withColumn("surprisal_fx",
+        ratioLog2Fx(col("__n") + col("__v"), col("c") + 1))
+      .drop("__n", "__v")
+  }
+
+  /** Per-document total/mean surprisal under the corpus's own smoothed
+    * unigram model. Output: (id, n_tok, nll_fx) — nll_fx = Σ_tokens
+    * surprisal_fx, an exact integer (order-independent sum, so the
+    * oracle matches hash-exactly); mean bits/token = nll_fx / n_tok /
+    * 2^16. Zero-token docs emit no row (they have no surprisal). */
+  def scoreNllFx(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dtf = docTokenFreqs(docs, idCol, textCol)
+    dtf.join(surprisalFx(dtf).select("tok", "surprisal_fx"), "tok")
+      .groupBy(col(idCol))
+      .agg(sum("cnt").cast(LongType).as("n_tok"),
+        sum(col("cnt") * col("surprisal_fx")).cast(LongType).as("nll_fx"))
+  }
+
+  /** Library variant in natural-log doubles: (id, n_tok, nll_nats,
+    * bits_per_token). Same plan shape as [[scoreNllFx]]; float log, so
+    * cross-engine hash equality is NOT guaranteed — spec'd against the
+    * fx scores within quantization tolerance instead. */
+  def scoreNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dtf = docTokenFreqs(docs, idCol, textCol)
+    val voc = dtf.groupBy("tok").agg(sum("cnt").as("c"))
+    val tot = voc.agg(sum("c").as("__n"), count(lit(1)).as("__v"))
+    val sc = voc.crossJoin(tot)
+      .withColumn("surprisal",
+        -log((col("c") + 1).cast(DoubleType) /
+             (col("__n") + col("__v")).cast(DoubleType)))
+      .select(col("tok"), col("surprisal"))
+    dtf.join(sc, "tok")
+      .groupBy(col(idCol))
+      .agg(sum("cnt").cast(LongType).as("n_tok"),
+        sum(col("cnt") * col("surprisal")).as("nll_nats"))
+      .withColumn("bits_per_token",
+        col("nll_nats") / col("n_tok") / math.log(2.0))
+  }
+}
