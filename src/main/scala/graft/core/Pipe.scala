@@ -330,17 +330,10 @@ final case class Pipe(df: DataFrame) {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = sorted.groupBy(col("__pid")).agg(sum(col("__cnt")).as("__tot"))
       .orderBy(col("__pid")).collect()
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      totals.map { r =>
-        val e = r.getInt(0) -> acc; acc += r.getLong(1); e
-      }.toMap
-    }
+      .map(r => r.getInt(0) -> r.getLong(1))
     val wRun = Window.partitionBy(col("__pid")).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val offsetCol =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+    val offsetCol = Pipe.partitionOffsets(totals, col("__pid"))
     val ranks0 = sorted
       .withColumn(rankName,
         (offsetCol + sum(col("__cnt")).over(wRun) - col("__cnt") + lit(1))
@@ -372,15 +365,8 @@ final case class Pipe(df: DataFrame) {
     val local = col("__mid").bitwiseAND(lit((1L << 33) - 1))
     val counts = mid.groupBy(pid.as("__pid")).agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__pid")).collect()
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      counts.map { r =>
-        val e = r.getInt(0) -> acc; acc += r.getLong(1); e
-      }.toMap
-    }
-    val offsetCol =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(offsets), pid), lit(0L))
+      .map(r => r.getInt(0) -> r.getLong(1))
+    val offsetCol = Pipe.partitionOffsets(counts, pid)
     Pipe(mid.withColumn(idxName, (offsetCol + local).cast(LongType))
       .drop("__mid"))
   }
@@ -687,6 +673,25 @@ final case class Pipe(df: DataFrame) {
 }
 
 object Pipe {
+  /** REPL-safe per-partition offset lookup: cumulative offsets as a DENSE
+    * long-array literal indexed by partition id (1-based `element_at`).
+    * The previous `typedLit(Map[Int, Long])` needs TypeTag reflection
+    * that fails under REPL/interpreter classloaders (spark-shell, the
+    * PigScript surface) and silently degrades to an unsupported raw-Map
+    * literal; `lit(Array[Long])` lowers through `Literal.apply` with no
+    * reflection. Partitions absent from `totals` (empty after the range
+    * shuffle) get the running offset so later pids index correctly. */
+  private[graft] def partitionOffsets(totals: Array[(Int, Long)],
+                                      pidCol: Column): Column =
+    if (totals.isEmpty) lit(0L)
+    else {
+      val m = totals.toMap
+      val arr = new Array[Long](totals.map(_._1).max + 1)
+      var acc = 0L
+      for (i <- arr.indices) { arr(i) = acc; acc += m.getOrElse(i, 0L) }
+      element_at(lit(arr), pidCol + 1)
+    }
+
   /** The deterministic md5 sampling bucket (0–99) shared by sampleByHash
     * and stratifiedSampleByHash — ONE encoding, so the two sample the
     * same rows at the same rates. Each key casts to string with nulls

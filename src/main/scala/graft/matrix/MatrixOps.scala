@@ -29,7 +29,8 @@ object MatrixOps {
 
   def fromLiteral(m: BDM[Double]): Column =
     matrix(lit(m.rows), lit(m.cols),
-      typedLit((0 until m.rows).flatMap(i => (0 until m.cols).map(j => m(i, j)))))
+      // lit(Array) not typedLit(Seq): REPL-classloader-safe (no TypeTag)
+      lit((0 until m.rows).flatMap(i => (0 until m.cols).map(j => m(i, j))).toArray))
 
   // ---- codegen-friendly per-cell ops ---------------------------------------
   /** Shape-checked: zip_with pads the shorter array with nulls, so a

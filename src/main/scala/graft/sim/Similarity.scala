@@ -51,7 +51,9 @@ object Similarity {
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, j)) =>
       acc.bitwiseOR(
-        when(dot(v, typedLit(p)) >= 0.0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        // lit(Array) not typedLit(Seq): the latter needs TypeTag
+        // reflection that fails under REPL/interpreter classloaders
+        when(dot(v, lit(p.toArray)) >= 0.0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
     }
 
   /** Exact top-k nearest neighbours by cosine for each query vector.
@@ -192,7 +194,7 @@ object Similarity {
       // take idxs. (A when-chain argmax would DOUBLE the expression tree
       // per centroid — 2^nCells nodes; this stays linear.)
       val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct((-dot(v, typedLit(c.toSeq))).as("nd"), lit(i).as("i")) }: _*)
+        struct((-dot(v, lit(c))).as("nd"), lit(i).as("i")) }: _*)
       slice(transform(array_sort(pairs), p => p.getField("i")), 1, n)
     }
     val assigned = cVecs.withColumn("cell",

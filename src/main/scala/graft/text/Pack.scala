@@ -51,15 +51,9 @@ object Pack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = sorted.groupBy(col("__pid")).agg(sum(col("n_tok")).as("__tot"))
       .orderBy(col("__pid")).collect()
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      totals.map { r =>
-        val e = r.getInt(0) -> acc; acc += r.getLong(1); e
-      }.toMap
-    }
-    val offsetCol =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+      .map(r => r.getInt(0) -> r.getLong(1))
+    // REPL-safe dense-array lookup (see Pipe.partitionOffsets scaladoc)
+    val offsetCol = graft.core.Pipe.partitionOffsets(totals, col("__pid"))
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     sorted
