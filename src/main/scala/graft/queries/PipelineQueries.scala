@@ -243,6 +243,11 @@ object PipelineQueries {
     "q_lm_score" -> ((s, dir) =>
       graft.text.LangModel.scoreNllFx(
         t(s, dir, "documents"), "doc_id", "text")),
+    // pruned-bigram Stupid Backoff (α=0.4, singleton bigrams pruned so
+    // the backoff branch fires on real data); same fx-exact log2
+    "q_lm_bigram" -> ((s, dir) =>
+      graft.text.LangModel.scoreBigramFx(
+        t(s, dir, "documents"), "doc_id", "text", minBigramCount = 2)),
     // deterministic global shuffle: reproducible + resumable training
     // order by seeded md5 rank, on the distributed zipWithIndex machinery
     "q_shuffle_det" -> ((s, dir) =>
@@ -765,6 +770,69 @@ object PipelineQueries {
              CAST(SUM(d.cnt * s3.sfx) AS BIGINT) AS nll_fx
            FROM dtf d JOIN scored s3 USING (tok)
            GROUP BY 1""",
+      // Stupid-Backoff bigram replica: same fixed-point log₂ CTE as
+      // q_lm_score but parameterized over distinct (num, den) pairs —
+      // retained bigram (count ≥ 2): (c(w1), c(w1w2)); pruned: the α=0.4
+      // backoff folded to one call (5(N+V), 2(c(w2)+1)); doc-initial
+      // token: ((N+V), c+1)
+      "q_lm_bigram" ->
+        """WITH RECURSIVE tk AS (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '') AS t
+             FROM documents),
+           tk1 AS (SELECT doc_id, t FROM tk WHERE len(t) > 0),
+           tokx AS (SELECT doc_id, unnest(t) AS tok FROM tk1),
+           uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tokx GROUP BY 1),
+           tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+           bgx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+             FROM tk1 WHERE len(t) >= 2),
+           bgi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM bgx),
+           bm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+             FROM bgi GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           dp AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+             FROM bgi GROUP BY 1, 2, 3),
+           pair0 AS (SELECT dp.doc_id, dp.m,
+               CASE WHEN bm.c12 IS NOT NULL THEN u1.c
+                    ELSE 5 * (tot.n + tot.v) END AS num,
+               CASE WHEN bm.c12 IS NOT NULL THEN bm.c12
+                    ELSE 2 * (u2.c + 1) END AS den
+             FROM dp LEFT JOIN bm USING (w1, w2)
+               JOIN uni u1 ON u1.tok = dp.w1
+               JOIN uni u2 ON u2.tok = dp.w2
+               CROSS JOIN tot),
+           first0 AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+               tot.n + tot.v AS num, u.c + 1 AS den
+             FROM tk1 JOIN uni u ON u.tok = t[1] CROSS JOIN tot),
+           pr AS (SELECT DISTINCT num, den FROM
+             (SELECT num, den FROM pair0
+              UNION ALL SELECT num, den FROM first0)),
+           b2 AS (SELECT num, den,
+               length(bin(num)) - length(bin(den)) AS e0,
+               CAST(num AS DOUBLE)
+                 / CAST(den << (length(bin(num)) - length(bin(den)))
+                        AS DOUBLE) AS y0
+             FROM pr),
+           fx AS (
+             SELECT num, den,
+               CASE WHEN y0 < 1 THEN y0 * 2 ELSE y0 END AS y,
+               CASE WHEN y0 < 1 THEN e0 - 1 ELSE e0 END AS e,
+               CAST(0 AS BIGINT) AS bits, 0 AS step FROM b2
+             UNION ALL
+             SELECT num, den,
+               CASE WHEN y * y >= 2 THEN y * y / 2 ELSE y * y END, e,
+               bits * 2 + CASE WHEN y * y >= 2 THEN 1 ELSE 0 END, step + 1
+             FROM fx WHERE step < 16),
+           sc AS (SELECT num, den, CAST(e AS BIGINT) * 65536 + bits AS sfx
+             FROM fx WHERE step = 16),
+           bnll AS (SELECT p.doc_id, CAST(SUM(p.m * s.sfx) AS BIGINT) AS s
+             FROM pair0 p JOIN sc s USING (num, den) GROUP BY 1)
+           SELECT f.doc_id, f.n_tok,
+             CAST(s1.sfx + COALESCE(b.s, 0) AS BIGINT) AS nll_fx
+           FROM first0 f JOIN sc s1 USING (num, den)
+           LEFT JOIN bnll b USING (doc_id)""",
       "q_shuffle_det" ->
         s"""SELECT doc_id, lang,
              row_number() OVER (

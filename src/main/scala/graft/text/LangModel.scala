@@ -75,6 +75,79 @@ object LangModel {
         sum(col("cnt") * col("surprisal_fx")).cast(LongType).as("nll_fx"))
   }
 
+  /** Pruned-bigram Stupid Backoff scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — one step closer to the
+    * CCNet 5-gram filter than [[scoreNllFx]], same fixed-point exactness:
+    *
+    *  - transition w1→w2 with a retained bigram (corpus count ≥
+    *    `minBigramCount`): surprisal = log2fx(c(w1) / c(w1 w2))
+    *  - pruned/unseen bigram: Stupid Backoff with α = 0.4 onto the
+    *    add-one unigram: surprisal = log2fx(5·(N+V) / (2·(c(w2)+1)))
+    *    (folded into ONE log2fx call — exact, no fx addition error)
+    *  - a doc's first token has no predecessor: plain unigram surprisal
+    *    log2fx((N+V) / (c+1))
+    *
+    * Self-training means every observed bigram is in the unpruned model,
+    * so `minBigramCount` (default 2) is what makes backoff reachable —
+    * exactly how a production LM prunes singleton n-grams.
+    *
+    * Scale shape: three corpus passes over a narrow (id, tokens)
+    * projection (unigram counts, bigram counts, per-doc distinct
+    * transitions) — each a partial-agg groupBy whose shuffle carries
+    * distinct keys, not instances; the model joins are plain equi-joins
+    * AQE broadcasts while the model is small and shuffles when it isn't;
+    * the per-doc sum is one more partial-agg groupBy. Driver sees
+    * nothing. Output: (id, n_tok, nll_fx); zero-token docs emit no row.
+    */
+  def scoreBigramFx(docs: DataFrame, idCol: String, textCol: String,
+                    minBigramCount: Int = 2): DataFrame = {
+    require(minBigramCount >= 1,
+      s"minBigramCount must be >= 1, got $minBigramCount")
+    val tk = docs.select(col(idCol), toks(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val uni = tk.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").cast(LongType).as("__n"),
+      count(lit(1)).as("__v"))
+    // shifted zip_with: the O(tokens) bigram build (same trick as
+    // TextOps.repetitionRatio)
+    val bigramArr = zip_with(
+      slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+      slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val inst = tk.filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(bigramArr).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minBigramCount)
+    // per-doc DISTINCT transitions with multiplicity: the model joins and
+    // log2fx run once per distinct pair, not once per token instance
+    val docPairs = inst.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val paired = docPairs
+      .join(model, Seq("w1", "w2"), "left")
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(tot)
+      .withColumn("surp", when(col("c12").isNotNull,
+          ratioLog2Fx(col("c1"), col("c12")))
+        .otherwise(ratioLog2Fx(lit(5L) * (col("__n") + col("__v")),
+          lit(2L) * (col("c2") + 1))))
+      .groupBy(col(idCol))
+      .agg(sum(col("m") * col("surp")).cast(LongType).as("__bigram_nll"))
+    val first = tk
+      .select(col(idCol), size(col("__toks")).cast(LongType).as("n_tok"),
+        element_at(col("__toks"), 1).as("tok"))
+      .join(uni, "tok").crossJoin(tot)
+      .withColumn("__first_surp",
+        ratioLog2Fx(col("__n") + col("__v"), col("c") + 1))
+      .select(col(idCol), col("n_tok"), col("__first_surp"))
+    first.join(paired, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        (col("__first_surp") + coalesce(col("__bigram_nll"), lit(0L)))
+          .cast(LongType).as("nll_fx"))
+  }
+
   /** Library variant in natural-log doubles: (id, n_tok, nll_nats,
     * bits_per_token). Same plan shape as [[scoreNllFx]]; float log, so
     * cross-engine hash equality is NOT guaranteed — spec'd against the

@@ -190,6 +190,47 @@ class PackLmSpec extends SparkSpec {
     assert(perTok(50L) > perTok(0L))
   }
 
+  test("scoreBigramFx matches a plain-Scala Stupid Backoff model, and backoff fires") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect()
+    val toksById = rows.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val allToks = toksById.flatMap(_._2)
+    val uni = allToks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val n = uni.values.sum
+    val v = uni.size.toLong
+    val bigrams = toksById.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+    val bm = bigrams.groupBy(identity).collect {
+      case (p, g) if g.size >= 2 => p -> g.size.toLong }
+    // the pruning must leave both branches reachable on this corpus
+    assert(bm.nonEmpty, "no retained bigrams — corpus too small")
+    assert(bigrams.distinct.exists(p => !bm.contains(p)),
+      "no pruned bigrams — backoff branch untested")
+    val expected = toksById.filter(_._2.nonEmpty).map { case (id, ts) =>
+      val first = fxLog2(n + v, uni(ts.head) + 1)
+      val trans = ts.zip(ts.drop(1)).map { p =>
+        bm.get(p) match {
+          case Some(c12) => fxLog2(uni(p._1), c12)
+          case None      => fxLog2(5L * (n + v), 2L * (uni(p._2) + 1))
+        }
+      }.sum
+      (id, ts.size.toLong, first + trans)
+    }.toSet
+    val got = graft.text.LangModel.scoreBigramFx(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("scoreBigramFx: repeated text scores far below rare-token soup per token") {
+    val docs = ((0 until 30).map(i => (i.toLong, "the cat sat on the mat")) ++
+      Seq((100L, "zq xv wk jy qp"))).toDF("doc_id", "text")
+    val avg = graft.text.LangModel.scoreBigramFx(docs, "doc_id", "text")
+      .withColumn("a", col("nll_fx").cast("double") / col("n_tok"))
+      .select("doc_id", "a").as[(Long, Double)].collect().toMap
+    assert(avg(100L) > 2 * avg(0L))
+  }
+
   // ---- deterministic shuffle --------------------------------------------
 
   test("seeded md5 shuffle is a deterministic permutation, not identity") {
