@@ -319,26 +319,11 @@ final case class Pipe(df: DataFrame) {
     val dist = keyed.groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("__cnt"))
     val ordering = keys.zip(keyNames).map {
       case ((_, desc), n) => if (desc) col(n).desc else col(n).asc }
-    // distributed prefix rank over the distinct keys: range-partition by
-    // the sort keys, running sum within each partition, then add the
-    // (numPartitions-sized, driver-side) cumulative partition offsets
-    // persist is load-bearing (offsets below must see the same partition
-    // bounds); registered with Intermediates for app-boundary release
-    val sorted = Intermediates.track(dist.repartitionByRange(ordering: _*)
-      .sortWithinPartitions(ordering: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val totals = sorted.groupBy(col("__pid")).agg(sum(col("__cnt")).as("__tot"))
-      .orderBy(col("__pid")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-    val wRun = Window.partitionBy(col("__pid")).orderBy(ordering: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val offsetCol = Pipe.partitionOffsets(totals, col("__pid"))
-    val ranks0 = sorted
-      .withColumn(rankName,
-        (offsetCol + sum(col("__cnt")).over(wRun) - col("__cnt") + lit(1))
-          .cast(LongType))
-      .drop("__cnt", "__pid")
+    // distributed prefix rank over the distinct keys: rank = exclusive
+    // prefix sum of the per-key multiplicities + 1
+    val ranks0 = Pipe.exclusivePrefixSum(dist, ordering, "__cnt", rankName,
+        shift = 1L)
+      .drop("__cnt")
     // null-SAFE re-attach: a null ranking key must keep its rows
     // (plain equi-join drops them — null != null)
     val ranks = keyNames.foldLeft(ranks0)((d, n) =>
@@ -691,6 +676,40 @@ object Pipe {
       for (i <- arr.indices) { arr(i) = acc; acc += m.getOrElse(i, 0L) }
       element_at(lit(arr), pidCol + 1)
     }
+
+  /** Distributed EXCLUSIVE prefix sum of `valueCol` under `ordering` —
+    * the shared engine behind RANK (rank = exclusive sum of key
+    * multiplicities + 1) and sequence packing (tok_start = exclusive sum
+    * of token counts). A naive global window collapses to ONE partition;
+    * this runs the scalable form: range-partition by the sort keys,
+    * running sum within each partition, then add driver-side cumulative
+    * partition offsets (numPartitions longs — the driver never sees
+    * rows). Emits `outName` = shift + Σ value over rows strictly before
+    * this one; `__pid` is consumed internally and must be free.
+    *
+    * The persist is load-bearing: the offsets job and the output scan
+    * must observe the SAME range-partition bounds (repartitionByRange
+    * samples — two evaluations could split differently). Tracked with
+    * Intermediates for app-boundary release. */
+  private[graft] def exclusivePrefixSum(df: DataFrame, ordering: Seq[Column],
+      valueCol: String, outName: String, shift: Long = 0L): DataFrame = {
+    val sorted = Intermediates.track(df.repartitionByRange(ordering: _*)
+      .sortWithinPartitions(ordering: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = sorted.groupBy(col("__pid"))
+      .agg(coalesce(sum(col(valueCol)), lit(0L)).as("__tot"))
+      .orderBy(col("__pid")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    val w = Window.partitionBy(col("__pid")).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sorted
+      .withColumn(outName,
+        (partitionOffsets(totals, col("__pid"))
+          + sum(col(valueCol)).over(w) - col(valueCol) + lit(shift))
+          .cast(LongType))
+      .drop("__pid")
+  }
 
   /** The deterministic md5 sampling bucket (0–99) shared by sampleByHash
     * and stratifiedSampleByHash — ONE encoding, so the two sample the

@@ -250,12 +250,15 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id", "text", minBigramCount = 2)),
     // deterministic global shuffle: reproducible + resumable training
     // order by seeded md5 rank, on the distributed zipWithIndex machinery
+    // key uses the house null-sentinel encoding (hashBucket convention:
+    // nulls → 0x1E) — bare concat_ws would silently DROP a null doc_id,
+    // collapsing those rows onto md5(seed) and losing determinism
     "q_shuffle_det" -> ((s, dir) =>
       graft.core.Pipe(
           t(s, dir, "documents").select(col("doc_id"), col("lang")))
         .zipWithIndex(
-          Seq(md5(concat_ws("|", col("doc_id").cast(StringType),
-            lit(ShuffleSeed)).cast(BinaryType))),
+          Seq(md5(concat(coalesce(col("doc_id").cast(StringType),
+            lit("\u001E")), lit("|" + ShuffleSeed)).cast(BinaryType))),
           "shuffle_pos")
         .df.select(col("doc_id"), col("lang"), col("shuffle_pos"))),
 
@@ -704,9 +707,13 @@ object PipelineQueries {
            FROM documents)""",
       // windowed SUM returns HUGEINT (float64 at compare time): every
       // output is CAST to BIGINT; // is integer division like Spark div
+      // COALESCE replicates packConcat's null-to-zero n_tok (a NULL text
+      // row would otherwise cascade NULL through the prefix sum here
+      // while Spark reports a real offset)
       "q_pack_sequences" ->
         s"""WITH t AS (SELECT doc_id,
-             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             coalesce(len(list_filter(string_split_regex(text, '\\s+'),
+               x -> x <> '')), 0)
                AS n_tok FROM documents),
            c AS (SELECT doc_id, n_tok,
              SUM(n_tok) OVER (ORDER BY doc_id
@@ -833,10 +840,12 @@ object PipelineQueries {
              CAST(s1.sfx + COALESCE(b.s, 0) AS BIGINT) AS nll_fx
            FROM first0 f JOIN sc s1 USING (num, den)
            LEFT JOIN bnll b USING (doc_id)""",
+      // chr(30) = the 0x1E null sentinel (hashBucket convention)
       "q_shuffle_det" ->
         s"""SELECT doc_id, lang,
              row_number() OVER (
-               ORDER BY md5(doc_id::VARCHAR || '|' || '$ShuffleSeed')) - 1
+               ORDER BY md5(coalesce(doc_id::VARCHAR, chr(30))
+                 || '|' || '$ShuffleSeed')) - 1
                AS shuffle_pos
            FROM documents""",
       // the full chain, each stage the already-verified oracle fragment:

@@ -1,10 +1,8 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
-import graft.core.Intermediates
+import org.apache.spark.sql.types.LongType
 
 /** Training-sequence layout operators for LLM data pipelines: GPT-style
   * "concat-and-chunk" sequence packing and RAG-style sliding-window
@@ -12,8 +10,8 @@ import graft.core.Intermediates
   * both are first-class curation ops per the charter's pipeline layer.
   *
   * Scale shape — [[packConcat]] needs a GLOBAL prefix sum of token
-  * counts, the classic single-partition-window trap. Like
-  * `Pipe.rankBy`/`zipWithIndex` it runs the distributed form instead:
+  * counts, the classic single-partition-window trap. It runs on
+  * `Pipe.exclusivePrefixSum`, the same distributed engine as RANK:
   * range-partition by the order key, running sum inside each partition,
   * and driver-side cumulative offsets over `numPartitions` longs (the
   * driver never sees rows). [[chunk]] is a narrow per-row pass — split,
@@ -43,22 +41,8 @@ object Pack {
     require(seqLen > 0, s"packConcat: seqLen must be positive, got $seqLen")
     reserve(docs.columns, Seq("n_tok", "tok_start", "seq_first", "seq_last", "__pid"))
     val d = docs.withColumn("n_tok", coalesce(nTok.cast(LongType), lit(0L)))
-    // persist is load-bearing: the offsets job below must see the same
-    // range-partition bounds as the output scan
-    val sorted = Intermediates.track(
-      d.repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
-        .withColumn("__pid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val totals = sorted.groupBy(col("__pid")).agg(sum(col("n_tok")).as("__tot"))
-      .orderBy(col("__pid")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-    // REPL-safe dense-array lookup (see Pipe.partitionOffsets scaladoc)
-    val offsetCol = graft.core.Pipe.partitionOffsets(totals, col("__pid"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    sorted
-      .withColumn("tok_start",
-        (offsetCol + sum(col("n_tok")).over(w) - col("n_tok")).cast(LongType))
+    graft.core.Pipe.exclusivePrefixSum(d, Seq(col(idCol).asc), "n_tok",
+        "tok_start")
       // integer div, not floor(x/y): long/long is a DOUBLE divide in
       // Spark and loses exactness past 2^52 tokens
       .withColumn("seq_first", expr(s"tok_start div ${seqLen}L"))

@@ -236,9 +236,10 @@ class PackLmSpec extends SparkSpec {
   test("seeded md5 shuffle is a deterministic permutation, not identity") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"))
+    def key = md5(concat(coalesce(col("doc_id").cast("string"),
+      lit("\u001E")), lit("|graft-shuffle-42")).cast("binary"))
     val order = graft.core.Pipe(docs)
-      .zipWithIndex(Seq(md5(concat_ws("|", col("doc_id").cast("string"),
-        lit("graft-shuffle-42")).cast("binary"))), "shuffle_pos")
+      .zipWithIndex(Seq(key), "shuffle_pos")
       .df.select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
     val n = order.length
     assert(order.map(_._2).sorted.toSeq == (0L until n).toSeq) // permutation
