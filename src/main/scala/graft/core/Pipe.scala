@@ -84,6 +84,59 @@ final case class Pipe(df: DataFrame) {
     Pipe(df.where(Pipe.hashBucket(keys) < pct))
   }
 
+  /** Mixture sampling toward a TARGET composition (the pre-training
+    * data-mixing idiom: "the output should be 50% en / 25% de / 25% fr"
+    * regardless of what the corpus composition is). Per-stratum
+    * keep-rates are DERIVED from the data: with n_g rows in stratum g
+    * and target weight w_g, the largest feasible output T =
+    * min_g(n_g / w_g) (the scarcest stratum binds — no stratum can give
+    * more rows than it has), and stratum g keeps
+    * floor(100 · w_g · T / n_g) percent through the same deterministic
+    * md5 bucket as [[sampleByHash]] (1% rate granularity).
+    *
+    * Strata NOT named in `targets` are dropped — the output is the
+    * mixture. The rate table is computed IN-PLAN (one tiny aggregation —
+    * the global min runs over ≤ targets.size rows) and re-attached by a
+    * bounded broadcast (≤ targets.size rows by construction), so the
+    * corpus itself gets one narrow scan + filter: no driver collect, no
+    * second pass, reproducible across engines/retries/partitionings. */
+  def mixtureSampleByHash(strata: Column, targets: Map[String, Double],
+                          keys: Column*): Pipe = {
+    require(targets.nonEmpty, "mixtureSampleByHash: empty target mixture")
+    require(targets.values.forall(_ > 0),
+      s"mixtureSampleByHash: target weights must be > 0, got $targets")
+    val clash = df.columns.toSet.intersect(Set("__grp", "__w", "__n", "__t", "__pct"))
+    require(clash.isEmpty,
+      s"mixtureSampleByHash: input already has reserved column(s) ${clash.mkString(", ")}")
+    val sp = df.sparkSession
+    val tgt = sp.createDataFrame(
+      java.util.Arrays.asList(
+        targets.toSeq.sortBy(_._1).map { case (g, w) => Row(g, w) }: _*),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("__grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__w",
+          org.apache.spark.sql.types.DoubleType))))
+    val counts = df
+      .groupBy(strata.cast(org.apache.spark.sql.types.StringType).as("__grp"))
+      .agg(count(lit(1))
+        .cast(org.apache.spark.sql.types.DoubleType).as("__n"))
+    // single-partition window is SAFE here: it runs over the joined
+    // rate table (≤ targets.size rows), never the corpus
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts.join(tgt, Seq("__grp"))
+      .withColumn("__t", min(col("__n") / col("__w")).over(wAll))
+      .select(col("__grp"),
+        floor(lit(100.0) * col("__w") * col("__t") / col("__n"))
+          .cast(org.apache.spark.sql.types.IntegerType).as("__pct"))
+    Pipe(df
+      .join(broadcast(rates),
+        strata.cast(org.apache.spark.sql.types.StringType) === col("__grp"))
+      .where(Pipe.hashBucket(keys) < col("__pct"))
+      .drop("__grp", "__pct"))
+  }
+
   /** Deterministic train/validation/test assignment over the same md5
     * bucket as [[sampleByHash]]: `splits` are ordered (name, percent)
     * pairs summing to 100; a row whose bucket falls in a split's

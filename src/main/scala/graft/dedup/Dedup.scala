@@ -294,6 +294,62 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  // ---- semantic (cluster-scoped) dedup — SemDeDup ---------------------------
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings with a coarse
+    * quantizer, then compare pairs ONLY within a cluster — the candidate
+    * structure is data-adaptive (clusters follow the corpus geometry)
+    * where [[embeddingCosine]]'s LSH bands are data-oblivious. Pairs
+    * crossing a cluster boundary are missed BY DESIGN — that is the
+    * approximation that makes the method linear-ish; tight thresholds
+    * put true near-dups at tiny angles, which the quantizer rarely
+    * splits.
+    *
+    * Scale shape: assignment is one narrow codegen'd pass (centroids are
+    * driver literals — train them on a seeded sample via
+    * [[graft.sim.Similarity.ivfCentroids]]); the self-join shuffles each
+    * side ONCE keyed by cell. `nCells` must scale with the corpus (the
+    * SemDeDup paper uses 50k clusters at web scale) — both for join
+    * parallelism (≤ nCells reducers) and because within-cluster work is
+    * Σ|cluster|². Vectors do ride the cell shuffle here: unlike the LSH
+    * paths a candidate pair appears in exactly ONE cell, so a
+    * metadata-only join + two late-fetch joins would strictly add
+    * shuffles.
+    *
+    * @return (cell, id_a, id_b, cosine) with id_a < id_b, cosine ≥
+    *         threshold, cell = the shared cluster. */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Array[Double]],
+                    threshold: Double = 0.95): DataFrame = {
+    import graft.sim.Similarity
+    val assigned = widen(df).where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("cell",
+        element_at(Similarity.probeCells(col("v"), centroids, 1), 1))
+    assigned.as("l").join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.cell").as("cell"),
+        col("l.id").as("id_a"), col("r.id").as("id_b"),
+        graft.functions.GraftFunctions.cosine(df.sparkSession,
+          col("l.v"), col("r.v")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** The curation output of [[semanticPairs]]: the input minus all but
+    * one representative (the min id, via [[connectedComponents]] on the
+    * within-cluster pair graph) per semantic-duplicate group. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Array[Double]],
+                    threshold: Double = 0.95): DataFrame = {
+    val pairs = semanticPairs(df, idCol, vecCol, centroids, threshold)
+      .select(col("id_a"), col("id_b"))
+    val drop = connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ---- connected components (cluster the pair graph) -----------------------
   /** Min-label propagation over a (id_a, id_b) pair graph until fixpoint:
     * each doc converges to the min id of its component ("canonical" doc).

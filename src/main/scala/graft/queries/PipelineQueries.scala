@@ -102,6 +102,9 @@ object PipelineQueries {
   private val ChunkWidth = 64 // RAG chunk window (tokens)
   private val ChunkStride = 32 // RAG chunk stride (tokens)
   private val ShuffleSeed = "graft-shuffle-42"
+  // target output composition for q_mixture_sample (weights exactly
+  // representable in binary so the Scala and SQL literals are identical)
+  private val MixtureTargets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis (#64–67) ------------------------------------------------
@@ -200,6 +203,22 @@ object PipelineQueries {
       graft.text.Decontaminate.report(corpus, "doc_id", "text",
         bench, "doc_id", "text", n = 8)
     }),
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      // FUZZY variant: same corpus/bench split, but contamination is
+      // whole-doc shingle Jaccard ≥ 0.5 via cross-collection MinHash
+      // LSH (each bench doc's twin sits near Jaccard 1). The oracle is
+      // the brute-force corpus×bench Jaccard — equality needs every
+      // ≥-threshold pair to hit ≥1 band; this corpus satisfies the same
+      // banding precondition as q_dedup_minhash (48/16 ⇒ r=3; organic
+      // cross pairs far below 0.5, planted ones near 1).
+      val docs = plantedDocs(t(s, dir, "documents"))
+      val corpus = docs.where(col("doc_id") >= 1000000L)
+      val bench = docs.where(col("doc_id") < 1000000L &&
+        col("doc_id") % 20 === 3)
+      graft.text.Decontaminate.fuzzyReport(corpus, "doc_id", "text",
+        bench, "doc_id", "text", numHashes = 48, bands = 16,
+        threshold = 0.5)
+    }),
 
     // -- relevance scoring / split assignment -----------------------------------
     // integer-idf variant: every output column integral/text, so the
@@ -220,6 +239,16 @@ object PipelineQueries {
         .splitByHash(Seq("train" -> 80, "val" -> 10, "test" -> 10),
           col("doc_id"))
         .generate(col("doc_id"), col("lang"), col("split")).df),
+    // mixture sampling toward a target language composition: keep-rates
+    // are DERIVED from per-stratum counts (scarcest target stratum
+    // binds), then applied through the shared deterministic md5 bucket —
+    // the whole rate computation replays in SQL, so the row set is
+    // hash-exact cross-engine
+    "q_mixture_sample" -> ((s, dir) =>
+      graft.core.Pipe(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")))
+        .mixtureSampleByHash(col("lang"), MixtureTargets, col("doc_id"))
+        .df.select(col("doc_id"), col("lang"))),
 
     // -- sequence layout / LM scoring -------------------------------------------
     // GPT-style concat-and-chunk packing: the global token prefix sum
@@ -307,6 +336,16 @@ object PipelineQueries {
     // the PRODUCTION preset (6 bands — Dedup.embeddingCosine defaults) is
     // benchmarked separately via benchOnly: same shape, half the band
     // passes; its recall contract is spec'd, not oracled
+    "q_dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: cluster-scoped pairs under the SAME memoized quantizer
+      // as q_ann_ivf; the oracle replays assignment (centroid literals,
+      // min-index ties) and the within-cell pair scan EXACTLY, so
+      // equality is structural — the only probabilistic element, the
+      // threshold refine, reuses the q_dedup_cosine boundary argument
+      // (planted twins at cosine ≈ 1, organic pairs far below 0.999)
+      Dedup.semanticPairs(plantedVecs(t(s, dir, "embeddings")),
+          "vec_id", "embedding", ivfCentroidsFor(s, dir), threshold = 0.999)
+        .select(col("cell"), col("id_a"), col("id_b"))),
 
     // group centroids (class prototypes): the ordered-fold variant whose
     // sequential double summation the oracle replays exactly; exploded to
@@ -436,6 +475,85 @@ object PipelineQueries {
        GROUP BY cg.doc_id"""
   }
 
+  /** Brute-force fuzzy-decontamination oracle (mirrors
+    * Decontaminate.fuzzyReport's refine: whole-doc shingle Jaccard with
+    * the engine's exact |∩|/greatest(|a|+|b|-|∩|, 1) formula — small-int
+    * double division, bit-equal cross-engine — then per-corpus-doc
+    * distinct-bench count and max). Relies on the LSH candidate stage
+    * having full recall on this corpus (see the q_dedup_minhash banding
+    * note — identical parameters). */
+  private def fuzzyDecontaminateSql(n: Int, threshold: Double): String = {
+    def sh(src: String) =
+      s"""SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(range(1, len(toks) - ${n - 2}),
+                 i -> array_to_string(toks[i:i+${n - 1}], ' ')) END) AS s
+          FROM (SELECT doc_id, $toksExpr AS toks FROM $src
+                WHERE length(trim(text)) > 0)"""
+    s"""WITH docs AS ($plantedDocsSql),
+       corpus AS (SELECT * FROM docs WHERE doc_id >= 1000000),
+       bench AS (SELECT * FROM docs
+                 WHERE doc_id < 1000000 AND doc_id % 20 = 3),
+       csh AS (${sh("corpus")}),
+       bsh AS (${sh("bench")}),
+       pairs AS (SELECT c.doc_id, b.doc_id AS bench_id,
+           len(list_intersect(c.s, b.s))::DOUBLE /
+           greatest(len(c.s) + len(b.s) - len(list_intersect(c.s, b.s)), 1)
+             AS j
+         FROM csh c CROSS JOIN bsh b)
+       SELECT doc_id, count(DISTINCT bench_id) AS bench_docs,
+              max(j) AS max_jaccard
+       FROM pairs WHERE j >= $threshold GROUP BY doc_id"""
+  }
+
+  /** Mixture-sampling oracle: replays the ENTIRE rate derivation — per-
+    * stratum counts, the binding min(n/w), floor to integer percent —
+    * with the same IEEE op order as the engine ((100·w)·T)/n, then the
+    * shared md5-bucket filter. Every arithmetic step is either integral
+    * or a single double multiply/divide, so the derived percents are
+    * identical and the row set is hash-exact. */
+  private def mixtureSampleSql(targets: Map[String, Double]): String = {
+    val tRows = targets.toSeq.sortBy(_._1).map { case (g, w) =>
+      s"SELECT '$g' AS grp, CAST($w AS DOUBLE) AS w" }
+      .mkString(" UNION ALL ")
+    s"""WITH t AS ($tRows),
+       c AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
+             FROM documents GROUP BY lang),
+       j AS (SELECT c.grp, t.w, c.n FROM c JOIN t USING (grp)),
+       r AS (SELECT grp,
+               CAST(floor(CAST(100.0 AS DOUBLE) * w *
+                 (SELECT min(n / w) FROM j) / n) AS INT) AS pct
+             FROM j)
+       SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.grp
+       WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100
+             < r.pct"""
+  }
+
+  /** Structural SemDeDup oracle for a given trained quantizer: embeds
+    * the centroids as literals, replays nearest-cell assignment (argmin
+    * of -dot, min-index ties — the ivfAnnSql CASE chain) and the
+    * within-cell ordered pair scan, then the cosine threshold. */
+  private def semanticPairsSql(centroids: Seq[Array[Double]],
+                               threshold: Double): String = {
+    val n = centroids.length
+    val ndDefs = centroids.zipWithIndex.map { case (c, i) =>
+      s"(0.0 - list_dot_product(v, ${doubleList(c.toSeq)})) AS nd$i"
+    }.mkString(", ")
+    val assign = (0 until n).map { i =>
+      val conds = ((i + 1) until n).map(j => s"nd$i <= nd$j")
+      if (conds.isEmpty) s"ELSE $i"
+      else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString(" ")
+    s"""WITH vecs AS ($plantedVecsSql),
+       vd AS (SELECT vec_id, v, $ndDefs FROM vecs),
+       va AS (SELECT vec_id, v, CASE $assign END AS cell FROM vd)
+       SELECT cell, id_a, id_b FROM (
+         SELECT l.cell AS cell, l.vec_id AS id_a, r.vec_id AS id_b,
+                list_cosine_similarity(l.v, r.v) AS c
+         FROM va l JOIN va r ON l.cell = r.cell AND l.vec_id < r.vec_id)
+       WHERE c >= $threshold"""
+  }
+
   /** Exact simhash replica: per-token 60-bit md5 hash, ±1 votes per bit,
     * packed sign vector — then brute-force pairs within the Hamming
     * radius. Bit-for-bit the algorithm in
@@ -460,17 +578,21 @@ object PipelineQueries {
        WHERE hamming <= $maxDist"""
   }
 
+  /** Planted-vectors CTE body (mirrors plantedVecs: first component
+    * +0.001, id + 1e6) — shared by the cosine-pair and SemDeDup oracles. */
+  private val plantedVecsSql =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       UNION ALL
+       SELECT vec_id + 1000000,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                (x, i) -> CASE WHEN i = 1 THEN x + 0.001 ELSE x END)
+       FROM embeddings"""
+
   /** Brute-force embedding-cosine pair oracle (mirrors plantedVecs +
     * threshold refine; pair set only — the banded LSH stage has
     * effectively-exact recall at this threshold, see q_dedup_cosine). */
   private def cosinePairsSql(threshold: Double): String =
-    s"""WITH vecs AS (
-         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         UNION ALL
-         SELECT vec_id + 1000000,
-                list_transform(CAST(embedding AS DOUBLE[]),
-                  (x, i) -> CASE WHEN i = 1 THEN x + 0.001 ELSE x END)
-         FROM embeddings)
+    s"""WITH vecs AS ($plantedVecsSql)
        SELECT id_a, id_b FROM (
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 list_cosine_similarity(a.v, b.v) AS c
@@ -923,6 +1045,9 @@ object PipelineQueries {
            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
                   min(doc_id) AS keep_id, count(*) AS dup_cnt
            FROM planted WHERE text IS NOT NULL GROUP BY 1""",
+      "q_decontaminate_fuzzy" ->
+        fuzzyDecontaminateSql(n = 3, threshold = 0.5),
+      "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
       "q_dedup_minhash" -> jaccardPairsSql(n = 3, threshold = 0.5),
       "q_dedup_jaccard" -> jaccardPairsSql(n = 5, threshold = 0.5),
       "q_dedup_simhash" -> simhashPairsSql(maxDist = 3),
@@ -951,7 +1076,10 @@ object PipelineQueries {
            QUALIFY rank <= 10""")
     OracleContext.session match {
       case Some((s, dir)) =>
-        static + ("q_ann_ivf" -> ivfAnnSql(ivfCentroidsFor(s, dir)))
+        static +
+          ("q_ann_ivf" -> ivfAnnSql(ivfCentroidsFor(s, dir))) +
+          ("q_dedup_semantic" ->
+            semanticPairsSql(ivfCentroidsFor(s, dir), threshold = 0.999))
       case None => static
     }
   }

@@ -181,6 +181,18 @@ object Similarity {
       ivfCentroids(corpus, nCells, vecCol, seed, sampleSize, iters),
       nProbe, idCol, qidCol, vecCol)
 
+  /** The `n` best cells for a vector by centroid dot product: sort
+    * (neg-dot, idx) pairs ascending, take the idxs — argmin of -dot with
+    * ties to the LOWEST index (the rule every oracle replays). A
+    * when-chain argmax would DOUBLE the expression tree per centroid —
+    * 2^nCells nodes; this stays linear. Shared by IVF search and
+    * semantic (cluster-scoped) dedup. */
+  def probeCells(v: Column, centroids: Seq[Array[Double]], n: Int): Column = {
+    val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(v, lit(c))).as("nd"), lit(i).as("i")) }: _*)
+    slice(transform(array_sort(pairs), p => p.getField("i")), 1, n)
+  }
+
   /** IVF search against an already-trained quantizer (centroids shared
     * with recall specs and the correctness oracle). */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -189,19 +201,11 @@ object Similarity {
                   vecCol: String = "vec"): DataFrame = {
     val cVecs = widen(corpus).select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
-    def probeCells(v: Column, n: Int): Column = {
-      // n best cells by centroid dot: sort (neg-dot, idx) pairs ascending,
-      // take idxs. (A when-chain argmax would DOUBLE the expression tree
-      // per centroid — 2^nCells nodes; this stays linear.)
-      val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct((-dot(v, lit(c))).as("nd"), lit(i).as("i")) }: _*)
-      slice(transform(array_sort(pairs), p => p.getField("i")), 1, n)
-    }
     val assigned = cVecs.withColumn("cell",
-      element_at(probeCells(col("cv"), 1), 1))
+      element_at(probeCells(col("cv"), centroids, 1), 1))
     val probed = queries.select(col(qidCol).as("qid"),
         col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
-      .withColumn("cell", explode(probeCells(col("qv"), nProbe)))
+      .withColumn("cell", explode(probeCells(col("qv"), centroids, nProbe)))
     // queries are broadcast-small BY CONTRACT (same as bruteForceTopK /
     // lshCandidates); without the hint a stats-less source can fall to a
     // shuffle join keyed on `cell` — ≤ nCells distinct values — which

@@ -53,6 +53,77 @@ object Decontaminate {
       .where(col("matched_ngrams") >= minHits)
   }
 
+  /** FUZZY decontamination — the near-duplicate complement of [[report]]:
+    * a corpus doc is contaminated iff its shingle set has Jaccard ≥
+    * `threshold` with SOME benchmark doc (the Llama-style fuzzy policy:
+    * exact n-gram overlap misses lightly paraphrased / re-tokenized eval
+    * leaks; a whole-doc similarity threshold catches them).
+    *
+    * Same MinHash+LSH machinery as [[Dedup.minhashLsh]], but CROSS-
+    * collection: both sides band their signatures, candidates are
+    * (corpus, bench) band-bucket collisions, and the exact-Jaccard
+    * refine runs on late-fetched shingle sets. Scale shape (100 TB
+    * corpus, MB-scale benchmark): the BENCH side's bands and shingle
+    * sets are broadcast-small, so the corpus is one narrow scan (shingle
+    * → signature → bands, all native expressions) with NO corpus-side
+    * shuffle — only band-collision candidates (≈ the contaminated few)
+    * ever form rows. Banding math: detection at Jaccard j with r
+    * rows/band, b bands is 1-(1-j^r)^b — the q_dedup_minhash defaults
+    * (48/16 ⇒ r=3) give ~0.88 at j=0.5 and ~1 above 0.7; raise bands for
+    * corpora with organic pairs AT the threshold.
+    *
+    * @return (idCol, bench_docs, max_jaccard): distinct benchmark docs
+    *         matched and the strongest match, per contaminated doc.
+    */
+  def fuzzyReport(corpus: DataFrame, idCol: String, textCol: String,
+                  bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                  numHashes: Int = 48, bands: Int = 16,
+                  threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rows = numHashes / bands
+    def shingled(df: DataFrame, id: String, text: String, out: String) =
+      graft.core.Intermediates.track(
+        Dedup.hashedShingleDF(df.select(col(id), col(text)), id, text, shingleN)
+          .withColumnRenamed("id", out)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val csh = shingled(corpus, idCol, textCol, "__cid")
+    val bsh = shingled(bench, benchIdCol, benchTextCol, "__bid")
+    // band tables are METADATA-ONLY (id, band, bandHash) — the shingle
+    // arrays stay out of the join (late-fetch rule, as in minhashLsh)
+    def banded(sh: DataFrame, id: String) = sh
+      .withColumn("__sig", Dedup.minhashSignature(col("sh"), numHashes))
+      .select(col(id),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("__sig"), b * rows + 1, rows))): _*))
+          .as(Seq("__band", "__bh")))
+    val cands = banded(csh, "__cid")
+      .join(broadcast(banded(bsh, "__bid")), Seq("__band", "__bh"))
+      .select(col("__cid"), col("__bid")).distinct()
+    cands
+      .join(csh.select(col("__cid"), col("sh").as("__sh_c")), Seq("__cid"))
+      .join(broadcast(bsh.select(col("__bid"), col("sh").as("__sh_b"))),
+        Seq("__bid"))
+      .select(col("__cid"), col("__bid"),
+        Dedup.jaccard(col("__sh_c"), col("__sh_b")).as("__j"))
+      .where(col("__j") >= threshold)
+      .groupBy(col("__cid").as(idCol))
+      .agg(countDistinct(col("__bid")).as("bench_docs"),
+        max(col("__j")).as("max_jaccard"))
+  }
+
+  /** Fuzzy [[clean]]: the corpus minus near-duplicates of benchmark docs.
+    * Same bounded-broadcast caveat as [[clean]] — no hint, AQE decides. */
+  def fuzzyClean(corpus: DataFrame, idCol: String, textCol: String,
+                 bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                 numHashes: Int = 48, bands: Int = 16,
+                 threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val flagged = fuzzyReport(corpus, idCol, textCol,
+        bench, benchIdCol, benchTextCol, numHashes, bands, threshold, shingleN)
+      .select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** The complement pass: the corpus with contaminated docs REMOVED — the
     * actual curation output. One anti-join against the flagged ids.
     *

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Pipe
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.Decontaminate
+
+/** Round-5 curation additions: mixture sampling toward a target
+  * composition, fuzzy (MinHash-LSH) benchmark decontamination, and
+  * SemDeDup-style cluster-scoped semantic dedup. */
+class MixtureSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    // 400 en / 100 de / 50 fr / 30 zz rows with unique ids
+    val rows =
+      (0 until 400).map(i => (i.toLong, "en")) ++
+      (0 until 100).map(i => (1000L + i, "de")) ++
+      (0 until 50).map(i => (2000L + i, "fr")) ++
+      (0 until 30).map(i => (3000L + i, "zz"))
+    rows.toDF("id", "lang")
+  }
+
+  test("mixture approximates the target composition; binding stratum kept whole") {
+    // targets 50/25/25; fr binds: T = min(400/.5, 100/.25, 50/.25) = 200
+    // → pct en = floor(100·.5·200/400) = 25, de = 50, fr = 100
+    val out = Pipe(corpus)
+      .mixtureSampleByHash(col("lang"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), col("id"))
+      .df
+    val byLang = out.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    // fr keeps 100% deterministically; en/de are md5-bucket filtered at
+    // the derived pcts — counts concentrate near pct% of the stratum
+    assert(byLang("fr") == 50L)
+    assert(!byLang.contains("zz"), "non-target strata must be dropped")
+    assert(byLang("en") > 60 && byLang("en") < 140) // 25% of 400 = 100
+    assert(byLang("de") > 30 && byLang("de") < 70)  // 50% of 100 = 50
+    // schema passes through unchanged (helper columns dropped)
+    assert(out.columns.toSeq == Seq("id", "lang"))
+  }
+
+  test("mixture sampling is deterministic and a subset of the input") {
+    val a = Pipe(corpus).mixtureSampleByHash(col("lang"),
+        Map("en" -> 0.5, "de" -> 0.5), col("id"))
+      .df.select("id").as[Long].collect().sorted.toSeq
+    val b = Pipe(corpus).mixtureSampleByHash(col("lang"),
+        Map("en" -> 0.5, "de" -> 0.5), col("id"))
+      .df.select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    val ids = corpus.select("id").as[Long].collect().toSet
+    assert(a.forall(ids))
+  }
+
+  test("mixture rejects bad targets and reserved columns") {
+    intercept[IllegalArgumentException] {
+      Pipe(corpus).mixtureSampleByHash(col("lang"), Map.empty, col("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Pipe(corpus).mixtureSampleByHash(col("lang"),
+        Map("en" -> 0.0), col("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Pipe(corpus.withColumnRenamed("lang", "__grp"))
+        .mixtureSampleByHash(col("__grp"), Map("en" -> 1.0), col("id"))
+    }
+  }
+}
+
+class FuzzyDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fuzzyReport flags paraphrased benchmark twins that exact n-grams miss") {
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      // twin of bench 1 with the MIDDLE word swapped (token 7 of 14):
+      // every one of the seven 8-grams spans it, so exact 8-gram overlap
+      // is zero, but 3-gram Jaccard stays 9/15 = 0.6 — the fuzzy pass
+      // must flag it
+      (10L, "alpha beta gamma delta epsilon zeta OMEGA theta iota kappa lambda mu nu xi"),
+      (11L, "completely unrelated text about something else entirely here today"),
+      (12L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("id", "text")
+    val exact = Decontaminate.report(corpus, "id", "text",
+      bench, "bid", "btext", n = 8).select("id").as[Long].collect().toSet
+    assert(!exact.contains(10L), "exact 8-grams should miss the paraphrase")
+    // 64/32 banding (r=2): detection at j=0.6 is 1-(1-0.36)^32 ≈ 1-6e-7
+    val fuzzy = Decontaminate.fuzzyReport(corpus, "id", "text",
+      bench, "bid", "btext", numHashes = 64, bands = 32, threshold = 0.5)
+    val rows = fuzzy.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.contains(10L), "fuzzy must flag the mid-doc paraphrase")
+    assert(rows.contains(12L), "verbatim copy flagged")
+    assert(rows(12L)._2 == 1.0, "verbatim copy has Jaccard 1")
+    assert(!rows.contains(11L), "unrelated doc not flagged")
+  }
+
+  test("fuzzyClean removes exactly the flagged docs") {
+    val bench = Seq((1L, "a b c d e f g h i j")).toDF("bid", "btext")
+    val corpus = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "totally different words with no overlap at all whatsoever"))
+      .toDF("id", "text")
+    val kept = Decontaminate.fuzzyClean(corpus, "id", "text",
+      bench, "bid", "btext", threshold = 0.5)
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(11L))
+  }
+
+  test("fuzzyReport rejects indivisible band decomposition") {
+    val d = Seq((1L, "x")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Decontaminate.fuzzyReport(d, "id", "text", d, "id", "text",
+        numHashes = 10, bands = 3)
+    }
+  }
+}
+
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated clusters on the unit sphere in 4-d, plus twins
+  private def vecs = Seq(
+    (1L, Array(1.0, 0.0, 0.0, 0.0)),
+    (2L, Array(0.9999, 0.0141, 0.0, 0.0)),  // twin of 1 (cos ≈ 0.9999)
+    (3L, Array(0.0, 0.0, 1.0, 0.0)),
+    (4L, Array(0.0, 0.0, 0.9999, 0.0141)),  // twin of 3
+    (5L, Array(0.92, 0.3919, 0.0, 0.0))     // near 1/2 (cos ≈ 0.92), not a twin
+  ).toDF("id", "v")
+
+  private val centroids =
+    Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+
+  test("semanticPairs finds within-cluster twins only") {
+    val pairs = Dedup.semanticPairs(vecs, "id", "v", centroids,
+        threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("pairs crossing a cluster boundary are missed by design") {
+    // at threshold 0.9 the pairs (1,5) [cos .92] and (2,5) [cos ≈ .925]
+    // qualify — but a quantizer whose second centroid captures 5 splits
+    // them into different cells, and the pairs disappear (the documented
+    // SemDeDup approximation); (1,2) and (3,4) stay within their cells
+    val splitCents =
+      Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.8, 0.6, 0.0, 0.0))
+    val pairs = Dedup.semanticPairs(vecs, "id", "v", splitCents,
+        threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+    assert(!pairs.contains((1L, 5L)) && !pairs.contains((2L, 5L)))
+  }
+
+  test("semanticDedup keeps one representative per duplicate group") {
+    val kept = Dedup.semanticDedup(vecs, "id", "v", centroids,
+        threshold = 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("assignment ties break to the lowest centroid index like the oracle") {
+    val v = Seq((1L, Array(0.0, 1.0, 0.0, 0.0))).toDF("id", "v")
+    // equidistant (dot 0) from both centroids → cell 0
+    val cell = v.select(element_at(
+        Similarity.probeCells(col("v").cast("array<double>"), centroids, 1), 1))
+      .as[Int].head()
+    assert(cell == 0)
+  }
+}
