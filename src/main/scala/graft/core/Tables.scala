@@ -15,17 +15,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // The events table carries TIMESTAMP(NANOS) parquet columns, which
-    // Spark reads only as raw nanos longs (nanosAsLong conf, set by every
-    // graft session builder); normalize to microsecond timestamps here so
-    // downstream operators see a plain timestamp column.
+    // Timestamp normalization — the driver's generator has shipped two
+    // physical encodings across rounds, and downstream operators expect a
+    // plain TimestampType either way:
+    //  * TIMESTAMP(NANOS) parquet → Spark reads raw nanos longs (the
+    //    nanosAsLong conf, set by every graft session builder);
+    //  * timestamp[us] with isAdjustedToUTC=false → Spark 4 infers
+    //    TIMESTAMP_NTZ, which unix_micros/watermarks reject.
+    // Every graft session pins spark.sql.session.timeZone=UTC, so the
+    // NTZ→TZ cast is value-preserving.
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      if (f.name == "ts" && f.dataType == LongType)
         // integral div: nano epochs exceed double's 2^53 exact range, so
         // `/` (double divide) can be off by a microsecond
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      else if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name, d(f.name).cast(TimestampType))
       else d
     }
   }

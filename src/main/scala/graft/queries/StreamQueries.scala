@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 import graft.streaming.Streams
 
 /** Streaming coverage AS oracled queries (SURVEY.md §2 rows 42/43/47/47b).
@@ -36,9 +36,16 @@ object StreamQueries {
       }
     val schema = s.read.parquet(src).schema
     val raw = Streams.fileStream(s, path, schema)
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      // nanos-as-long testdata encoding (same normalization as Tables)
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ, which
+      // watermarks/unix_micros reject; UTC session makes the cast exact
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run a streaming frame to completion (AvailableNow) into a memory
