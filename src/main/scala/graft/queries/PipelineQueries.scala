@@ -368,6 +368,18 @@ object PipelineQueries {
       Similarity.bruteForceTopK(corpus, queries, k = AnnK)
         .select(col("qid"), col("id"), col("rank"))
     }),
+    // hard negatives: per anchor, nearest corpus rows of a DIFFERENT label
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val anchors = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label"),
+          col("embedding").as("vec"))
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("label"),
+          col("embedding").as("vec"))
+      Similarity.hardNegatives(corpus, anchors, k = AnnK)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -1073,6 +1085,17 @@ object PipelineQueries {
                         c.vec_id) AS rank
            FROM embeddings q CROSS JOIN embeddings c
            WHERE q.vec_id < 5 AND c.vec_id >= 5
+           QUALIFY rank <= 10""",
+      // brute ANN restricted to label-mismatched pairs (hard negatives)
+      "q_hard_negatives" ->
+        """SELECT q.vec_id AS qid, c.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rank
+           FROM embeddings q CROSS JOIN embeddings c
+           WHERE q.vec_id < 5 AND c.vec_id >= 5
+             AND c.label <> q.label
            QUALIFY rank <= 10""")
     OracleContext.session match {
       case Some((s, dir)) =>

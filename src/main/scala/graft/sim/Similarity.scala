@@ -86,6 +86,44 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive / reranker training: for each
+    * anchor, the top-k most cosine-similar corpus rows whose label
+    * DIFFERS from the anchor's — the "confusable" negatives a training
+    * loop actually wants (easy negatives teach nothing; same-label
+    * neighbours are positives, not negatives).
+    *
+    * Same plan shape as [[bruteForceTopK]]: the anchor set broadcasts,
+    * the corpus is scored in a narrow map and never shuffles, the label
+    * filter drops same-class pairs BEFORE the exchange, and only the
+    * surviving (anchor × corpus) score rows shuffle — partitioned by
+    * anchor — for the per-anchor top-k window. For corpora too large to
+    * brute-force, pre-bucket with [[lshTopK]]/[[ivfTopKWith]] and
+    * anti-filter labels the same way.
+    *
+    * @param corpus  (id, label, vec) — the searchable set
+    * @param anchors (aid, label, vec) — must be broadcast-small
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String = "id", aidCol: String = "qid",
+                    labelCol: String = "label",
+                    vecCol: String = "vec"): DataFrame = {
+    val c = widen(corpus).select(col(idCol).as("id"),
+      col(labelCol).as("__clab"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
+    val a = anchors.select(col(aidCol).as("qid"),
+      col(labelCol).as("__alab"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
+    val scored = c.crossJoin(broadcast(a))
+      .where(col("__clab") =!= col("__alab"))
+      .select(col("qid"), col("id"),
+        graft.functions.GraftFunctions.cosine(corpus.sparkSession,
+          col("cv"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Per-group elementwise centroid of embedding vectors — the class
     * prototype / cluster representative aggregation a curation pipeline
     * runs after clustering or labeling. One shuffle on (group, position);

@@ -214,6 +214,28 @@ class SimilaritySpec extends SparkSpec {
     assert(both.where(col("hof") =!= col("nat")).count() == 0)
   }
 
+  test("hardNegatives excludes same-label rows and ranks by cosine") {
+    // anchor a0 (label 0) at (1,0); nearest overall is c1 (label 0, same
+    // direction) which MUST be excluded; hard negatives are the
+    // different-label rows ordered by angle: c2 closer than c3, c4
+    // opposite
+    val corpus = Seq(
+      (1L, 0, Seq(0.9, 0.1)),   // same label — never a negative
+      (2L, 1, Seq(0.8, 0.3)),   // closest different-label
+      (3L, 1, Seq(0.1, 0.9)),   // near-orthogonal
+      (4L, 2, Seq(-1.0, 0.0))). // opposite
+      toDF("id", "label", "vec")
+    val anchors = Seq((0L, 0, Seq(1.0, 0.0))).toDF("qid", "label", "vec")
+    val got = Similarity.hardNegatives(corpus, anchors, k = 2)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L), s"got $got")
+    // k beyond the different-label pool returns the whole pool, never a
+    // same-label row
+    val all = Similarity.hardNegatives(corpus, anchors, k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(2L, 3L, 4L))
+  }
+
   test("groupCentroids: decimal-sum variant is partitioning-independent " +
       "and matches the ordered fold") {
     val base = emb.select((col("vec_id") % 8).as("grp"), col("vec_id"),
