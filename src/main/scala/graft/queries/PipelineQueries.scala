@@ -102,6 +102,8 @@ object PipelineQueries {
   private val ChunkWidth = 64 // RAG chunk window (tokens)
   private val ChunkStride = 32 // RAG chunk stride (tokens)
   private val ShuffleSeed = "graft-shuffle-42"
+  private val DsirBuckets = 1024 // hashed n-gram feature space (q_dsir)
+  private val DsirTarget = "src0" // target-domain proxy: one source slice
   // target output composition for q_mixture_sample (weights exactly
   // representable in binary so the Scala and SQL literals are identical)
   private val MixtureTargets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
@@ -277,6 +279,15 @@ object PipelineQueries {
     "q_lm_bigram" -> ((s, dir) =>
       graft.text.LangModel.scoreBigramFx(
         t(s, dir, "documents"), "doc_id", "text", minBigramCount = 2)),
+    // DSIR importance weighting (Xie et al. 2023): per-doc signed
+    // fixed-point log2 likelihood ratio of a target-domain hashed-ngram
+    // model vs the raw-corpus model; target proxy = one source slice
+    "q_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Dsir.importanceFx(docs,
+        docs.where(col("source") === DsirTarget),
+        "doc_id", "text", buckets = DsirBuckets)
+    }),
     // deterministic global shuffle: reproducible + resumable training
     // order by seeded md5 rank, on the distributed zipWithIndex machinery
     // key uses the house null-sentinel encoding (hashBucket convention:
@@ -974,6 +985,70 @@ object PipelineQueries {
              CAST(s1.sfx + COALESCE(b.s, 0) AS BIGINT) AS nll_fx
            FROM first0 f JOIN sc s1 USING (num, den)
            LEFT JOIN bnll b USING (doc_id)""",
+      // DSIR replica: hashed unigram+bigram buckets (md5 % B, bigrams
+      // joined on chr(31)), add-one-smoothed target/raw counts, and the
+      // same fixed-point log2 CTE as q_lm_score parameterized over the
+      // distinct single values x (den = 1):
+      // w[b] = (L(ct+1) - L(Nt+B)) - (L(cr+1) - L(Nr+B))
+      "q_dsir" ->
+        s"""WITH RECURSIVE tk AS (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                 x -> x <> '') AS t
+             FROM documents),
+           tk1 AS (SELECT doc_id, t FROM tk WHERE len(t) > 0),
+           unig AS (SELECT doc_id, unnest(t) AS f FROM tk1),
+           bigr AS (SELECT doc_id, t[i] || chr(31) || t[i + 1] AS f
+             FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                   FROM tk1 WHERE len(t) >= 2)),
+           feats AS (SELECT doc_id,
+               ('0x' || substr(md5(f), 1, 8))::BIGINT % $DsirBuckets
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM (SELECT * FROM unig UNION ALL SELECT * FROM bigr)
+             GROUP BY 1, 2),
+           raw AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr
+             FROM feats GROUP BY 1),
+           tgt AS (SELECT f.bucket, CAST(SUM(f.cnt) AS BIGINT) AS ct
+             FROM feats f JOIN documents d USING (doc_id)
+             WHERE d.source = '$DsirTarget' GROUP BY 1),
+           rtot AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS nr
+             FROM raw),
+           ttot AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt
+             FROM tgt),
+           wj AS (SELECT r.bucket, r.cr, COALESCE(g.ct, 0) AS ct
+             FROM raw r LEFT JOIN tgt g USING (bucket)),
+           xs AS (SELECT ct + 1 AS x FROM wj
+             UNION SELECT cr + 1 FROM wj
+             UNION SELECT nt + $DsirBuckets FROM ttot
+             UNION SELECT nr + $DsirBuckets FROM rtot),
+           b2 AS (SELECT x, length(bin(x)) - 1 AS e0,
+               CAST(x AS DOUBLE)
+                 / CAST(1::BIGINT << (length(bin(x)) - 1) AS DOUBLE) AS y0
+             FROM xs),
+           fx AS (
+             SELECT x,
+               CASE WHEN y0 < 1 THEN y0 * 2 ELSE y0 END AS y,
+               CASE WHEN y0 < 1 THEN e0 - 1 ELSE e0 END AS e,
+               CAST(0 AS BIGINT) AS bits, 0 AS step FROM b2
+             UNION ALL
+             SELECT x,
+               CASE WHEN y * y >= 2 THEN y * y / 2 ELSE y * y END, e,
+               bits * 2 + CASE WHEN y * y >= 2 THEN 1 ELSE 0 END, step + 1
+             FROM fx WHERE step < 16),
+           lg AS (SELECT x, CAST(e AS BIGINT) * 65536 + bits AS lfx
+             FROM fx WHERE step = 16),
+           w AS (SELECT wj.bucket,
+               (lt.lfx - lnt.lfx) - (lr.lfx - lnr.lfx) AS w_fx
+             FROM wj CROSS JOIN rtot CROSS JOIN ttot
+             JOIN lg lt ON lt.x = wj.ct + 1
+             JOIN lg lr ON lr.x = wj.cr + 1
+             JOIN lg lnt ON lnt.x = ttot.nt + $DsirBuckets
+             JOIN lg lnr ON lnr.x = rtot.nr + $DsirBuckets)
+           SELECT f.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS n_feat,
+             CAST(SUM(f.cnt * w.w_fx) AS BIGINT) AS dsir_fx
+           FROM feats f JOIN w USING (bucket)
+           GROUP BY 1""",
       // chr(30) = the 0x1E null sentinel (hashBucket convention)
       "q_shuffle_det" ->
         s"""SELECT doc_id, lang,
