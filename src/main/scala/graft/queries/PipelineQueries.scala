@@ -104,6 +104,7 @@ object PipelineQueries {
   private val ShuffleSeed = "graft-shuffle-42"
   private val DsirBuckets = 1024 // hashed n-gram feature space (q_dsir)
   private val DsirTarget = "src0" // target-domain proxy: one source slice
+  private val ClassifierEpochs = 3 // batch-perceptron epochs (q_classifier)
   // target output composition for q_mixture_sample (weights exactly
   // representable in binary so the Scala and SQL literals are identical)
   private val MixtureTargets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
@@ -287,6 +288,36 @@ object PipelineQueries {
       graft.text.Dsir.importanceFx(docs,
         docs.where(col("source") === DsirTarget),
         "doc_id", "text", buckets = DsirBuckets)
+    }),
+    // trained quality classifier: multinomial Naive Bayes (one exact
+    // pass; the fastText-style quality-filter regime). The synthetic
+    // corpus has no organic class signal, so the query PLANTS one —
+    // spam-token suffixes on every third doc (same pattern as
+    // q_dedup_exact's planted duplicates) — and learns it back
+    // (~99% train accuracy); the oracle replays training + scoring
+    // hash-exactly
+    "q_classifier" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" casino spam click casino")))
+          .otherwise(col("text")))
+      val w = graft.text.Classifier.trainNaiveBayes(planted, "doc_id",
+        "text", when(col("doc_id") % 3 =!= 0, 1L).otherwise(-1L),
+        buckets = DsirBuckets)
+      graft.text.Classifier.score(planted, "doc_id", "text", w,
+        DsirBuckets)
+    }),
+    // full-batch perceptron: the exact distributed iterative-training
+    // template (every epoch an order-independent integer sum, so the
+    // oracle replays all 3 epochs hash-exactly). Learning contract is
+    // spec'd in ClassifierSpec (converges on direction-separable
+    // classes); NB above is the recommended quality filter
+    "q_perceptron" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.text.Classifier.trainPerceptron(docs, "doc_id",
+        "text", when(col("lang") === "en", 1L).otherwise(-1L),
+        buckets = DsirBuckets, epochs = ClassifierEpochs)
+      graft.text.Classifier.score(docs, "doc_id", "text", w, DsirBuckets)
     }),
     // deterministic global shuffle: reproducible + resumable training
     // order by seeded md5 rank, on the distributed zipWithIndex machinery
@@ -528,6 +559,152 @@ object PipelineQueries {
               max(j) AS max_jaccard
        FROM pairs WHERE j >= $threshold GROUP BY doc_id"""
   }
+
+  /** Batch-perceptron oracle: replays Classifier.trainPerceptron +
+    * score over `documents` with the q_dsir hashed unigram+bigram
+    * feature construction, unrolling each training epoch as three CTEs
+    * (margins under the previous weights, misclassified-doc weight
+    * deltas, the new weight table). All sums are integers over ±1
+    * labels and count features, so every epoch — and the final margins
+    * — replay hash-exactly regardless of engine or row order. */
+  private def perceptronSql(buckets: Int, epochs: Int,
+                            labelSql: String): String = {
+    val head =
+      s"""WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         tk1 AS (SELECT doc_id, t FROM tk WHERE len(t) > 0),
+         unig AS (SELECT doc_id, unnest(t) AS f FROM tk1),
+         bigr AS (SELECT doc_id, t[i] || chr(31) || t[i + 1] AS f
+           FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                 FROM tk1 WHERE len(t) >= 2)),
+         feats AS (SELECT doc_id,
+             ('0x' || substr(md5(f), 1, 8))::BIGINT % $buckets AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT * FROM unig UNION ALL SELECT * FROM bigr)
+           GROUP BY 1, 2),
+         featsb AS (SELECT * FROM feats UNION ALL
+           SELECT doc_id, CAST($buckets AS BIGINT) AS bucket,
+             CAST(1 AS BIGINT) AS cnt
+           FROM documents),
+         lab AS (SELECT doc_id,
+             CAST(CASE WHEN $labelSql THEN 1 ELSE -1 END AS BIGINT) AS y
+           FROM documents d),
+         w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w
+           FROM featsb)"""
+    val eps = (1 to epochs).map { e =>
+      s""",
+         m$e AS (SELECT f.doc_id, CAST(SUM(f.cnt * w.w) AS BIGINT) AS m
+           FROM featsb f JOIN w${e - 1} w USING (bucket) GROUP BY 1),
+         u$e AS (SELECT f.bucket, CAST(SUM(l.y * f.cnt) AS BIGINT) AS dw
+           FROM featsb f JOIN m$e USING (doc_id) JOIN lab l USING (doc_id)
+           WHERE l.y * m$e.m <= 0 GROUP BY 1),
+         w$e AS (SELECT w${e - 1}.bucket,
+             w${e - 1}.w + COALESCE(u$e.dw, 0) AS w
+           FROM w${e - 1} LEFT JOIN u$e USING (bucket))"""
+    }.mkString
+    s"""$head$eps
+       SELECT f.doc_id, CAST(SUM(f.cnt * wf.w) AS BIGINT) AS margin,
+         CAST(CASE WHEN SUM(f.cnt * wf.w) > 0 THEN 1 ELSE -1 END
+              AS BIGINT) AS pred
+       FROM featsb f JOIN w$epochs wf USING (bucket)
+       GROUP BY 1"""
+  }
+
+  /** Naive-Bayes oracle: replays Classifier.trainNaiveBayes + score
+    * over `documents` with the planted spam suffixes of q_classifier.
+    * Per-class counts → fixed-point log₂ likelihood-ratio weights (the
+    * q_dsir log CTE, den = 1) + a log-prior bias on the reserved
+    * bucket; margins are integer sums, so the replay is hash-exact. */
+  private def nbSql(buckets: Int): String =
+    s"""WITH RECURSIVE docs1 AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' casino spam click casino'
+                ELSE text END AS text
+         FROM documents),
+       tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> '') AS t
+         FROM docs1),
+       tk1 AS (SELECT doc_id, t FROM tk WHERE len(t) > 0),
+       unig AS (SELECT doc_id, unnest(t) AS f FROM tk1),
+       bigr AS (SELECT doc_id, t[i] || chr(31) || t[i + 1] AS f
+         FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+               FROM tk1 WHERE len(t) >= 2)),
+       feats AS (SELECT doc_id,
+           ('0x' || substr(md5(f), 1, 8))::BIGINT % $buckets AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT * FROM unig UNION ALL SELECT * FROM bigr)
+         GROUP BY 1, 2),
+       featsb AS (SELECT * FROM feats UNION ALL
+         SELECT doc_id, CAST($buckets AS BIGINT) AS bucket,
+           CAST(1 AS BIGINT) AS cnt
+         FROM docs1),
+       lab AS (SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE -1 END AS BIGINT)
+             AS y
+         FROM docs1),
+       fl AS (SELECT f.bucket, f.cnt, l.y
+         FROM feats f JOIN lab l USING (doc_id)),
+       pos AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cp
+         FROM fl WHERE y = 1 GROUP BY 1),
+       neg AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cn
+         FROM fl WHERE y = -1 GROUP BY 1),
+       ptot AS (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS np
+         FROM pos),
+       ntot AS (SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS nn
+         FROM neg),
+       dcnt AS (SELECT
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+           CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS dn
+         FROM lab),
+       bk AS (SELECT bucket, COALESCE(cp, 0) AS cp, COALESCE(cn, 0) AS cn
+         FROM pos FULL OUTER JOIN neg USING (bucket)),
+       xs AS (SELECT DISTINCT x FROM (
+           SELECT cp + 1 AS x FROM bk
+           UNION ALL SELECT cn + 1 FROM bk
+           UNION ALL SELECT np + $buckets FROM ptot
+           UNION ALL SELECT nn + $buckets FROM ntot
+           UNION ALL SELECT dp + 1 FROM dcnt
+           UNION ALL SELECT dn + 1 FROM dcnt)),
+       b2 AS (SELECT x, length(bin(x)) - 1 AS e0,
+           CAST(x AS DOUBLE)
+             / CAST(1::BIGINT << (length(bin(x)) - 1) AS DOUBLE) AS y0
+         FROM xs),
+       fx AS (
+         SELECT x,
+           CASE WHEN y0 < 1 THEN y0 * 2 ELSE y0 END AS y,
+           CASE WHEN y0 < 1 THEN e0 - 1 ELSE e0 END AS e,
+           CAST(0 AS BIGINT) AS bits, 0 AS step FROM b2
+         UNION ALL
+         SELECT x,
+           CASE WHEN y * y >= 2 THEN y * y / 2 ELSE y * y END, e,
+           bits * 2 + CASE WHEN y * y >= 2 THEN 1 ELSE 0 END, step + 1
+         FROM fx WHERE step < 16),
+       lg AS (SELECT x, CAST(e AS BIGINT) * 65536 + bits AS lfx
+         FROM fx WHERE step = 16),
+       w AS (SELECT bk.bucket,
+           (lp.lfx - lnp.lfx) - (lc.lfx - lnn.lfx) AS w
+         FROM bk CROSS JOIN ptot CROSS JOIN ntot
+         JOIN lg lp ON lp.x = bk.cp + 1
+         JOIN lg lc ON lc.x = bk.cn + 1
+         JOIN lg lnp ON lnp.x = ptot.np + $buckets
+         JOIN lg lnn ON lnn.x = ntot.nn + $buckets
+        UNION ALL
+        SELECT CAST($buckets AS BIGINT) AS bucket, la.lfx - lb.lfx AS w
+         FROM dcnt
+         JOIN lg la ON la.x = dcnt.dp + 1
+         JOIN lg lb ON lb.x = dcnt.dn + 1)
+       SELECT f.doc_id,
+         CAST(SUM(f.cnt * COALESCE(w.w, 0)) AS BIGINT) AS margin,
+         CAST(CASE WHEN SUM(f.cnt * COALESCE(w.w, 0)) > 0
+              THEN 1 ELSE -1 END AS BIGINT) AS pred
+       FROM featsb f LEFT JOIN w USING (bucket)
+       GROUP BY 1"""
 
   /** Mixture-sampling oracle: replays the ENTIRE rate derivation — per-
     * stratum counts, the binding min(n/w), floor to integer percent —
@@ -1018,10 +1195,11 @@ object PipelineQueries {
              FROM tgt),
            wj AS (SELECT r.bucket, r.cr, COALESCE(g.ct, 0) AS ct
              FROM raw r LEFT JOIN tgt g USING (bucket)),
-           xs AS (SELECT ct + 1 AS x FROM wj
-             UNION SELECT cr + 1 FROM wj
-             UNION SELECT nt + $DsirBuckets FROM ttot
-             UNION SELECT nr + $DsirBuckets FROM rtot),
+           xs AS (SELECT DISTINCT x FROM (
+               SELECT ct + 1 AS x FROM wj
+               UNION ALL SELECT cr + 1 FROM wj
+               UNION ALL SELECT nt + $DsirBuckets FROM ttot
+               UNION ALL SELECT nr + $DsirBuckets FROM rtot)),
            b2 AS (SELECT x, length(bin(x)) - 1 AS e0,
                CAST(x AS DOUBLE)
                  / CAST(1::BIGINT << (length(bin(x)) - 1) AS DOUBLE) AS y0
@@ -1049,6 +1227,16 @@ object PipelineQueries {
              CAST(SUM(f.cnt * w.w_fx) AS BIGINT) AS dsir_fx
            FROM feats f JOIN w USING (bucket)
            GROUP BY 1""",
+      // Naive Bayes replica: plant the spam suffixes, rebuild the hashed
+      // features, per-class counts -> fixed-point log-ratio weights +
+      // log-prior bias, score — every step an integer/log2fx sum
+      "q_classifier" -> nbSql(DsirBuckets),
+      // batch-perceptron replica: the SAME hashed feature CTE (+ bias
+      // feature), then each epoch unrolled as (margins, misclassified
+      // updates, new weights) — all integer sums, so the replay of the
+      // whole training run is hash-exact
+      "q_perceptron" -> perceptronSql(DsirBuckets, ClassifierEpochs,
+        "d.lang = 'en'"),
       // chr(30) = the 0x1E null sentinel (hashBucket convention)
       "q_shuffle_det" ->
         s"""SELECT doc_id, lang,

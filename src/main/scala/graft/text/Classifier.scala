@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Trained quality classifiers over hashed bag-of-ngrams features — the
+  * fastText-style linear filter pretraining pipelines train to separate
+  * "looks like the curated reference set" from "looks like raw web
+  * text", run IN the engine so the 100 TB corpus never leaves Spark for
+  * a sidecar training job.
+  *
+  * Two trainers, both exactly reproducible across partitionings AND
+  * engines (all arithmetic is integer or fixed-point-log₂ integer, and
+  * every aggregation is an order-independent sum — so a DuckDB oracle
+  * replays a whole training run hash-exactly):
+  *
+  *  - [[trainNaiveBayes]] — multinomial Naive Bayes: per-class feature
+  *    counts → per-bucket log-likelihood-ratio weights + a log-prior
+  *    bias. ONE pass over the corpus, no iteration, robust on
+  *    overlapping class distributions: the recommended default.
+  *  - [[trainPerceptron]] — full-batch perceptron: margins under the
+  *    current weights, then Σ y·x over all misclassified docs per
+  *    epoch. Converges on direction-separable classes (disjoint
+  *    vocabularies); on heavily overlapping distributions the coarse
+  *    full-batch step can oscillate rather than settle — classical
+  *    per-sample perceptron convergence does not transfer to the batch
+  *    variant. Kept because the epoch loop is the template for exact
+  *    distributed iterative training (and it is spec'd to converge in
+  *    the regime it suits).
+  *
+  * Features are [[Dsir.docFeatures]] (md5-hashed unigrams + bigrams in
+  * `buckets` buckets) plus one reserved BIAS feature (bucket id =
+  * `buckets`, count 1, on every doc — without it no threshold concept
+  * is expressible and zero-token docs would be unclassifiable).
+  *
+  * Scale shape: features persist once (distinct (doc, bucket) pairs);
+  * weight/count tables are ≤ buckets+1 rows, which AQE broadcasts into
+  * every margin join; margins and updates are partial-agg groupBys.
+  * Nothing iterates on the driver except the perceptron epoch counter.
+  */
+object Classifier {
+
+  /** (id, bucket, cnt): [[Dsir.docFeatures]] plus the reserved bias
+    * feature (bucket = `buckets`, cnt = 1) on EVERY doc — including
+    * zero-token docs, which therefore classify by bias alone. */
+  def featuresWithBias(docs: DataFrame, idCol: String, textCol: String,
+                       buckets: Int): DataFrame =
+    Dsir.docFeatures(docs, idCol, textCol, buckets).union(
+      docs.select(col(idCol)).distinct()
+        .select(col(idCol), lit(buckets.toLong).as("bucket"),
+          lit(1L).as("cnt")))
+
+  /** (bucket, w): multinomial Naive Bayes weights in fixed-point log₂
+    * units (16 fractional bits). Feature buckets carry the add-one-
+    * smoothed class log-likelihood ratio
+    * w[b] = [L(cp+1) − L(Np+B)] − [L(cn+1) − L(Nn+B)] (cp/cn the
+    * positive/negative class counts, Np/Nn the class totals,
+    * B = `buckets`, L(x) = log2fx(x,1) — see [[Dsir.importanceFx]] for
+    * why single-count logs can never overflow); the bias bucket carries
+    * the class log-prior L(docs⁺+1) − L(docs⁻+1). `label` is any Column
+    * evaluating > 0 for positive documents. */
+  def trainNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                      label: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val labeled = docs.select(col(idCol),
+      when(label > 0, 1L).otherwise(-1L).as("__y"))
+    val feats = Dsir.docFeatures(docs, idCol, textCol, buckets)
+      .join(labeled, idCol)
+    def side(y: Long, out: String) = feats.where(col("__y") === y)
+      .groupBy("bucket").agg(sum("cnt").cast(LongType).as(out))
+    val pos = side(1L, "cp")
+    val neg = side(-1L, "cn")
+    val np = pos.agg(coalesce(sum("cp"), lit(0L)).cast(LongType).as("__np"))
+    val nn = neg.agg(coalesce(sum("cn"), lit(0L)).cast(LongType).as("__nn"))
+    def L(x: Column) = LangModel.ratioLog2Fx(x, lit(1L))
+    val w = pos.join(neg, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("cp", "cn"))
+      .crossJoin(np).crossJoin(nn)
+      .select(col("bucket"),
+        ((L(col("cp") + 1) - L(col("__np") + buckets))
+          - (L(col("cn") + 1) - L(col("__nn") + buckets))).as("w"))
+    val prior = labeled
+      .agg(sum(when(col("__y") === 1L, 1L).otherwise(0L)).cast(LongType)
+          .as("__dp"),
+        sum(when(col("__y") === -1L, 1L).otherwise(0L)).cast(LongType)
+          .as("__dn"))
+      .select(lit(buckets.toLong).as("bucket"),
+        (L(col("__dp") + 1) - L(col("__dn") + 1)).as("w"))
+    w.union(prior)
+  }
+
+  /** (bucket, w): integer weight vector after `epochs` full-batch
+    * perceptron epochs on [[featuresWithBias]]. Zero-feature docs still
+    * carry the bias feature and take part. Epoch update: every doc with
+    * y·margin ≤ 0 (ties count as errors, the standard rule) contributes
+    * y·x to the weight delta. */
+  def trainPerceptron(docs: DataFrame, idCol: String, textCol: String,
+                      label: Column, buckets: Int = 1024,
+                      epochs: Int = 3): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val feats = graft.core.Intermediates.track(
+      featuresWithBias(docs, idCol, textCol, buckets)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val labels = graft.core.Intermediates.track(
+      docs.select(col(idCol),
+          when(label > 0, 1L).otherwise(-1L).as("__y"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var w = feats.select("bucket").distinct().withColumn("w", lit(0L))
+    for (_ <- 1 to epochs) {
+      val margins = feats.join(w, "bucket")
+        .groupBy(col(idCol))
+        .agg(sum(col("cnt") * col("w")).cast(LongType).as("__m"))
+      val mis = margins.join(labels, idCol)
+        .where(col("__y") * col("__m") <= 0)
+        .select(col(idCol), col("__y"))
+      val upd = feats.join(mis, idCol)
+        .groupBy("bucket")
+        .agg(sum(col("__y") * col("cnt")).cast(LongType).as("__dw"))
+      // persist each epoch's ≤(buckets+1)-row weight table: without the
+      // cut the lineage re-runs every earlier epoch
+      w = graft.core.Intermediates.track(
+        w.join(upd, Seq("bucket"), "left")
+          .select(col("bucket"),
+            (col("w") + coalesce(col("__dw"), lit(0L))).as("w"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    }
+    w
+  }
+
+  /** (id, margin, pred): margins of `docs` under a trained (bucket, w)
+    * table — works for both trainers (the bias bucket is just a feature
+    * both sides agree on). Buckets absent from the weight table weigh 0
+    * (left join), so out-of-vocabulary docs score rather than
+    * disappear; every doc emits a row (bias feature). pred = +1 iff
+    * margin > 0. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            weights: DataFrame, buckets: Int = 1024): DataFrame =
+    featuresWithBias(docs, idCol, textCol, buckets)
+      .join(weights, Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L)))
+        .cast(LongType).as("margin"))
+      .withColumn("pred",
+        when(col("margin") > 0, 1L).otherwise(-1L))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Classifier
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // linearly separable: disjoint vocabularies
+  private val docs = Seq(
+    (1L, "good clean prose here", "pos"),
+    (2L, "more good clean text", "pos"),
+    (3L, "spam junk casino click", "neg"),
+    (4L, "junk spam buy casino now", "neg"),
+    (5L, "", "neg")).toDF("doc_id", "text", "tag")
+  private val label = when(col("tag") === "pos", 1L).otherwise(-1L)
+
+  test("naive bayes separates disjoint-vocabulary classes") {
+    val w = Classifier.trainNaiveBayes(docs, "doc_id", "text", label,
+      buckets = 4096)
+    val preds = Classifier.score(docs, "doc_id", "text", w, 4096)
+      .select("doc_id", "pred").as[(Long, Long)].collect().toMap
+    assert(preds(1L) == 1L && preds(2L) == 1L, s"got $preds")
+    assert(preds(3L) == -1L && preds(4L) == -1L, s"got $preds")
+    // the zero-token doc classifies by the log-prior bias alone
+    // (2 positive vs 3 negative docs -> negative prior)
+    assert(preds(5L) == -1L, s"got $preds")
+    // the reserved bias bucket carries the prior
+    assert(w.where(col("bucket") === 4096L).count() == 1)
+  }
+
+  test("naive bayes training is partitioning-independent (fx-exact)") {
+    val w1 = Classifier.trainNaiveBayes(docs, "doc_id", "text", label, 512)
+      .orderBy("bucket").collect().toSeq
+    val w2 = Classifier.trainNaiveBayes(docs.repartition(7), "doc_id",
+        "text", label, 512)
+      .orderBy("bucket").collect().toSeq
+    assert(w1 == w2)
+  }
+
+  test("perceptron separates disjoint-vocabulary classes") {
+    val w = Classifier.trainPerceptron(docs, "doc_id", "text", label,
+      buckets = 4096, epochs = 3)
+    val preds = Classifier.score(docs, "doc_id", "text", w, 4096)
+      .select("doc_id", "pred").as[(Long, Long)].collect().toMap
+    assert(preds(1L) == 1L && preds(2L) == 1L, s"got $preds")
+    assert(preds(3L) == -1L && preds(4L) == -1L, s"got $preds")
+    graft.core.Intermediates.release()
+  }
+
+  test("perceptron training is partitioning-independent (integer batch)") {
+    val w1 = Classifier.trainPerceptron(docs, "doc_id", "text", label,
+        buckets = 512, epochs = 2)
+      .orderBy("bucket").collect().toSeq
+    graft.core.Intermediates.release()
+    val w2 = Classifier.trainPerceptron(docs.repartition(7), "doc_id",
+        "text", label, buckets = 512, epochs = 2)
+      .orderBy("bucket").collect().toSeq
+    graft.core.Intermediates.release()
+    assert(w1 == w2)
+  }
+
+  test("scoring an out-of-vocabulary doc sees only the bias weight") {
+    val w = Classifier.trainPerceptron(docs, "doc_id", "text", label,
+      buckets = 4096, epochs = 1)
+    val oov = Seq((9L, "wholly unseen tokens")).toDF("doc_id", "text")
+    val got = Classifier.score(oov, "doc_id", "text", w, 4096)
+      .select("doc_id", "margin", "pred").as[(Long, Long, Long)].collect()
+    // epoch 1 misclassifies everything (all margins 0), so the bias
+    // weight is exactly sum(y) = 2 - 3 = -1; unseen tokens weigh 0
+    assert(got.toSeq == Seq((9L, -1L, -1L)), got.toSeq.toString)
+    graft.core.Intermediates.release()
+  }
+}
