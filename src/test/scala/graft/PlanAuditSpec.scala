@@ -85,4 +85,25 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("ShuffledHashJoin") &&
       !plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("q_hard_negatives: anchors broadcast; only the per-anchor top-k " +
+      "window shuffles") {
+    val df = SparkEntry.queries("q_hard_negatives")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the anchor set arrives via a broadcast join (nested-loop: the
+    // label filter is a non-equi predicate), never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
+  test("q_dsir: the <=B-row model tables join by broadcast after AQE") {
+    val df = SparkEntry.queries("q_dsir")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the bucket-weight join must come in as a broadcast — a shuffled
+    // join there would re-shuffle the whole corpus feature table
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
