@@ -105,6 +105,7 @@ object PipelineQueries {
   private val DsirBuckets = 1024 // hashed n-gram feature space (q_dsir)
   private val DsirTarget = "src0" // target-domain proxy: one source slice
   private val ClassifierEpochs = 3 // batch-perceptron epochs (q_classifier)
+  private val TrainSelectK = 200 // docs kept by the composed pipeline
   // target output composition for q_mixture_sample (weights exactly
   // representable in binary so the Scala and SQL literals are identical)
   private val MixtureTargets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
@@ -318,6 +319,47 @@ object PipelineQueries {
         "text", when(col("lang") === "en", 1L).otherwise(-1L),
         buckets = DsirBuckets, epochs = ClassifierEpochs)
       graft.text.Classifier.score(docs, "doc_id", "text", w, DsirBuckets)
+    }),
+    // COMPOSED round-5 flagship: the end-to-end path from a raw corpus
+    // to a packed training order — plant signal → NB quality gate →
+    // DSIR top-K target-domain selection → deterministic shuffle →
+    // sequence packing. Every stage is an already-oracled operator; the
+    // oracle replays the WHOLE chain in one DuckDB SQL, proving the new
+    // operators compose hash-exactly (the q_curation_pipeline pattern)
+    "q_training_pipeline" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" casino spam click casino")))
+          .otherwise(col("text")))
+      val w = graft.text.Classifier.trainNaiveBayes(planted, "doc_id",
+        "text", when(col("doc_id") % 3 =!= 0, 1L).otherwise(-1L),
+        buckets = DsirBuckets)
+      val kept = planted.join(
+        graft.text.Classifier.score(planted, "doc_id", "text", w,
+            DsirBuckets)
+          .where(col("pred") === 1L).select("doc_id"),
+        "doc_id")
+      val scored = graft.text.Dsir.importanceFx(kept,
+        kept.where(col("source") === DsirTarget), "doc_id", "text",
+        DsirBuckets)
+      // global top-K = TakeOrdered (distributed heads merge on the
+      // driver), never a single-partition window
+      val selected = scored
+        .orderBy(col("dsir_fx").desc, col("doc_id"))
+        .limit(TrainSelectK)
+        .join(planted.select(col("doc_id"), col("text")), "doc_id")
+      val shuffled = graft.core.Pipe(selected)
+        .zipWithIndex(
+          Seq(md5(concat(coalesce(col("doc_id").cast(StringType),
+            lit("\u001E")), lit("|" + ShuffleSeed)).cast(BinaryType))),
+          "shuffle_pos")
+        .df
+      graft.text.Pack.packConcat(
+          shuffled.select(col("doc_id"), col("shuffle_pos"), col("text")),
+          "shuffle_pos", TextOps.tokenCount(col("text")),
+          seqLen = PackSeqLen)
+        .select(col("doc_id"), col("shuffle_pos"), col("n_tok"),
+          col("tok_start"), col("seq_first"), col("seq_last"))
     }),
     // deterministic global shuffle: reproducible + resumable training
     // order by seeded md5 rank, on the distributed zipWithIndex machinery
@@ -705,6 +747,169 @@ object PipelineQueries {
               THEN 1 ELSE -1 END AS BIGINT) AS pred
        FROM featsb f LEFT JOIN w USING (bucket)
        GROUP BY 1"""
+
+  /** Composed training-pipeline oracle: replays the ENTIRE
+    * q_training_pipeline chain — plant spam suffixes, Naive Bayes
+    * train+score (the nbSql fragments), keep margin > 0, DSIR weights
+    * over the kept corpus (second fixed-point log table, d_-prefixed
+    * CTEs), top-K by (dsir_fx DESC, doc_id), seeded-md5 shuffle rank,
+    * and the pack prefix sum over shuffle order — in one DuckDB SQL.
+    * Every arithmetic step is integer or fx-log₂, so the final packed
+    * layout is hash-exact. */
+  private def trainingPipelineSql(buckets: Int, k: Int, seqLen: Long,
+                                  seed: String, target: String): String =
+    s"""WITH RECURSIVE docs1 AS (
+         SELECT doc_id, source,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' casino spam click casino'
+                ELSE text END AS text
+         FROM documents),
+       tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> '') AS t
+         FROM docs1),
+       tk1 AS (SELECT doc_id, t FROM tk WHERE len(t) > 0),
+       unig AS (SELECT doc_id, unnest(t) AS f FROM tk1),
+       bigr AS (SELECT doc_id, t[i] || chr(31) || t[i + 1] AS f
+         FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+               FROM tk1 WHERE len(t) >= 2)),
+       feats AS MATERIALIZED (SELECT doc_id,
+           ('0x' || substr(md5(f), 1, 8))::BIGINT % $buckets AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT * FROM unig UNION ALL SELECT * FROM bigr)
+         GROUP BY 1, 2),
+       featsb AS MATERIALIZED (SELECT * FROM feats UNION ALL
+         SELECT doc_id, CAST($buckets AS BIGINT) AS bucket,
+           CAST(1 AS BIGINT) AS cnt
+         FROM docs1),
+       lab AS (SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE -1 END AS BIGINT)
+             AS y
+         FROM docs1),
+       fl AS (SELECT f.bucket, f.cnt, l.y
+         FROM feats f JOIN lab l USING (doc_id)),
+       pos AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cp
+         FROM fl WHERE y = 1 GROUP BY 1),
+       neg AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cn
+         FROM fl WHERE y = -1 GROUP BY 1),
+       ptot AS (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS np
+         FROM pos),
+       ntot AS (SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS nn
+         FROM neg),
+       dcnt AS (SELECT
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+           CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS dn
+         FROM lab),
+       bk AS (SELECT bucket, COALESCE(cp, 0) AS cp, COALESCE(cn, 0) AS cn
+         FROM pos FULL OUTER JOIN neg USING (bucket)),
+       xs AS (SELECT DISTINCT x FROM (
+           SELECT cp + 1 AS x FROM bk
+           UNION ALL SELECT cn + 1 FROM bk
+           UNION ALL SELECT np + $buckets FROM ptot
+           UNION ALL SELECT nn + $buckets FROM ntot
+           UNION ALL SELECT dp + 1 FROM dcnt
+           UNION ALL SELECT dn + 1 FROM dcnt)),
+       b2 AS (SELECT x, length(bin(x)) - 1 AS e0,
+           CAST(x AS DOUBLE)
+             / CAST(1::BIGINT << (length(bin(x)) - 1) AS DOUBLE) AS y0
+         FROM xs),
+       fx AS (
+         SELECT x,
+           CASE WHEN y0 < 1 THEN y0 * 2 ELSE y0 END AS y,
+           CASE WHEN y0 < 1 THEN e0 - 1 ELSE e0 END AS e,
+           CAST(0 AS BIGINT) AS bits, 0 AS step FROM b2
+         UNION ALL
+         SELECT x,
+           CASE WHEN y * y >= 2 THEN y * y / 2 ELSE y * y END, e,
+           bits * 2 + CASE WHEN y * y >= 2 THEN 1 ELSE 0 END, step + 1
+         FROM fx WHERE step < 16),
+       lg AS MATERIALIZED (SELECT x, CAST(e AS BIGINT) * 65536 + bits AS lfx
+         FROM fx WHERE step = 16),
+       w AS MATERIALIZED (SELECT bk.bucket,
+           (lp.lfx - lnp.lfx) - (lc.lfx - lnn.lfx) AS w
+         FROM bk CROSS JOIN ptot CROSS JOIN ntot
+         JOIN lg lp ON lp.x = bk.cp + 1
+         JOIN lg lc ON lc.x = bk.cn + 1
+         JOIN lg lnp ON lnp.x = ptot.np + $buckets
+         JOIN lg lnn ON lnn.x = ntot.nn + $buckets
+        UNION ALL
+        SELECT CAST($buckets AS BIGINT) AS bucket, la.lfx - lb.lfx AS w
+         FROM dcnt
+         JOIN lg la ON la.x = dcnt.dp + 1
+         JOIN lg lb ON lb.x = dcnt.dn + 1),
+       marg AS MATERIALIZED (SELECT f.doc_id,
+           CAST(SUM(f.cnt * COALESCE(w.w, 0)) AS BIGINT) AS margin
+         FROM featsb f LEFT JOIN w USING (bucket)
+         GROUP BY 1),
+       kept AS MATERIALIZED (SELECT doc_id FROM marg WHERE margin > 0),
+       kfeats AS MATERIALIZED (SELECT f.* FROM feats f JOIN kept USING (doc_id)),
+       raw2 AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr
+         FROM kfeats GROUP BY 1),
+       tgt2 AS (SELECT f.bucket, CAST(SUM(f.cnt) AS BIGINT) AS ct
+         FROM kfeats f JOIN docs1 d USING (doc_id)
+         WHERE d.source = '$target' GROUP BY 1),
+       rtot2 AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS nr
+         FROM raw2),
+       ttot2 AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt
+         FROM tgt2),
+       wj2 AS (SELECT r.bucket, r.cr, COALESCE(g.ct, 0) AS ct
+         FROM raw2 r LEFT JOIN tgt2 g USING (bucket)),
+       d_xs AS (SELECT DISTINCT x FROM (
+           SELECT ct + 1 AS x FROM wj2
+           UNION ALL SELECT cr + 1 FROM wj2
+           UNION ALL SELECT nt + $buckets FROM ttot2
+           UNION ALL SELECT nr + $buckets FROM rtot2)),
+       d_b2 AS (SELECT x, length(bin(x)) - 1 AS e0,
+           CAST(x AS DOUBLE)
+             / CAST(1::BIGINT << (length(bin(x)) - 1) AS DOUBLE) AS y0
+         FROM d_xs),
+       d_fx AS (
+         SELECT x,
+           CASE WHEN y0 < 1 THEN y0 * 2 ELSE y0 END AS y,
+           CASE WHEN y0 < 1 THEN e0 - 1 ELSE e0 END AS e,
+           CAST(0 AS BIGINT) AS bits, 0 AS step FROM d_b2
+         UNION ALL
+         SELECT x,
+           CASE WHEN y * y >= 2 THEN y * y / 2 ELSE y * y END, e,
+           bits * 2 + CASE WHEN y * y >= 2 THEN 1 ELSE 0 END, step + 1
+         FROM d_fx WHERE step < 16),
+       d_lg AS MATERIALIZED (SELECT x, CAST(e AS BIGINT) * 65536 + bits AS lfx
+         FROM d_fx WHERE step = 16),
+       w2 AS MATERIALIZED (SELECT wj2.bucket,
+           (lt.lfx - lnt.lfx) - (lr.lfx - lnr.lfx) AS w_fx
+         FROM wj2 CROSS JOIN rtot2 CROSS JOIN ttot2
+         JOIN d_lg lt ON lt.x = wj2.ct + 1
+         JOIN d_lg lr ON lr.x = wj2.cr + 1
+         JOIN d_lg lnt ON lnt.x = ttot2.nt + $buckets
+         JOIN d_lg lnr ON lnr.x = rtot2.nr + $buckets),
+       dscore AS MATERIALIZED (SELECT f.doc_id,
+           CAST(SUM(f.cnt * w2.w_fx) AS BIGINT) AS dsir_fx
+         FROM kfeats f JOIN w2 USING (bucket)
+         GROUP BY 1),
+       sel AS (SELECT doc_id FROM dscore
+         QUALIFY row_number() OVER (ORDER BY dsir_fx DESC, doc_id)
+           <= $k),
+       sh AS (SELECT s.doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(coalesce(s.doc_id::VARCHAR, chr(30))
+               || '|' || '$seed')) - 1 AS BIGINT) AS shuffle_pos
+         FROM sel s),
+       tok AS (SELECT d.doc_id,
+           coalesce(len(list_filter(string_split_regex(d.text, '\\s+'),
+             x -> x <> '')), 0) AS n_tok
+         FROM docs1 d JOIN sh USING (doc_id)),
+       packed AS (SELECT sh.doc_id, sh.shuffle_pos, t.n_tok,
+           SUM(t.n_tok) OVER (ORDER BY sh.shuffle_pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t.n_tok
+             AS tok_start
+         FROM sh JOIN tok t USING (doc_id))
+       SELECT doc_id, shuffle_pos, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(tok_start AS BIGINT) AS tok_start,
+         CAST(tok_start // $seqLen AS BIGINT) AS seq_first,
+         CAST((tok_start + greatest(n_tok, 1) - 1) // $seqLen AS BIGINT)
+           AS seq_last
+       FROM packed"""
 
   /** Mixture-sampling oracle: replays the ENTIRE rate derivation — per-
     * stratum counts, the binding min(n/w), floor to integer percent —
@@ -1231,6 +1436,9 @@ object PipelineQueries {
       // features, per-class counts -> fixed-point log-ratio weights +
       // log-prior bias, score — every step an integer/log2fx sum
       "q_classifier" -> nbSql(DsirBuckets),
+      // the whole composed chain in one SQL (see trainingPipelineSql)
+      "q_training_pipeline" -> trainingPipelineSql(DsirBuckets,
+        TrainSelectK, PackSeqLen, ShuffleSeed, DsirTarget),
       // batch-perceptron replica: the SAME hashed feature CTE (+ bias
       // feature), then each epoch unrolled as (margins, misclassified
       // updates, new weights) — all integer sums, so the replay of the
