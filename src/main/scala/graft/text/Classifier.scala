@@ -42,6 +42,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object Classifier {
 
+  /** Same contract as [[Dsir]]: the operators SELECT down to (id, …)
+    * immediately, so only the id column itself can collide — fail fast. */
+  private def reserveId(idCol: String, reserved: Seq[String]): Unit =
+    require(!reserved.contains(idCol),
+      s"Classifier: id column '$idCol' collides with a reserved output/" +
+        s"internal column (${reserved.mkString(", ")}) — rename it first")
+
   /** (id, bucket, cnt): [[Dsir.docFeatures]] plus the reserved bias
     * feature (bucket = `buckets`, cnt = 1) on EVERY doc — including
     * zero-token docs, which therefore classify by bias alone. */
@@ -64,6 +71,8 @@ object Classifier {
   def trainNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
                       label: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    reserveId(idCol, Seq("bucket", "cnt", "w", "__y", "cp", "cn",
+      "__np", "__nn", "__dp", "__dn"))
     val labeled = docs.select(col(idCol),
       when(label > 0, 1L).otherwise(-1L).as("__y"))
     val feats = Dsir.docFeatures(docs, idCol, textCol, buckets)
@@ -101,6 +110,7 @@ object Classifier {
                       epochs: Int = 3): DataFrame = {
     require(epochs >= 1, s"epochs must be >= 1, got $epochs")
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    reserveId(idCol, Seq("bucket", "cnt", "w", "__y", "__m", "__dw"))
     val feats = graft.core.Intermediates.track(
       featuresWithBias(docs, idCol, textCol, buckets)
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -137,7 +147,8 @@ object Classifier {
     * disappear; every doc emits a row (bias feature). pred = +1 iff
     * margin > 0. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            weights: DataFrame, buckets: Int = 1024): DataFrame =
+            weights: DataFrame, buckets: Int = 1024): DataFrame = {
+    reserveId(idCol, Seq("bucket", "cnt", "w", "margin", "pred"))
     featuresWithBias(docs, idCol, textCol, buckets)
       .join(weights, Seq("bucket"), "left")
       .groupBy(col(idCol))
@@ -145,4 +156,5 @@ object Classifier {
         .cast(LongType).as("margin"))
       .withColumn("pred",
         when(col("margin") > 0, 1L).otherwise(-1L))
+  }
 }

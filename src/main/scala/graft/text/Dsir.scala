@@ -34,6 +34,14 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   */
 object Dsir {
 
+  /** The operators SELECT down to (id, …) immediately, so only the id
+    * column itself can collide with an internal/output name — fail fast
+    * like the other graft operators instead of silently shadowing. */
+  private def reserveId(idCol: String, reserved: Seq[String]): Unit =
+    require(!reserved.contains(idCol),
+      s"Dsir: id column '$idCol' collides with a reserved output/" +
+        s"internal column (${reserved.mkString(", ")}) — rename it first")
+
   /** md5-derived feature bucket in [0, buckets). Cross-engine: DuckDB
     * replays it as ('0x' || substr(md5(f), 1, 8))::BIGINT % buckets. */
   def bucket(feat: Column, buckets: Int): Column =
@@ -47,6 +55,7 @@ object Dsir {
     * shifted zip_with (same trick as [[LangModel.scoreBigramFx]]). */
   def docFeatures(docs: DataFrame, idCol: String, textCol: String,
                   buckets: Int): DataFrame = {
+    reserveId(idCol, Seq("bucket", "cnt", "f", "__toks"))
     val tk = docs
       .select(col(idCol), Relevance.terms(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
@@ -80,6 +89,9 @@ object Dsir {
   def importanceFx(corpus: DataFrame, target: DataFrame, idCol: String,
                    textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    reserveId(idCol,
+      Seq("bucket", "cnt", "f", "__toks", "cr", "ct", "w_fx",
+        "__nr", "__nt", "n_feat", "dsir_fx"))
     val feats = docFeatures(corpus, idCol, textCol, buckets)
     val raw = feats.groupBy("bucket")
       .agg(sum("cnt").cast(LongType).as("cr"))

@@ -60,6 +60,18 @@ class ClassifierSpec extends SparkSpec {
     assert(w1 == w2)
   }
 
+  test("reserved id-column names fail fast instead of silently shadowing") {
+    val bad = docs.withColumnRenamed("doc_id", "bucket")
+    val e1 = intercept[IllegalArgumentException] {
+      Classifier.trainNaiveBayes(bad, "bucket", "text", label, 64)
+    }
+    assert(e1.getMessage.contains("collides"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.text.Dsir.importanceFx(bad, bad, "bucket", "text", 64)
+    }
+    assert(e2.getMessage.contains("collides"))
+  }
+
   test("scoring an out-of-vocabulary doc sees only the bias weight") {
     val w = Classifier.trainPerceptron(docs, "doc_id", "text", label,
       buckets = 4096, epochs = 1)
