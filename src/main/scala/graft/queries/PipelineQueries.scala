@@ -106,6 +106,8 @@ object PipelineQueries {
   private val DsirTarget = "src0" // target-domain proxy: one source slice
   private val ClassifierEpochs = 3 // batch-perceptron epochs (q_classifier)
   private val TrainSelectK = 200 // docs kept by the composed pipeline
+  private val WinnowK = 4 // winnowing k-gram size (tokens)
+  private val WinnowW = 4 // winnowing window (hashes)
   // target output composition for q_mixture_sample (weights exactly
   // representable in binary so the Scala and SQL literals are identical)
   private val MixtureTargets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
@@ -320,6 +322,11 @@ object PipelineQueries {
         buckets = DsirBuckets, epochs = ClassifierEpochs)
       graft.text.Classifier.score(docs, "doc_id", "text", w, DsirBuckets)
     }),
+    // winnowing fingerprints (MOSS): zero-shuffle narrow pass; any
+    // substring match >= w+k-1 tokens is guaranteed a shared fingerprint
+    "q_winnow" -> ((s, dir) =>
+      graft.text.Winnow.winnow(t(s, dir, "documents"), "doc_id", "text",
+        k = WinnowK, w = WinnowW)),
     // COMPOSED round-5 flagship: the end-to-end path from a raw corpus
     // to a packed training order — plant signal → NB quality gate →
     // DSIR top-K target-domain selection → deterministic shuffle →
@@ -1439,6 +1446,31 @@ object PipelineQueries {
       // the whole composed chain in one SQL (see trainingPipelineSql)
       "q_training_pipeline" -> trainingPipelineSql(DsirBuckets,
         TrainSelectK, PackSeqLen, ShuffleSeed, DsirTarget),
+      // winnowing replica: same k-gram md5-60bit hashes, rightmost
+      // window argmin (list_reverse + list_position), DISTINCT after
+      // unnest (DuckDB list_distinct cannot take structs)
+      "q_winnow" ->
+        s"""WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         hs AS (SELECT doc_id,
+            list_transform(range(0, len(t) - $WinnowK + 1),
+              p -> ('0x' || substr(md5(array_to_string(
+                     t[p + 1 : p + $WinnowK], chr(31))), 1, 15))::BIGINT)
+              AS h
+          FROM tk WHERE len(t) >= $WinnowK),
+         sel AS (SELECT doc_id,
+            list_transform(range($WinnowW - 1, len(h)),
+              e -> struct_pack(
+                pos := e - $WinnowW + ($WinnowW + 1
+                  - list_position(
+                      list_reverse(h[e - $WinnowW + 2 : e + 1]),
+                      list_min(h[e - $WinnowW + 2 : e + 1]))),
+                fp := list_min(h[e - $WinnowW + 2 : e + 1]))) AS s
+          FROM hs WHERE len(h) >= $WinnowW)
+         SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, u.fp AS fp
+         FROM sel, unnest(s) AS t(u)""",
       // batch-perceptron replica: the SAME hashed feature CTE (+ bias
       // feature), then each epoch unrolled as (margins, misclassified
       // updates, new weights) — all integer sums, so the replay of the

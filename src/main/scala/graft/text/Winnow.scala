@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+  * the MOSS local fingerprinting algorithm): hash every k-token gram,
+  * slide a w-hash window, and keep the RIGHTMOST minimal hash of each
+  * window. Guarantees: any substring match of at least w+k−1 tokens
+  * between two documents shares at least one selected fingerprint, and
+  * no match shorter than k tokens is ever detected — the standard way
+  * to catch verbatim/boilerplate substring reuse that shingle-set
+  * similarity (Jaccard/MinHash) dilutes away on long documents.
+  *
+  * Scale shape: fingerprint selection is ONE narrow codegen pass —
+  * tokenize, k-gram hash array, window argmin, in-array dedup — with NO
+  * shuffle at all (the whole doc is one row; every step is a
+  * higher-order array function). Only the application that follows
+  * (e.g. [[winnowPairs]]' inverted index) shuffles, and it shuffles
+  * (id, pos, fp) longs, never text.
+  *
+  * Cross-engine determinism: hashes are the first 15 md5 hex digits (60
+  * bits) of the 0x1F-joined gram, selection is pure integer argmin —
+  * the DuckDB oracle replays the construction hash-exactly.
+  */
+object Winnow {
+
+  /** (id, pos, fp): selected fingerprints per document; `pos` is the
+    * 0-based token position of the winning k-gram. Docs with fewer than
+    * k+w−1 tokens emit no rows (no complete window exists). */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1, s"winnow: k must be >= 1, got $k")
+    require(w >= 1, s"winnow: w must be >= 1, got $w")
+    require(!Seq("pos", "fp", "__toks", "__h", "__sel", "__s")
+        .contains(idCol),
+      s"winnow: id column '$idCol' collides with an output/internal name")
+    val sep = "\u001F"
+    docs
+      .select(col(idCol),
+        TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .where(size(col("__toks")) >= k + w - 1)
+      // one 60-bit md5 hash per k-gram (0x1F-joined so token boundaries
+      // cannot alias)
+      .withColumn("__h", expr(
+        s"""transform(sequence(0, size(__toks) - $k),
+              p -> cast(conv(substring(md5(cast(
+                     array_join(slice(__toks, p + 1, $k), '$sep')
+                     as binary)), 1, 15), 16, 10) as bigint))"""))
+      // robust winnowing: for each window end e, keep the rightmost
+      // position attaining the window minimum; adjacent windows often
+      // re-select the same (pos, fp) — array_distinct removes those
+      // without ever leaving the row
+      .withColumn("__sel", expr(
+        s"""array_distinct(transform(sequence(${w - 1}, size(__h) - 1),
+              e -> named_struct(
+                'pos', cast(e - $w
+                  + ($w + 1 - array_position(
+                       reverse(slice(__h, e - $w + 2, $w)),
+                       array_min(slice(__h, e - $w + 2, $w))))
+                  as bigint),
+                'fp', array_min(slice(__h, e - $w + 2, $w)))))"""))
+      .select(col(idCol), explode(col("__sel")).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
+  /** Candidate near-duplicate pairs by shared winnowed fingerprints:
+    * (idA, idB, shared) with idA < idB and `shared` ≥ `minShared`
+    * distinct fingerprints in common. The inverted index drops
+    * fingerprints occurring in more than `maxDf` documents first (the
+    * same df-cap idea as the Jaccard prefix filter): boilerplate grams
+    * shared by half the corpus would otherwise square the join. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 4, minShared: Int = 2,
+                  maxDf: Int = 100): DataFrame = {
+    require(minShared >= 1, s"winnowPairs: minShared >= 1, got $minShared")
+    require(maxDf >= 2, s"winnowPairs: maxDf >= 2, got $maxDf")
+    val fps = graft.core.Intermediates.track(
+      winnow(docs, idCol, textCol, k, w)
+        .select(col(idCol).as("__id"), col("fp")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select("fp")
+    val indexed = fps.join(rare, "fp")
+    indexed.select(col("fp"), col("__id").as("id_a"))
+      .join(indexed.select(col("fp"), col("__id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+}
