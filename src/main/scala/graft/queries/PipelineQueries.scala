@@ -368,6 +368,12 @@ object PipelineQueries {
         .select(col("doc_id"), col("shuffle_pos"), col("n_tok"),
           col("tok_start"), col("seq_first"), col("seq_last"))
     }),
+    // curriculum prep: global easy->hard difficulty deciles by mean
+    // unigram surprisal (exact integer ranks via the distributed
+    // zipWithIndex machinery, never a single-partition window)
+    "q_curriculum" -> ((s, dir) =>
+      graft.text.LangModel.curriculumBuckets(
+        t(s, dir, "documents"), "doc_id", "text", buckets = 10)),
     // deterministic global shuffle: reproducible + resumable training
     // order by seeded md5 rank, on the distributed zipWithIndex machinery
     // key uses the house null-sentinel encoding (hashBucket convention:
@@ -1311,6 +1317,50 @@ object PipelineQueries {
              CAST(SUM(d.cnt * s3.sfx) AS BIGINT) AS nll_fx
            FROM dtf d JOIN scored s3 USING (tok)
            GROUP BY 1""",
+      // curriculum replica: the q_lm_score CTE, then integer-div mean
+      // surprisal, 0-based global rank by (diff_fx, doc_id), and
+      // equal-frequency buckets = rank*10 // n — all integer math
+      "q_curriculum" ->
+        """WITH RECURSIVE tokx AS (
+             SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '')) AS tok
+             FROM documents),
+           dtf AS (SELECT doc_id, tok, COUNT(*) AS cnt
+             FROM tokx GROUP BY 1, 2),
+           voc AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c
+             FROM dtf GROUP BY 1),
+           tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
+             FROM voc),
+           base AS (SELECT c, n + v AS num, c + 1 AS den,
+               length(bin(n + v)) - length(bin(c + 1)) AS e0
+             FROM (SELECT DISTINCT c FROM voc) dc, tot),
+           b2 AS (SELECT c, e0,
+               CAST(num AS DOUBLE) / CAST(den << e0 AS DOUBLE) AS y0
+             FROM base),
+           fx AS (
+             SELECT c,
+               CASE WHEN y0 < 1 THEN y0 * 2 ELSE y0 END AS y,
+               CASE WHEN y0 < 1 THEN e0 - 1 ELSE e0 END AS e,
+               CAST(0 AS BIGINT) AS bits, 0 AS step FROM b2
+             UNION ALL
+             SELECT c,
+               CASE WHEN y * y >= 2 THEN y * y / 2 ELSE y * y END, e,
+               bits * 2 + CASE WHEN y * y >= 2 THEN 1 ELSE 0 END, step + 1
+             FROM fx WHERE step < 16),
+           sc AS (SELECT c, CAST(e AS BIGINT) * 65536 + bits AS sfx
+             FROM fx WHERE step = 16),
+           scored AS (SELECT v.tok, s2.sfx FROM voc v JOIN sc s2 USING (c)),
+           doc_sc AS (SELECT d.doc_id,
+               CAST(SUM(d.cnt) AS BIGINT) AS n_tok,
+               CAST(SUM(d.cnt * s3.sfx) AS BIGINT) AS nll_fx
+             FROM dtf d JOIN scored s3 USING (tok)
+             GROUP BY 1)
+           SELECT doc_id, n_tok, nll_fx,
+             CAST(nll_fx // n_tok AS BIGINT) AS diff_fx,
+             CAST(((row_number() OVER (ORDER BY nll_fx // n_tok, doc_id)
+                    - 1) * 10) // (COUNT(*) OVER ()) AS BIGINT) AS bucket
+           FROM doc_sc""",
       // Stupid-Backoff bigram replica: same fixed-point log₂ CTE as
       // q_lm_score but parameterized over distinct (num, den) pairs —
       // retained bigram (count ≥ 2): (c(w1), c(w1w2)); pruned: the α=0.4

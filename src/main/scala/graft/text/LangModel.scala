@@ -168,4 +168,31 @@ object LangModel {
       .withColumn("bits_per_token",
         col("nll_nats") / col("n_tok") / math.log(2.0))
   }
+
+  /** Curriculum difficulty buckets: rank every document by its mean
+    * fixed-point surprisal under the corpus's own unigram model
+    * (diff_fx = nll_fx div n_tok — integer division, exact) and cut the
+    * GLOBAL order into `buckets` equal-frequency bins
+    * (bucket = rank·buckets div n, rank 0-based) — the curriculum-
+    * learning prep that orders training data easy → hard. Ties break on
+    * the id, so the layout is deterministic and resumable.
+    *
+    * Scale shape: scoring is [[scoreNllFx]]'s plan; the global rank is
+    * the distributed range-partition + driver-offset machinery
+    * ([[graft.core.Pipe.zipWithIndex]] — per-partition longs to the
+    * driver, rows never leave executors; never a single-partition
+    * window); the doc count broadcasts as one row. Output:
+    * (id, n_tok, nll_fx, diff_fx, bucket); zero-token docs emit no row. */
+  def curriculumBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val scored = scoreNllFx(docs, idCol, textCol)
+      .withColumn("diff_fx", expr("nll_fx div n_tok"))
+    val ranked = graft.core.Pipe(scored)
+      .zipWithIndex(Seq(col("diff_fx").asc, col(idCol).asc), "__rank").df
+    val n = ranked.agg(count(lit(1)).cast(LongType).as("__n"))
+    ranked.crossJoin(n)
+      .withColumn("bucket", expr(s"(__rank * ${buckets}L) div __n"))
+      .drop("__rank", "__n")
+  }
 }

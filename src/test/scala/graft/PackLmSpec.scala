@@ -8,6 +8,26 @@ import graft.text.{LangModel, Pack}
 class PackLmSpec extends SparkSpec {
   import spark.implicits._
 
+  test("curriculumBuckets: equal-frequency bins, monotone in difficulty") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.text.LangModel
+      .curriculumBuckets(docs, "doc_id", "text", buckets = 10)
+      .select("diff_fx", "bucket").as[(Long, Long)].collect()
+    graft.core.Intermediates.release()
+    val n = out.length
+    assert(n > 0)
+    // bins are equal-frequency to within one rank-rounding unit
+    val sizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.keySet == (0L until 10L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toMap.toString)
+    // bucket is monotone in difficulty: max diff of bucket b <= min of b+1
+    val byB = out.groupBy(_._2).view
+      .mapValues(v => (v.map(_._1).min, v.map(_._1).max)).toMap
+    (0L until 9L).foreach { b =>
+      assert(byB(b)._2 <= byB(b + 1)._1, s"bucket $b overlaps ${b + 1}")
+    }
+  }
+
   private def tokens(t: String): Seq[String] =
     t.split("\\s+").filter(_.nonEmpty).toSeq
 
