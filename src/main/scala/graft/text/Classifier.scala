@@ -118,7 +118,11 @@ object Classifier {
       docs.select(col(idCol),
           when(label > 0, 1L).otherwise(-1L).as("__y"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    var w = feats.select("bucket").distinct().withColumn("w", lit(0L))
+    // the weight table is ≤ buckets+1 rows; coalesce(1) (narrow, no
+    // shuffle) keeps its materializations single-task instead of
+    // numShufflePartitions near-empty tasks per epoch
+    var w = feats.select("bucket").distinct()
+      .withColumn("w", lit(0L)).coalesce(1)
     for (_ <- 1 to epochs) {
       val margins = feats.join(w, "bucket")
         .groupBy(col(idCol))
@@ -135,6 +139,7 @@ object Classifier {
         w.join(upd, Seq("bucket"), "left")
           .select(col("bucket"),
             (col("w") + coalesce(col("__dw"), lit(0L))).as("w"))
+          .coalesce(1)
           .persist(StorageLevel.MEMORY_AND_DISK))
     }
     w
