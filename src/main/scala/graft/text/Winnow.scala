@@ -36,31 +36,38 @@ object Winnow {
         .contains(idCol),
       s"winnow: id column '$idCol' collides with an output/internal name")
     val sep = "\u001F"
+    // The tokens -> hash-array -> window-selection chain is written as
+    // NESTED LAMBDA BINDINGS (transform over a one-element array +
+    // element_at 1, a poor man's `let`): a plain withColumn chain gets
+    // CollapseProject-inlined, and because higher-order functions
+    // evaluate interpreted, every window would then rebuild the whole
+    // hash array and every k-gram would re-tokenize the document --
+    // O(tokens^2 * k) per doc, observed as a single task spinning for
+    // minutes at sf0.1. A lambda variable is evaluated ONCE and cannot
+    // be inlined through; the same binding wraps each window slice
+    // (referenced three times).
+    val sel =
+      s"""element_at(transform(
+            array(filter(split(__text, '\\\\s+'), x -> x <> '')),
+            t -> element_at(transform(
+              array(transform(sequence(0, size(t) - $k),
+                p -> cast(conv(substring(md5(cast(
+                       array_join(slice(t, p + 1, $k), '$sep')
+                       as binary)), 1, 15), 16, 10) as bigint))),
+              h -> array_distinct(
+                transform(sequence(${w - 1}, size(h) - 1),
+                  e -> element_at(transform(
+                    array(slice(h, e - $w + 2, $w)),
+                    win -> named_struct(
+                      'pos', cast(e - $w
+                        + ($w + 1 - array_position(reverse(win),
+                                                   array_min(win)))
+                        as bigint),
+                      'fp', array_min(win))), 1)))), 1)), 1)"""
     docs
-      .select(col(idCol),
-        TextOps.tokens(lower(col(textCol))).as("__toks"))
-      .where(size(col("__toks")) >= k + w - 1)
-      // one 60-bit md5 hash per k-gram (0x1F-joined so token boundaries
-      // cannot alias)
-      .withColumn("__h", expr(
-        s"""transform(sequence(0, size(__toks) - $k),
-              p -> cast(conv(substring(md5(cast(
-                     array_join(slice(__toks, p + 1, $k), '$sep')
-                     as binary)), 1, 15), 16, 10) as bigint))"""))
-      // robust winnowing: for each window end e, keep the rightmost
-      // position attaining the window minimum; adjacent windows often
-      // re-select the same (pos, fp) — array_distinct removes those
-      // without ever leaving the row
-      .withColumn("__sel", expr(
-        s"""array_distinct(transform(sequence(${w - 1}, size(__h) - 1),
-              e -> named_struct(
-                'pos', cast(e - $w
-                  + ($w + 1 - array_position(
-                       reverse(slice(__h, e - $w + 2, $w)),
-                       array_min(slice(__h, e - $w + 2, $w))))
-                  as bigint),
-                'fp', array_min(slice(__h, e - $w + 2, $w)))))"""))
-      .select(col(idCol), explode(col("__sel")).as("__s"))
+      .select(col(idCol), lower(col(textCol)).as("__text"))
+      .where(size(TextOps.tokens(col("__text"))) >= k + w - 1)
+      .select(col(idCol), explode(expr(sel)).as("__s"))
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 
