@@ -327,6 +327,18 @@ object PipelineQueries {
     "q_winnow" -> ((s, dir) =>
       graft.text.Winnow.winnow(t(s, dir, "documents"), "doc_id", "text",
         k = WinnowK, w = WinnowW)),
+    // the pairs application: plant partial-overlap docs (prefix + full
+    // original text), df-capped inverted index over the fingerprints
+    "q_winnow_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.union(
+        docs.where(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("planted preface marker run "), col("text"))
+              .as("text")))
+      graft.text.Winnow.winnowPairs(planted, "doc_id", "text",
+        k = WinnowK, w = WinnowW, minShared = 2, maxDf = 100)
+    }),
     // COMPOSED round-5 flagship: the end-to-end path from a raw corpus
     // to a packed training order — plant signal → NB quality gate →
     // DSIR top-K target-domain selection → deterministic shuffle →
@@ -1521,6 +1533,48 @@ object PipelineQueries {
           FROM hs WHERE len(h) >= $WinnowW)
          SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, u.fp AS fp
          FROM sel, unnest(s) AS t(u)""",
+      // pairs replica: the q_winnow construction over the planted corpus,
+      // distinct per-doc fingerprints, df cap, self-join; fps/ix are
+      // MATERIALIZED (multi-referenced — DuckDB would inline the whole
+      // winnowing run into each reference)
+      "q_winnow_pairs" ->
+        s"""WITH docs1 AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000,
+               'planted preface marker run ' || text
+             FROM documents WHERE doc_id % 50 = 0),
+         tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x <> '') AS t
+           FROM docs1),
+         hs AS (SELECT doc_id,
+            list_transform(range(0, len(t) - $WinnowK + 1),
+              p -> ('0x' || substr(md5(array_to_string(
+                     t[p + 1 : p + $WinnowK], chr(31))), 1, 15))::BIGINT)
+              AS h
+          FROM tk WHERE len(t) >= $WinnowK),
+         sel AS (SELECT doc_id,
+            list_transform(range($WinnowW - 1, len(h)),
+              e -> struct_pack(
+                pos := e - $WinnowW + ($WinnowW + 1
+                  - list_position(
+                      list_reverse(h[e - $WinnowW + 2 : e + 1]),
+                      list_min(h[e - $WinnowW + 2 : e + 1]))),
+                fp := list_min(h[e - $WinnowW + 2 : e + 1]))) AS s
+          FROM hs WHERE len(h) >= $WinnowW),
+         fps AS MATERIALIZED (SELECT DISTINCT doc_id, u.fp AS fp
+           FROM sel, unnest(s) AS t(u)),
+         rare AS (SELECT fp FROM
+           (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1)
+           WHERE df <= 100),
+         ix AS MATERIALIZED (SELECT f.doc_id, f.fp
+           FROM fps f JOIN rare USING (fp))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+         FROM ix a JOIN ix b USING (fp)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING COUNT(*) >= 2""",
       // batch-perceptron replica: the SAME hashed feature CTE (+ bias
       // feature), then each epoch unrolled as (margins, misclassified
       // updates, new weights) — all integer sums, so the replay of the

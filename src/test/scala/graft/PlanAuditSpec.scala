@@ -98,6 +98,11 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("ShuffledHashJoin"), plan.take(2000))
   }
 
+  test("q_winnow: fingerprint selection is zero-shuffle (no Exchange)") {
+    val plan = planOf("q_winnow")
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("q_dsir: the <=B-row model tables join by broadcast after AQE") {
     val df = SparkEntry.queries("q_dsir")(spark, sfDir)
     df.queryExecution.toRdd.count()
