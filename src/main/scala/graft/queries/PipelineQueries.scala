@@ -327,6 +327,21 @@ object PipelineQueries {
     "q_winnow" -> ((s, dir) =>
       graft.text.Winnow.winnow(t(s, dir, "documents"), "doc_id", "text",
         k = WinnowK, w = WinnowW)),
+    // C4-style cross-corpus line dedup: plant line structure (a shared
+    // boilerplate header + 10-token lines) and strip lines occurring in
+    // > 5 distinct docs; the header vanishes, organic lines survive
+    "q_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lined = docs.select(col("doc_id"), expr(
+        """concat('shared boilerplate header line', '\n',
+             array_join(element_at(transform(
+               array(filter(split(text, '\\s+'), x -> x <> '')),
+               t -> case when size(t) = 0 then array()
+                    else transform(sequence(0, (size(t) + 9) div 10 - 1),
+                      i -> array_join(slice(t, i * 10 + 1, 10), ' '))
+                    end), 1), '\n'))""").as("text"))
+      graft.text.TextOps.dedupLines(lined, "doc_id", "text", maxDf = 5)
+    }),
     // the pairs application: plant partial-overlap docs (prefix + full
     // original text), df-capped inverted index over the fingerprints
     "q_winnow_pairs" -> ((s, dir) => {
@@ -1533,6 +1548,37 @@ object PipelineQueries {
           FROM hs WHERE len(h) >= $WinnowW)
          SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, u.fp AS fp
          FROM sel, unnest(s) AS t(u)""",
+      // line-dedup replica: identical line planting (header + 10-token
+      // chunks), md5-line doc frequencies, > maxDf lines dropped,
+      // surviving lines reassembled in position order
+      "q_line_dedup" ->
+        """WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS t
+           FROM documents),
+         lined AS (SELECT doc_id,
+             'shared boilerplate header line' || chr(10) ||
+             array_to_string(
+               list_transform(range(0, (len(t) + 9) // 10),
+                 i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')),
+               chr(10)) AS text
+           FROM tk),
+         pl AS (SELECT doc_id,
+             list_transform(range(1, len(ls) + 1),
+               i -> struct_pack(pos := i - 1, line := ls[i])) AS pls
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                 FROM lined)),
+         lines AS (SELECT doc_id, u.line AS line,
+             CAST(u.pos AS BIGINT) AS pos
+           FROM pl, unnest(pls) AS t(u)),
+         common AS (SELECT md5(line) AS lh FROM lines
+           GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 5),
+         keep AS (SELECT l.doc_id, l.line, l.pos FROM lines l
+           LEFT JOIN common c ON md5(l.line) = c.lh
+           WHERE c.lh IS NULL)
+         SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         FROM keep GROUP BY 1""",
       // pairs replica: the q_winnow construction over the planted corpus,
       // distinct per-doc fingerprints, df cap, self-join; fps/ix are
       // MATERIALIZED (multi-referenced — DuckDB would inline the whole

@@ -156,4 +156,41 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
     array_min(transform(grams, g => xxhash64(g)))
   }
+
+  /** Cross-corpus duplicate-LINE removal (the C4-style cleanup: drop any
+    * line occurring in more than `maxDf` distinct documents — navigation
+    * chrome, cookie banners, boilerplate headers — and reassemble each
+    * document from its surviving lines in order).
+    *
+    * Scale shape: posexplode -> line-hash groupBy with map-side partial
+    * aggregation (the shuffle carries (md5, id) pairs, never line text
+    * twice), the common-line set is normally tiny and AQE broadcasts the
+    * anti-join, and reassembly is a per-document groupBy whose
+    * collect_list is bounded by the document's own size. Documents whose
+    * every line is boilerplate drop out of the result (their cleaned
+    * text would be empty).
+    *
+    * Returns (idCol, `outCol`): the reassembled text. */
+  def dedupLines(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, maxDf: Int, delim: String = "\n",
+                 outCol: String = "clean_text")
+      : org.apache.spark.sql.DataFrame = {
+    require(maxDf >= 1, s"dedupLines: maxDf must be >= 1, got $maxDf")
+    require(!Seq("__pos", "__line", "__lh", "__df", outCol).contains(idCol),
+      s"dedupLines: id column '$idCol' collides with an internal name")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
+    val hashed = lines.withColumn("__lh",
+      md5(col("__line").cast(BinaryType)))
+    val common = hashed.groupBy("__lh")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select("__lh")
+    hashed.join(common, Seq("__lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(delim,
+        transform(sort_array(collect_list(struct(col("__pos"),
+          col("__line")))), x => x.getField("__line"))).as(outCol))
+  }
 }

@@ -75,6 +75,23 @@ class WinnowSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupLines strips corpus-common lines, keeps order, drops " +
+      "all-boilerplate docs") {
+    val docs = Seq(
+      (1L, "BOILER\nkeep one\nBOILER\nkeep two"),
+      (2L, "keep three\nBOILER"),
+      (3L, "BOILER"), // nothing survives -> doc drops out
+      (4L, "solo line here")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.dedupLines(docs, "doc_id", "text",
+        maxDf = 2)
+      .as[(Long, String)].collect().toMap
+    // BOILER appears in 3 docs > maxDf=2 -> removed everywhere
+    assert(out(1L) == "keep one\nkeep two", out(1L))
+    assert(out(2L) == "keep three")
+    assert(!out.contains(3L))
+    assert(out(4L) == "solo line here")
+  }
+
   test("df-capped fingerprints are dropped from the pair index") {
     // the same boilerplate in EVERY doc; maxDf=2 excludes it, so no pairs
     val docs = (1L to 5L).map(i =>
