@@ -41,9 +41,16 @@ object Matcher {
     * not supported" for both (ceplib ops/EngineConf.scala:16; the
     * RecentMatch enum value has no engine class and CognitiveMatches is
     * not even an enum value) — so graft fails fast at the same point
-    * rather than silently aliasing to another mode. */
+    * rather than silently aliasing to another mode.
+    *
+    * `contiguity_match` is the reference's FOURTH real engine (ceplib
+    * engines/ContiguityMatch.scala, reachable via
+    * SelectionStrategy.ContiguityMatches in EngineConf but never given a
+    * grammar keyword) — graft exposes it as a mode string, a documented
+    * superset of the reference grammar backed by reference semantics. */
   val supportedModes: Set[String] =
-    Set("skip_till_next_match", "skip_till_any_match", "first_match")
+    Set("skip_till_next_match", "skip_till_any_match", "first_match",
+      "contiguity_match")
 
   /** Match a SEQ pattern per key over an event DataFrame.
     *
@@ -71,6 +78,19 @@ object Matcher {
     * reference's entry-time pool-emptiness check). WITHIN expiry and NEG
     * kills free the slot first, so the killing event may open a new
     * partial.
+    *
+    * `contiguity_match` (reference ceplib engines/ContiguityMatch.scala):
+    * STRICT contiguity — every event visible to a partial (strictly later
+    * than its last matched timestamp) must advance it, or the partial
+    * dies (the reference deletes the structure whenever checkPredicate
+    * returns -1). The deciding event for each partial is therefore its
+    * immediate successor in (ts, id) order; events tied with the last
+    * matched timestamp are invisible, the same strictness rule as the
+    * other modes. New partials still open on every step-0 event
+    * (reference runEngine calls createNewStructue unconditionally). NEG
+    * steps are rejected in this mode: under strict contiguity a
+    * negation-window is unexpressible — ANY intervening event kills the
+    * partial already, so a Neg step could never fire.
     */
   def matchSeq(events: DataFrame, keyCol: String, tsCol: String,
                typeCol: String, idCol: String, valueCol: String,
@@ -93,6 +113,11 @@ object Matcher {
     // (all combinations emitted) instead of consuming only the earliest
     val anyMatch = mode == "skip_till_any_match"
     val firstMatch = mode == "first_match"
+    val contiguity = mode == "contiguity_match"
+    require(!contiguity || pattern.forall(_.isInstanceOf[Pos]),
+      "contiguity_match rejects Neg steps: strict contiguity already " +
+        "kills a partial on ANY non-matching event, so a negation " +
+        "window can never fire")
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -180,6 +205,10 @@ object Matcher {
             }
           }
           open.filterInPlace(p => p.ids.length < nPos)
+          // contiguity: any partial that SAW this event (strictly later
+          // than its last match) and did not advance on it is dead — an
+          // advanced partial has last == e.tsMicros and survives
+          if (contiguity) open.filterInPlace(p => e.tsMicros <= p.last)
           open ++= forked
           // step 0 opens a new partial (overlapping starts allowed;
           // first_match: only into a free slot)

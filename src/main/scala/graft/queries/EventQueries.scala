@@ -65,6 +65,12 @@ object EventQueries {
     "q_cep_first" -> (cepQuery(Seq(
       Matcher.Pos(Matcher.typeIs("signup")),
       Matcher.Pos(Matcher.typeIs("purchase"))), mode = "first_match")),
+    // -- CEP contiguity_match (#41): strict contiguity — a click matches
+    //    only if its IMMEDIATE successor event (any type, (ts,id) order)
+    //    is a purchase (reference ceplib engines/ContiguityMatch.scala) --
+    "q_cep_contiguity" -> (cepQuery(Seq(
+      Matcher.Pos(Matcher.typeIs("click")),
+      Matcher.Pos(Matcher.typeIs("purchase"))), mode = "contiguity_match")),
     // -- as-of join: latest purchase at-or-before each click, per user ------
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -211,6 +217,24 @@ object EventQueries {
          )
          SELECT user_id, emit_start AS start_id, emit_next AS next_id
          FROM scan WHERE emit_start IS NOT NULL""",
+    // Contiguity: the deciding event for each open partial is its
+    // immediate strict-ts successor (first by event_id at the next
+    // distinct timestamp — ties with the start are invisible under the
+    // engine's strict-later rule). A click matches iff that successor is
+    // a purchase inside the window; ANY other intervening event type
+    // kills the partial, which is exactly "rn = 1 over ALL events".
+    "q_cep_contiguity" ->
+      """WITH succ AS (
+           SELECT a.user_id, a.event_id AS start_id,
+             b.event_id AS next_id, b.event_type AS b_type,
+             epoch_us(b.ts) - epoch_us(a.ts) AS gap_us,
+             row_number() OVER (PARTITION BY a.user_id, a.event_id
+               ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id AND b.ts > a.ts
+           WHERE a.event_type = 'click')
+         SELECT user_id, start_id, next_id FROM succ
+         WHERE rn = 1 AND b_type = 'purchase' AND gap_us <= 3600000000""",
     // DuckDB's native ASOF JOIN is the oracle for the engine's
     // union+running-window formulation — two independent algorithms,
     // same contract. (user_id, ts) is unique in this data, so the pick

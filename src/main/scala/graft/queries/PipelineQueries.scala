@@ -288,9 +288,18 @@ object PipelineQueries {
     // model vs the raw-corpus model; target proxy = one source slice
     "q_dsir" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      graft.text.Dsir.importanceFx(docs,
-        docs.where(col("source") === DsirTarget),
-        "doc_id", "text", buckets = DsirBuckets)
+      // ONE feature pass: the target slice's features are the corpus
+      // features filtered to target ids (docFeatures is per-doc), so
+      // the corpus never tokenizes twice — and the persisted table also
+      // serves importanceFx's two internal reads (bucket counts + the
+      // final per-doc weight join)
+      val feats = graft.core.Intermediates.track(
+        graft.text.Dsir.docFeatures(docs, "doc_id", "text", DsirBuckets)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.text.Dsir.importanceFxOnFeatures(feats,
+        feats.join(docs.where(col("source") === DsirTarget)
+          .select("doc_id"), "doc_id"),
+        "doc_id", DsirBuckets)
     }),
     // trained quality classifier: multinomial Naive Bayes (one exact
     // pass; the fastText-style quality-filter regime). The synthetic
@@ -304,11 +313,18 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" casino spam click casino")))
           .otherwise(col("text")))
-      val w = graft.text.Classifier.trainNaiveBayes(planted, "doc_id",
-        "text", when(col("doc_id") % 3 =!= 0, 1L).otherwise(-1L),
-        buckets = DsirBuckets)
-      graft.text.Classifier.score(planted, "doc_id", "text", w,
-        DsirBuckets)
+      // one persisted feature pass shared by train + score (the reuse
+      // seam: at 100 TB the tokenize/explode scan is the dominant cost)
+      val feats = graft.core.Intermediates.track(
+        graft.text.Dsir.docFeatures(planted, "doc_id", "text", DsirBuckets)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val w = graft.text.Classifier.trainNaiveBayesOnFeatures(feats,
+        planted.select(col("doc_id"),
+          when(col("doc_id") % 3 =!= 0, 1L).otherwise(-1L).as("__y")),
+        "doc_id", DsirBuckets)
+      graft.text.Classifier.scoreFeatures(
+        graft.text.Classifier.addBias(feats, planted, "doc_id",
+          DsirBuckets), "doc_id", w)
     }),
     // full-batch perceptron: the exact distributed iterative-training
     // template (every epoch an order-independent integer sum, so the
@@ -317,10 +333,16 @@ object PipelineQueries {
     // classes); NB above is the recommended quality filter
     "q_perceptron" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val w = graft.text.Classifier.trainPerceptron(docs, "doc_id",
-        "text", when(col("lang") === "en", 1L).otherwise(-1L),
-        buckets = DsirBuckets, epochs = ClassifierEpochs)
-      graft.text.Classifier.score(docs, "doc_id", "text", w, DsirBuckets)
+      // featuresWithBias built ONCE: trainPerceptronOnFeatures persists
+      // this very reference for its epoch loop, so the scoring pass below
+      // reads the same cached table instead of re-tokenizing the corpus
+      val featsB = graft.text.Classifier.featuresWithBias(docs, "doc_id",
+        "text", DsirBuckets)
+      val w = graft.text.Classifier.trainPerceptronOnFeatures(featsB,
+        docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("__y")),
+        "doc_id", DsirBuckets, ClassifierEpochs)
+      graft.text.Classifier.scoreFeatures(featsB, "doc_id", w)
     }),
     // winnowing fingerprints (MOSS): zero-shuffle narrow pass; any
     // substring match >= w+k-1 tokens is guaranteed a shared fingerprint
@@ -365,17 +387,29 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" casino spam click casino")))
           .otherwise(col("text")))
-      val w = graft.text.Classifier.trainNaiveBayes(planted, "doc_id",
-        "text", when(col("doc_id") % 3 =!= 0, 1L).otherwise(-1L),
-        buckets = DsirBuckets)
-      val kept = planted.join(
-        graft.text.Classifier.score(planted, "doc_id", "text", w,
-            DsirBuckets)
-          .where(col("pred") === 1L).select("doc_id"),
-        "doc_id")
-      val scored = graft.text.Dsir.importanceFx(kept,
-        kept.where(col("source") === DsirTarget), "doc_id", "text",
-        DsirBuckets)
+      // ONE persisted feature pass feeds NB training, scoring AND both
+      // DSIR sides (filtered by kept/target ids) — the corpus tokenizes
+      // exactly once across the whole chain; at 100 TB that scan is the
+      // pipeline's dominant cost and re-running it per stage is the
+      // difference between 1 and 4 full corpus reads
+      val feats = graft.core.Intermediates.track(
+        graft.text.Dsir.docFeatures(planted, "doc_id", "text", DsirBuckets)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val w = graft.text.Classifier.trainNaiveBayesOnFeatures(feats,
+        planted.select(col("doc_id"),
+          when(col("doc_id") % 3 =!= 0, 1L).otherwise(-1L).as("__y")),
+        "doc_id", DsirBuckets)
+      val keptIds = graft.core.Intermediates.track(
+        graft.text.Classifier.scoreFeatures(
+            graft.text.Classifier.addBias(feats, planted, "doc_id",
+              DsirBuckets), "doc_id", w)
+          .where(col("pred") === 1L).select("doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val keptFeats = feats.join(keptIds, "doc_id")
+      val scored = graft.text.Dsir.importanceFxOnFeatures(keptFeats,
+        keptFeats.join(planted.where(col("source") === DsirTarget)
+          .select("doc_id"), "doc_id"),
+        "doc_id", DsirBuckets)
       // global top-K = TakeOrdered (distributed heads merge on the
       // driver), never a single-partition window
       val selected = scored

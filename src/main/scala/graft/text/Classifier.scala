@@ -54,7 +54,17 @@ object Classifier {
     * zero-token docs, which therefore classify by bias alone. */
   def featuresWithBias(docs: DataFrame, idCol: String, textCol: String,
                        buckets: Int): DataFrame =
-    Dsir.docFeatures(docs, idCol, textCol, buckets).union(
+    addBias(Dsir.docFeatures(docs, idCol, textCol, buckets),
+      docs, idCol, buckets)
+
+  /** Append the bias rows to a PRECOMPUTED [[Dsir.docFeatures]] table.
+    * `docs` is still needed for the id universe: zero-token docs emit no
+    * feature rows, so deriving the bias from `feats` alone would drop
+    * them. The reuse seam for composed pipelines — extract the feature
+    * pass once, add bias, train and score off the same persisted table. */
+  def addBias(feats: DataFrame, docs: DataFrame, idCol: String,
+              buckets: Int): DataFrame =
+    feats.union(
       docs.select(col(idCol)).distinct()
         .select(col(idCol), lit(buckets.toLong).as("bucket"),
           lit(1L).as("cnt")))
@@ -69,14 +79,30 @@ object Classifier {
     * the class log-prior L(docs⁺+1) − L(docs⁻+1). `label` is any Column
     * evaluating > 0 for positive documents. */
   def trainNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
-                      label: Column, buckets: Int = 1024): DataFrame = {
+                      label: Column, buckets: Int = 1024): DataFrame =
+    trainNaiveBayesOnFeatures(
+      Dsir.docFeatures(docs, idCol, textCol, buckets),
+      docs.select(col(idCol),
+        when(label > 0, 1L).otherwise(-1L).as("__y")),
+      idCol, buckets)
+
+  /** [[trainNaiveBayes]] over a PRECOMPUTED [[Dsir.docFeatures]] table
+    * and a `(id, __y ∈ {1,-1})` label table — the reuse seam: composed
+    * pipelines extract (and persist) the feature pass once and train /
+    * score / DSIR-weight off the same table instead of re-tokenizing the
+    * corpus per stage. */
+  def trainNaiveBayesOnFeatures(rawFeats: DataFrame, labeled: DataFrame,
+                                idCol: String,
+                                buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     reserveId(idCol, Seq("bucket", "cnt", "w", "__y", "cp", "cn",
       "__np", "__nn", "__dp", "__dn"))
-    val labeled = docs.select(col(idCol),
-      when(label > 0, 1L).otherwise(-1L).as("__y"))
-    val feats = Dsir.docFeatures(docs, idCol, textCol, buckets)
-      .join(labeled, idCol)
+    // the labeled feature table is scanned twice (positive + negative
+    // class counts) — persist it so the feature pass and the label join
+    // run once (Intermediates.release() frees it)
+    val feats = graft.core.Intermediates.track(
+      rawFeats.join(labeled, idCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     def side(y: Long, out: String) = feats.where(col("__y") === y)
       .groupBy("bucket").agg(sum("cnt").cast(LongType).as(out))
     val pos = side(1L, "cp")
@@ -107,17 +133,30 @@ object Classifier {
     * y·x to the weight delta. */
   def trainPerceptron(docs: DataFrame, idCol: String, textCol: String,
                       label: Column, buckets: Int = 1024,
-                      epochs: Int = 3): DataFrame = {
+                      epochs: Int = 3): DataFrame =
+    trainPerceptronOnFeatures(
+      featuresWithBias(docs, idCol, textCol, buckets),
+      docs.select(col(idCol),
+        when(label > 0, 1L).otherwise(-1L).as("__y")),
+      idCol, buckets, epochs)
+
+  /** [[trainPerceptron]] over a PRECOMPUTED [[featuresWithBias]] table
+    * and a `(id, __y ∈ {1,-1})` label table (the reuse seam — see
+    * [[trainNaiveBayesOnFeatures]]). Both inputs are persisted for the
+    * epoch loop (a no-op if the caller already persisted the same
+    * DataFrame reference, in which case the epochs AND the caller's
+    * later scoring pass share one materialization). */
+  def trainPerceptronOnFeatures(featsWithBias: DataFrame,
+                                labeled: DataFrame, idCol: String,
+                                buckets: Int = 1024,
+                                epochs: Int = 3): DataFrame = {
     require(epochs >= 1, s"epochs must be >= 1, got $epochs")
     require(buckets > 0, s"buckets must be positive, got $buckets")
     reserveId(idCol, Seq("bucket", "cnt", "w", "__y", "__m", "__dw"))
     val feats = graft.core.Intermediates.track(
-      featuresWithBias(docs, idCol, textCol, buckets)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      featsWithBias.persist(StorageLevel.MEMORY_AND_DISK))
     val labels = graft.core.Intermediates.track(
-      docs.select(col(idCol),
-          when(label > 0, 1L).otherwise(-1L).as("__y"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      labeled.persist(StorageLevel.MEMORY_AND_DISK))
     // the weight table is ≤ buckets+1 rows; coalesce(1) (narrow, no
     // shuffle) keeps its materializations single-task instead of
     // numShufflePartitions near-empty tasks per epoch
@@ -152,9 +191,16 @@ object Classifier {
     * disappear; every doc emits a row (bias feature). pred = +1 iff
     * margin > 0. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            weights: DataFrame, buckets: Int = 1024): DataFrame = {
+            weights: DataFrame, buckets: Int = 1024): DataFrame =
+    scoreFeatures(featuresWithBias(docs, idCol, textCol, buckets),
+      idCol, weights)
+
+  /** [[score]] over a PRECOMPUTED [[featuresWithBias]] table (the reuse
+    * seam — see [[trainNaiveBayesOnFeatures]]). */
+  def scoreFeatures(featsWithBias: DataFrame, idCol: String,
+                    weights: DataFrame): DataFrame = {
     reserveId(idCol, Seq("bucket", "cnt", "w", "margin", "pred"))
-    featuresWithBias(docs, idCol, textCol, buckets)
+    featsWithBias
       .join(weights, Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("cnt") * coalesce(col("w"), lit(0L)))

@@ -87,15 +87,32 @@ object Dsir {
     * sample proportionally, to select target-like data.
     */
   def importanceFx(corpus: DataFrame, target: DataFrame, idCol: String,
-                   textCol: String, buckets: Int = 1024): DataFrame = {
+                   textCol: String, buckets: Int = 1024): DataFrame =
+    // corpus features are read twice below (bucket totals + the final
+    // per-doc weight join) — persist so the tokenize/explode corpus scan
+    // runs once (Intermediates.release() frees it)
+    importanceFxOnFeatures(
+      graft.core.Intermediates.track(
+        docFeatures(corpus, idCol, textCol, buckets)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      docFeatures(target, idCol, textCol, buckets),
+      idCol, buckets)
+
+  /** [[importanceFx]] over PRECOMPUTED (id, bucket, cnt) feature tables
+    * ([[docFeatures]] output) — the reuse seam for composed pipelines:
+    * a chain that trains a classifier, scores, and DSIR-weights the same
+    * corpus extracts (and persists) the explode→groupBy feature pass
+    * ONCE instead of re-tokenizing per stage. At 100 TB the feature pass
+    * is the dominant corpus scan; never run it twice. */
+  def importanceFxOnFeatures(feats: DataFrame, targetFeats: DataFrame,
+                             idCol: String, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     reserveId(idCol,
       Seq("bucket", "cnt", "f", "__toks", "cr", "ct", "w_fx",
         "__nr", "__nt", "n_feat", "dsir_fx"))
-    val feats = docFeatures(corpus, idCol, textCol, buckets)
     val raw = feats.groupBy("bucket")
       .agg(sum("cnt").cast(LongType).as("cr"))
-    val tgt = docFeatures(target, idCol, textCol, buckets)
+    val tgt = targetFeats
       .groupBy("bucket").agg(sum("cnt").cast(LongType).as("ct"))
     // totals BEFORE the weight join: target buckets absent from the raw
     // corpus still count toward Nt (only raw buckets need weights, but

@@ -66,4 +66,44 @@ class CepModeSpec extends SparkSpec {
       (4L, 510L, "s", 14L), (4L, 520L, "p", 15L))
     assert(run(df, "first_match") == Set((14L, 15L)))
   }
+
+  test("contiguity_match: any intervening event kills the partial") {
+    val df = ev(
+      (1L, 0L, "s", 1L), (1L, 10L, "x", 2L), (1L, 20L, "p", 3L),
+      (1L, 30L, "s", 4L), (1L, 40L, "p", 5L))
+    // start 1 dies on the intervening x; next_match would skip over it
+    assert(run(df, "skip_till_next_match") == Set((1L, 3L), (4L, 5L)))
+    assert(run(df, "contiguity_match") == Set((4L, 5L)))
+  }
+
+  test("contiguity_match: overlapping starts each judged by their successor") {
+    val df = ev(
+      (2L, 0L, "s", 1L), (2L, 10L, "s", 2L), (2L, 20L, "p", 3L))
+    // start 1's successor is signup 2 (kill); start 2's is purchase 3
+    assert(run(df, "contiguity_match") == Set((2L, 3L)))
+  }
+
+  test("contiguity_match: timestamp ties with the last match are invisible") {
+    val df = ev(
+      (3L, 0L, "s", 1L), (3L, 0L, "x", 2L), (3L, 10L, "p", 3L))
+    // x shares the start's timestamp: not strictly later, cannot kill
+    assert(run(df, "contiguity_match") == Set((1L, 3L)))
+  }
+
+  test("contiguity_match: WITHIN expiry still applies") {
+    val df = ev((4L, 0L, "s", 1L), (4L, 500L, "p", 2L))
+    assert(run(df, "contiguity_match") == Set.empty[(Long, Long)])
+  }
+
+  test("contiguity_match rejects Neg steps") {
+    val df = ev((1L, 0L, "s", 1L))
+    val err = intercept[IllegalArgumentException] {
+      Matcher.matchSeq(df, "user_id", "ts", "event_type", "event_id",
+        "value", Seq(Matcher.Pos(Matcher.typeIs("s")),
+          Matcher.Neg(Matcher.typeIs("x")),
+          Matcher.Pos(Matcher.typeIs("p"))), 100L,
+        mode = "contiguity_match")
+    }
+    assert(err.getMessage.contains("contiguity_match rejects Neg"))
+  }
 }
