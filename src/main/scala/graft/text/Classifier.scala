@@ -97,21 +97,24 @@ object Classifier {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     reserveId(idCol, Seq("bucket", "cnt", "w", "__y", "cp", "cn",
       "__np", "__nn", "__dp", "__dn"))
-    // the labeled feature table is scanned twice (positive + negative
-    // class counts) — persist it so the feature pass and the label join
-    // run once (Intermediates.release() frees it)
-    val feats = graft.core.Intermediates.track(
+    // BOTH class counts in ONE aggregation pass (conditional sums),
+    // instead of two filtered scans + a full_outer re-join — the feature
+    // table and the label join run exactly once. The ≤buckets-row result
+    // is persisted (coalesce(1): narrow, single task) because the class
+    // totals and the weight assembly each read it.
+    val counts = graft.core.Intermediates.track(
       rawFeats.join(labeled, idCol)
+        .groupBy("bucket")
+        .agg(sum(when(col("__y") === 1L, col("cnt")).otherwise(0L))
+            .cast(LongType).as("cp"),
+          sum(when(col("__y") === -1L, col("cnt")).otherwise(0L))
+            .cast(LongType).as("cn"))
+        .coalesce(1)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    def side(y: Long, out: String) = feats.where(col("__y") === y)
-      .groupBy("bucket").agg(sum("cnt").cast(LongType).as(out))
-    val pos = side(1L, "cp")
-    val neg = side(-1L, "cn")
-    val np = pos.agg(coalesce(sum("cp"), lit(0L)).cast(LongType).as("__np"))
-    val nn = neg.agg(coalesce(sum("cn"), lit(0L)).cast(LongType).as("__nn"))
+    val np = counts.agg(coalesce(sum("cp"), lit(0L)).cast(LongType).as("__np"))
+    val nn = counts.agg(coalesce(sum("cn"), lit(0L)).cast(LongType).as("__nn"))
     def L(x: Column) = LangModel.ratioLog2Fx(x, lit(1L))
-    val w = pos.join(neg, Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("cp", "cn"))
+    val w = counts
       .crossJoin(np).crossJoin(nn)
       .select(col("bucket"),
         ((L(col("cp") + 1) - L(col("__np") + buckets))
