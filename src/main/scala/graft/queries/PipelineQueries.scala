@@ -75,6 +75,9 @@ object PipelineQueries {
   private val LshSeed = 42L
   private val IvfCells = 16
   private val IvfProbe = 6
+  // PQ: 64-dim embeddings → 8 subspaces × 16 centroids (4-bit codes)
+  private val PqM = 8
+  private val PqK = 16
   private val AnnK = 10
 
   /** IVF centroids memoized per sfDir: the query execution and the oracle
@@ -89,6 +92,18 @@ object PipelineQueries {
       val corpus = emb.where(col("vec_id") >= 5)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.ivfCentroids(corpus, nCells = IvfCells, seed = LshSeed)
+    })
+
+  /** PQ codebooks, memoized per sfDir for the same query/oracle-identity
+    * reason as [[ivfCentroidsFor]]. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Array[Double]]]]
+  def pqCodebooksFor(s: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    pqCache.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.sim.Pq.trainCodebooks(corpus, m = PqM, k = PqK, seed = LshSeed)
     })
 
   private val enStop = TextOps.enStopwords
@@ -556,6 +571,20 @@ object PipelineQueries {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.lshTopK(corpus, queries, k = AnnK,
         bands = LshBands, bitsPerBand = LshBits, seed = LshSeed)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
+    // PQ/ADC top-k: the corpus is scanned as m-byte code vectors, each
+    // candidate scored by m table lookups (Jégou et al. 2011); the
+    // oracle replays encode (argmin-L2² with min-index ties) and the
+    // ADC ranking exactly from the same codebook literals
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.sim.Pq.adcTopK(corpus, queries, k = AnnK,
+        codebooks = pqCodebooksFor(s, dir))
         .select(col("qid"), col("id"), col("rank"))
     })
   )
@@ -1238,6 +1267,54 @@ object PipelineQueries {
        SELECT qid, id, rank FROM scored WHERE rank <= $AnnK"""
   }
 
+  /** Independent DuckDB replay of PQ encode + ADC ranking from the same
+    * codebook literals. Exactness argument: every per-subspace L2² is a
+    * sequential ascending-dim left fold — engine `aggregate(zip_with)`
+    * starts (0 + t₀) + t₁ + …, DuckDB `list_reduce` starts t₀ + t₁ + …,
+    * and 0 + t₀ ≡ t₀ in IEEE — so the distances are bit-identical;
+    * argmin ties go to the lowest centroid index on both sides (the
+    * first-i-dominates CASE chain == the engine's (d, i) sort); the ADC
+    * sum is the same left-assoc m-term addition. Centroid literals cast
+    * through DECIMAL→DOUBLE, which is correctly-rounded and therefore
+    * equals the engine's direct double parse. */
+  private def pqAnnSql(codebooks: Seq[Seq[Array[Double]]]): String = {
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val ds = codebooks.head.head.length
+    def dExpr(i: Int, c: Array[Double]): String =
+      s"list_reduce(list_transform(list_zip(v[${i * ds + 1}:${i * ds + ds}], " +
+        s"CAST(${doubleList(c.toSeq)} AS DOUBLE[])), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"
+    val cdDefs = (for { i <- 0 until m; c <- 0 until k }
+      yield s"${dExpr(i, codebooks(i)(c))} AS d${i}_$c").mkString(", ")
+    // first c with d_c <= d_j for all j > c  == argmin with min-index ties
+    def codeCase(i: Int): String = (0 until k).map { c =>
+      val conds = ((c + 1) until k).map(j => s"d${i}_$c <= d${i}_$j")
+      if (conds.isEmpty) s"ELSE $c"
+      else s"WHEN ${conds.mkString(" AND ")} THEN $c"
+    }.mkString(" ")
+    val codeDefs = (0 until m)
+      .map(i => s"CASE ${codeCase(i)} END AS code$i").mkString(", ")
+    val qdDefs = (for { i <- 0 until m; c <- 0 until k }
+      yield s"${dExpr(i, codebooks(i)(c))} AS q${i}_$c").mkString(", ")
+    val adist = (0 until m).map { i =>
+      s"(CASE ca.code$i ${(0 until k)
+        .map(c => s"WHEN $c THEN qd.q${i}_$c").mkString(" ")} END)"
+    }.mkString(" + ")
+    s"""WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id >= 5),
+       cd AS (SELECT id, $cdDefs FROM c0),
+       ca AS (SELECT id, $codeDefs FROM cd),
+       q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 5),
+       qd AS (SELECT qid, $qdDefs FROM q0),
+       scored AS (SELECT qd.qid, ca.id,
+         row_number() OVER (PARTITION BY qd.qid
+           ORDER BY ($adist) ASC, ca.id) AS rank
+         FROM ca CROSS JOIN qd)
+       SELECT qid, id, rank FROM scored WHERE rank <= $AnnK"""
+  }
+
   /** Oracles are a def: the IVF entry needs the trained centroids, which
     * exist only after OracleContext is set (Verify does, before dumping). */
   def oracles: Map[String, String] = {
@@ -1788,6 +1865,7 @@ object PipelineQueries {
       case Some((s, dir)) =>
         static +
           ("q_ann_ivf" -> ivfAnnSql(ivfCentroidsFor(s, dir))) +
+          ("q_ann_pq" -> pqAnnSql(pqCodebooksFor(s, dir))) +
           ("q_dedup_semantic" ->
             semanticPairsSql(ivfCentroidsFor(s, dir), threshold = 0.999))
       case None => static

@@ -188,7 +188,15 @@ object Similarity {
     * oracle replays this to embed the centroids it checks against). */
   def ivfCentroids(corpus: DataFrame, nCells: Int = 16,
                    vecCol: String = "vec", seed: Long = 42L,
-                   sampleSize: Int = 2048, iters: Int = 10): Seq[Array[Double]] = {
+                   sampleSize: Int = 2048, iters: Int = 10): Seq[Array[Double]] =
+    trainCentroids(seededSampleVecs(corpus, vecCol, sampleSize, seed),
+      nCells, iters, seed)
+
+  /** Bounded seeded training sample for driver-side quantizer training
+    * (shared by IVF and [[Pq]] product quantization). */
+  private[graft] def seededSampleVecs(corpus: DataFrame, vecCol: String,
+                                      sampleSize: Int,
+                                      seed: Long): Array[Array[Double]] = {
     // null vectors are tolerated (dropped) everywhere else in this file;
     // here an included null would sort FIRST (null hash) into the sample
     // and NPE the driver-side k-means on .toArray
@@ -203,11 +211,9 @@ object Similarity {
     // hash sort — a bare limit() takes rows in partition order, which
     // would drop the trim entirely from tail partitions (regional bias
     // on clustered corpora, the exact thing the fraction sample avoids)
-    trainCentroids(
-      vecs.sample(withReplacement = false, fraction, seed)
-        .sort(xxhash64(to_json(col("cv"))))
-        .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray),
-      nCells, iters, seed)
+    vecs.sample(withReplacement = false, fraction, seed)
+      .sort(xxhash64(to_json(col("cv"))))
+      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
