@@ -138,6 +138,16 @@ object PipelineQueries {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"))),
+    // Gopher rule filter (Rae et al. 2021 A1.1): per-rule measurements +
+    // keep conjunction, one narrow codegen pass, every double a single
+    // integer divide — replayed bit-exactly by the oracle
+    "q_gopher_rules" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+          col("g.symbol_ratio"), col("g.bullet_frac"),
+          col("g.ellipsis_frac"), col("g.alpha_frac"), col("g.stop_hits"),
+          col("g.keep"))),
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1337,6 +1347,50 @@ object PipelineQueries {
              + least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(nw AS DOUBLE) / len(toks) END) / 10.0, 1.0) * 0.3
              + (1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / nc END)) * 0.3 AS quality
            FROM q""",
+      // Gopher rules: toks/lines CTE once, each ratio a single integer
+      // divide (bit-exact), keep the same literal-threshold conjunction
+      "q_gopher_rules" -> {
+        val gopherList =
+          TextOps.gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH q AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+             CAST(len(regexp_extract_all(text, '#')) +
+                  len(regexp_extract_all(text, '…')) +
+                  len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS sym
+             FROM documents),
+           m AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                       / len(toks) END AS mean_word_len,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(sym AS DOUBLE) / len(toks) END AS symbol_ratio,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(lines,
+                         l -> list_contains(['-', '*', '•'], left(trim(l), 1)))) AS DOUBLE)
+                       / len(lines) END AS bullet_frac,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(lines,
+                         l -> ends_with(trim(l), '…') OR ends_with(trim(l), '...'))) AS DOUBLE)
+                       / len(lines) END AS ellipsis_frac,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks,
+                         t -> regexp_matches(t, '\\p{L}'))) AS DOUBLE)
+                       / len(toks) END AS alpha_frac,
+             CAST(len(list_intersect(
+               list_distinct(list_transform(toks, t -> lower(t))),
+               $gopherList)) AS BIGINT) AS stop_hits
+             FROM q)
+           SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+             bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+             (n_words >= 50 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+              AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+              AND stop_hits >= 2) AS keep
+           FROM m"""
+      },
       "q_fingerprint" ->
         """SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp

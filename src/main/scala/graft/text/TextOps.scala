@@ -92,6 +92,67 @@ object TextOps {
       (lit(1.0) - punctRatio) * 0.3
   }
 
+  // --- Gopher rule filter ---------------------------------------------------
+  /** The Gopher rule stop-word set (Rae et al. 2021, Appendix A1.1) —
+    * exposed so the oracle SQL builds from the SAME list. */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, Appendix
+    * A1.1 — the rule set RefinedWeb/FineWeb-class pipelines still apply
+    * before any model-based filtering). Returns a struct of the per-rule
+    * measurements plus the conjunction `keep`:
+    *
+    *  - n_words ∈ [minWords, maxWords] (paper: 50–100 000)
+    *  - mean_word_len ∈ [3, 10]
+    *  - symbol_ratio ≤ 0.1 — '#', '…' or '...' occurrences per word
+    *  - bullet_frac ≤ 0.9 — non-blank lines starting with -, * or •
+    *  - ellipsis_frac ≤ 0.3 — non-blank lines ending with … or '...'
+    *  - alpha_frac ≥ 0.8 — words containing at least one letter
+    *  - stop_hits ≥ 2 — DISTINCT [[gopherStops]] words present
+    *
+    * One narrow codegen pass (ratios are single integer divides, so a
+    * SQL oracle replays every double bit-exactly); empty docs measure 0
+    * everywhere and fail `keep` on the word-count rule. */
+  def gopherRules(text: Column, minWords: Long = 50L,
+                  maxWords: Long = 100000L): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast(LongType)
+    val nD = n.cast(DoubleType)
+    val meanLen = when(n === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+        .cast(DoubleType) / nD)
+    val symbols = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("…")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast(LongType)
+    val symbolRatio = when(n === 0, lit(0.0))
+      .otherwise(symbols.cast(DoubleType) / nD)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast(LongType)
+    val bulletFrac = when(nLines === 0, lit(0.0)).otherwise(
+      size(filter(lines, l =>
+          substring(trim(l), 1, 1).isin("-", "*", "•")))
+        .cast(DoubleType) / nLines.cast(DoubleType))
+    val ellipsisFrac = when(nLines === 0, lit(0.0)).otherwise(
+      size(filter(lines, l =>
+          endswith(trim(l), lit("…")) || endswith(trim(l), lit("..."))))
+        .cast(DoubleType) / nLines.cast(DoubleType))
+    val alphaFrac = when(n === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("\\p{L}")))
+        .cast(DoubleType) / nD)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      lit(gopherStops.toArray))).cast(LongType)
+    val keep = n >= minWords && n <= maxWords &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2L
+    struct(n.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"), keep.as("keep"))
+  }
+
   // --- PII scrubbing --------------------------------------------------------
   /** PII patterns shared with the oracle SQL (q_pii_scrub): simple
     * RE2-and-Java-compatible regexes (no lookaround/backrefs) so Spark

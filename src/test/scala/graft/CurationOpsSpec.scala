@@ -172,3 +172,58 @@ class SemanticDedupSpec extends SparkSpec {
     assert(cell == 0)
   }
 }
+
+/** Gopher rule filter (Rae et al. 2021 A1.1): planted violations per
+  * rule, healthy prose passes. */
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.TextOps
+
+  private def rulesOf(text: String) =
+    Seq((1L, text)).toDF("id", "text")
+      .select(TextOps.gopherRules(col("text"), minWords = 5L).as("g"))
+      .select("g.*").collect().head
+
+  private val healthy =
+    "the quick brown fox jumps over that lazy dog and runs off " +
+      "to be fed with more of the usual dinner"
+
+  test("healthy prose passes every rule") {
+    val r = rulesOf(healthy)
+    assert(r.getAs[Boolean]("keep"), r.toString)
+    assert(r.getAs[Long]("stop_hits") >= 2L)
+    assert(r.getAs[Double]("alpha_frac") == 1.0)
+  }
+
+  test("word-count, symbol and alpha violations each flip keep") {
+    // too short
+    assert(!rulesOf("the and of that").getAs[Boolean]("keep"))
+    // hash-spam: symbol ratio over 0.1
+    val hashy = rulesOf(healthy + " # # # # # #")
+    assert(hashy.getAs[Double]("symbol_ratio") > 0.1)
+    assert(!hashy.getAs[Boolean]("keep"))
+    // numeric junk: alpha fraction under 0.8
+    val nums = rulesOf("the and of that have 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16")
+    assert(nums.getAs[Double]("alpha_frac") < 0.8)
+    assert(!nums.getAs[Boolean]("keep"))
+  }
+
+  test("bullet and ellipsis line fractions count non-blank lines") {
+    val bullets = (1 to 19).map(i => s"- item $i").mkString("\n") +
+      "\nthe closing line with that and of to have be\n\n"
+    val r = rulesOf(bullets)
+    assert(r.getAs[Double]("bullet_frac") == 19.0 / 20.0)
+    assert(!r.getAs[Boolean]("keep"))
+    val dots = rulesOf(
+      "the first line trails off…\nthe second one too...\nthe stable and " +
+        "final line of that text ends here with nothing to hide")
+    assert(dots.getAs[Double]("ellipsis_frac") == 2.0 / 3.0)
+    assert(!dots.getAs[Boolean]("keep"))
+  }
+
+  test("stop_hits counts DISTINCT gopher stop words") {
+    val r = rulesOf("the the the the the quick words here again again")
+    assert(r.getAs[Long]("stop_hits") == 1L)
+    assert(!r.getAs[Boolean]("keep"))
+  }
+}

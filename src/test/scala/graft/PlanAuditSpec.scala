@@ -111,4 +111,16 @@ class PlanAuditSpec extends SparkSpec {
     // join there would re-shuffle the whole corpus feature table
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("q_ann_pq: queries (with ADC tables) broadcast; the corpus " +
+      "never joins by shuffle") {
+    val plan = planOf("q_ann_pq")
+    // encode is a narrow map over the corpus scan; the query side (a
+    // handful of rows carrying their m×k ADC tables) must arrive via a
+    // broadcast nested-loop cross join — a shuffled join would move the
+    // whole code table
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
 }
