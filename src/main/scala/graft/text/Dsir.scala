@@ -56,7 +56,11 @@ object Dsir {
   def docFeatures(docs: DataFrame, idCol: String, textCol: String,
                   buckets: Int): DataFrame = {
     reserveId(idCol, Seq("bucket", "cnt", "f", "__toks"))
-    val tk = docs
+    // widen first: tokenize+explode+md5 is the CPU-heavy stage, and a
+    // single-row-group parquet file would otherwise run it on ONE task
+    // (parquet can't split inside a row group). No-op whenever the scan
+    // already carries enough partitions — the normal many-file case.
+    val tk = graft.dedup.Dedup.widen(docs)
       .select(col(idCol), Relevance.terms(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
     val unis = tk.select(col(idCol), explode(col("__toks")).as("f"))

@@ -42,9 +42,13 @@ object LangModel {
   /** Lowercased whitespace tokens — shares [[Relevance.terms]]. */
   private def toks(text: Column): Column = Relevance.terms(text)
 
-  /** (id, tok, cnt): per-document token frequencies. */
+  /** (id, tok, cnt): per-document token frequencies. Widened first so a
+    * single-row-group parquet input (one scan task — parquet can't split
+    * inside a row group) doesn't serialize the CPU-heavy
+    * tokenize+explode stage; no-op on well-partitioned inputs. */
   def docTokenFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(toks(col(textCol))).as("tok"))
+    graft.dedup.Dedup.widen(docs)
+      .select(col(idCol), explode(toks(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -103,7 +107,9 @@ object LangModel {
                     minBigramCount: Int = 2): DataFrame = {
     require(minBigramCount >= 1,
       s"minBigramCount must be >= 1, got $minBigramCount")
-    val tk = docs.select(col(idCol), toks(col(textCol)).as("__toks"))
+    // widen: same single-row-group rationale as docTokenFreqs
+    val tk = graft.dedup.Dedup.widen(docs)
+      .select(col(idCol), toks(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
     val uni = tk.select(explode(col("__toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))

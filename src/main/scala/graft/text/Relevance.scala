@@ -32,9 +32,12 @@ object Relevance {
   /** Lowercased whitespace terms (empties dropped). */
   def terms(text: Column): Column = TextOps.tokens(lower(text))
 
-  /** (id, term, tf) — one row per distinct (doc, term). */
+  /** (id, term, tf) — one row per distinct (doc, term). Widened first so
+    * a single-row-group parquet input (one scan task) doesn't serialize
+    * the tokenize+explode stage; no-op on well-partitioned inputs. */
   def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(terms(col(textCol))).as("term"))
+    graft.dedup.Dedup.widen(docs)
+      .select(col(idCol), explode(terms(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
 

@@ -239,7 +239,9 @@ object TextOps {
     require(maxDf >= 1, s"dedupLines: maxDf must be >= 1, got $maxDf")
     require(!Seq("__pos", "__line", "__lh", "__df", outCol).contains(idCol),
       s"dedupLines: id column '$idCol' collides with an internal name")
-    val lines = docs.select(col(idCol),
+    // widen: the split+posexplode+md5 stage is CPU-heavy, and a
+    // single-row-group parquet input would run it on one task
+    val lines = graft.dedup.Dedup.widen(docs).select(col(idCol),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
     val hashed = lines.withColumn("__lh",
