@@ -140,10 +140,19 @@ object PipelineQueries {
         TextOps.qualityScore(col("text")).as("quality"))),
     // Gopher rule filter (Rae et al. 2021 A1.1): per-rule measurements +
     // keep conjunction, one narrow codegen pass, every double a single
-    // integer divide — replayed bit-exactly by the oracle
+    // integer divide — replayed bit-exactly by the oracle. The corpus
+    // has no '#'/'…'/'...' symbols and no newlines, so the symbol and
+    // line rules would compare 0.0 == 0.0 — PLANT multi-line structure
+    // with bullets, ellipses and hash spam on every 5th doc (only
+    // space/newline whitespace: Java and RE2 agree on those in \s+)
+    // so every rule branch is exercised cross-engine
     "q_gopher_rules" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-          TextOps.gopherRules(col("text")).as("g"))
+      t(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\n- bullet one\n- bullet two\n" +
+              "the line trails off...\nor even further…\n# # tag")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), TextOps.gopherRules(col("text")).as("g"))
         .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
           col("g.symbol_ratio"), col("g.bullet_frac"),
           col("g.ellipsis_frac"), col("g.alpha_frac"), col("g.stop_hits"),
@@ -1352,13 +1361,20 @@ object PipelineQueries {
       "q_gopher_rules" -> {
         val gopherList =
           TextOps.gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"""WITH q AS (SELECT doc_id,
+        s"""WITH planted AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || chr(10) ||
+               '- bullet one' || chr(10) || '- bullet two' || chr(10) ||
+               'the line trails off...' || chr(10) ||
+               'or even further…' || chr(10) || '# # tag'
+             ELSE text END AS text
+             FROM documents),
+           q AS (SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
              list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
              CAST(len(regexp_extract_all(text, '#')) +
                   len(regexp_extract_all(text, '…')) +
                   len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS sym
-             FROM documents),
+             FROM planted),
            m AS (SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_words,
              CASE WHEN len(toks) = 0 THEN 0.0
