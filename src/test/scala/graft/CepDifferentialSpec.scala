@@ -53,6 +53,44 @@ class CepDifferentialSpec extends SparkSpec {
   private val pattern = Seq(Matcher.Pos(Matcher.typeIs("s")),
     Matcher.Pos(Matcher.typeIs("p")))
 
+  /** Independent model of strict contiguity (documented semantics: every
+    * event strictly later than a partial's last match either completes
+    * it or kills it; same-timestamp events are invisible; a new partial
+    * opens on every step-0 event). */
+  private def contiguityModel(events: Seq[Matcher.Event],
+                              within: Long): Set[(Long, Long)] = {
+    val out = Set.newBuilder[(Long, Long)]
+    events.groupBy(_.key).foreach { case (_, evs) =>
+      var starts = List.empty[(Long, Long)] // (id, ts)
+      evs.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+        starts = starts.filter { case (_, ts) => e.tsMicros - ts <= within }
+        val (visible, ties) = starts.partition(_._2 < e.tsMicros)
+        if (e.etype == "p")
+          visible.foreach { case (sid, _) => out += ((sid, e.id)) }
+        // visible non-completing partials die either way
+        starts = ties
+        if (e.etype == "s") starts ::= (e.id, e.tsMicros)
+      }
+    }
+    out.result()
+  }
+
+  test("batch matchSeq contiguity_match equals the in-memory model on " +
+      "random streams") {
+    for (seed <- 1 to 8) {
+      val evs = randomEvents(seed, 120)
+      val within = 8L * 1000000L
+      val got = Matcher.matchSeq(
+          evs.toDF("key", "tsMicros", "etype", "id", "value")
+            .withColumn("tsMicros", timestamp_micros(col("tsMicros"))),
+          "key", "tsMicros", "etype", "id", "value", pattern, within,
+          mode = "contiguity_match")
+        .select(element_at(col("ids"), 1), element_at(col("ids"), 2))
+        .as[(Long, Long)].collect().toSet
+      assert(got == contiguityModel(evs, within), s"seed=$seed")
+    }
+  }
+
   test("batch matchSeq (next_match and first_match) equals the in-memory " +
       "model on random streams") {
     for (seed <- 1 to 8; fm <- Seq(false, true)) {
