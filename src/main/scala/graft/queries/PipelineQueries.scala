@@ -616,7 +616,21 @@ object PipelineQueries {
     "q_dedup_cosine_prod" -> ((s, dir) =>
       Dedup.embeddingCosine(plantedVecs(t(s, dir, "embeddings")),
         "vec_id", "embedding", threshold = 0.999)
-        .select(col("id_a"), col("id_b")))
+        .select(col("id_a"), col("id_b"))),
+    // the billion-vector configuration (IVF candidate cells × ADC
+    // scoring); correctness of the composition is covered by PqSpec's
+    // model-differential, q_ann_pq oracles the ADC half exactly
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.sim.Pq.ivfPqTopK(corpus, queries, k = AnnK,
+        coarse = ivfCentroidsFor(s, dir),
+        codebooks = pqCodebooksFor(s, dir), nProbe = IvfProbe)
+        .select(col("qid"), col("id"), col("rank"))
+    })
   )
 
   // ======================= oracle SQL builders ==============================
