@@ -304,10 +304,12 @@ object Streams {
     // completion (s@0,p@10,p@20 emits (s,p10) AND (s,p20)), while this
     // scan clears each start after its first end — supporting any_match
     // means keeping completed starts live until WITHIN expiry
-    require(mode == "skip_till_next_match" || mode == "first_match",
+    require(mode == "skip_till_next_match" || mode == "first_match" ||
+        mode == "contiguity_match",
       s"unsupported streaming MATCH_EVENT mode '$mode' — supported: " +
-        "first_match, skip_till_next_match")
+        "contiguity_match, first_match, skip_till_next_match")
     val firstMatch = mode == "first_match"
+    val contiguity = mode == "contiguity_match"
     val spark = events.sparkSession
     import spark.implicits._
     // TTL > 0 enables processing-time eviction for production streams;
@@ -339,6 +341,11 @@ object Streams {
                 eligible.foreach { case (sid, _) => out += SeqMatch(key, sid, e.id) }
                 completedHere = eligible.nonEmpty
                 starts = sameTs // each start matches its first B only
+              } else if (contiguity) {
+                // strict contiguity (batch-engine parity): any visible
+                // event that is not the awaited end KILLS the partial;
+                // timestamp ties stay invisible and survive
+                starts = starts.filter { case (_, ts) => ts >= e.tsMicros }
               }
               // first_match: one live start per key — new starts are
               // ignored while the slot is occupied, and (batch-engine

@@ -109,15 +109,17 @@ class CepDifferentialSpec extends SparkSpec {
   }
 
   test("streaming scan equals batch across random batch boundaries") {
-    for (seed <- 3 to 5; fm <- Seq(false, true)) {
+    for (seed <- 3 to 5;
+         mode <- Seq("skip_till_next_match", "first_match",
+           "contiguity_match")) {
       val evs = randomEvents(seed, 60)
       val within = 8L * 1000000L
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[Matcher.Event]
-      val mode = if (fm) "first_match" else "skip_till_next_match"
+      val tbl = s"cep_diff_${seed}_$mode"
       val q = Streams.memorySink(
         Streams.streamMatchSeq(input.toDS(), "s", "p", within, mode = mode)
-          .toDF(), s"cep_diff_${seed}_$fm", OutputMode.Append())
+          .toDF(), tbl, OutputMode.Append())
       // feed in event-time order (streaming state evolves forward), cut
       // into random micro-batches
       val rnd = new scala.util.Random(seed)
@@ -128,10 +130,13 @@ class CepDifferentialSpec extends SparkSpec {
         rest = rest.drop(k)
       }
       q.processAllAvailable()
-      val got = spark.table(s"cep_diff_${seed}_$fm")
+      val got = spark.table(tbl)
         .as[Streams.SeqMatch].collect().map(m => (m.startId, m.endId)).toSet
       q.stop()
-      assert(got == model(evs, within, fm), s"seed=$seed firstMatch=$fm")
+      val want =
+        if (mode == "contiguity_match") contiguityModel(evs, within)
+        else model(evs, within, mode == "first_match")
+      assert(got == want, s"seed=$seed mode=$mode")
     }
   }
 }
