@@ -223,6 +223,25 @@ class PigLatinSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("MATCH_EVENT MODE contiguity_match reaches the engine (dialect " +
+      "extension: the reference engine has ContiguityMatch but no " +
+      "grammar keyword)") {
+    val events = Seq(
+      (1L, "login", 7L), (2L, "noise", 7L), (3L, "buy", 7L),
+      (10L, "login", 8L), (11L, "buy", 8L))
+      .toDF("ts_s", "kind", "uid")
+      .select(timestamp_seconds(col("ts_s")).as("ts"), col("kind"),
+        col("uid"))
+    val out = PigScript.query(spark,
+      """m = MATCH_EVENT ev PATTERN seq(A, B)
+        |      WITH (A: kind == 'login', B: kind == 'buy')
+        |      MODE contiguity_match
+        |      WITHIN 30 seconds;""".stripMargin, "m",
+      tables = Map("ev" -> events))
+    // user 7's login dies on the intervening noise; user 8 matches
+    assert(out.count() == 1)
+  }
+
   test("WINDOW RANGE statement attaches (exploding) event-time windows") {
     val events = Seq(1L, 5L, 11L).toDF("ts_s")
       .select(timestamp_seconds(col("ts_s")).as("ts"))
