@@ -630,6 +630,21 @@ object PipelineQueries {
         coarse = ivfCentroidsFor(s, dir),
         codebooks = pqCodebooksFor(s, dir), nProbe = IvfProbe)
         .select(col("qid"), col("id"), col("rank"))
+    }),
+    // the classic residual-encoded configuration (per-cell query
+    // tables); PqSpec holds the exact model-differential
+    "q_ann_ivfpq_res" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val coarse = ivfCentroidsFor(s, dir)
+      graft.sim.Pq.ivfPqResidualTopK(corpus, queries, k = AnnK, coarse,
+        codebooks = graft.sim.Pq.residualCodebooks(corpus, coarse,
+          m = PqM, k = PqK, seed = LshSeed),
+        nProbe = IvfProbe)
+        .select(col("qid"), col("id"), col("rank"))
     })
   )
 

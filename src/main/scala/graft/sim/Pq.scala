@@ -164,14 +164,101 @@ object Pq {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Residual codebooks for [[ivfPqResidualTopK]]: trained on
+    * `v − coarse[cell(v)]` over the shared bounded seeded sample (cell =
+    * max-dot coarse assignment with min-index ties, the
+    * [[Similarity.probeCells]] rule mirrored driver-side). Residuals are
+    * what the classic IVF-PQ actually quantizes — they concentrate near
+    * the origin once the coarse structure is removed, so the same m×k
+    * budget spends its levels on fine detail instead of re-encoding
+    * which cluster a vector sits in. */
+  def residualCodebooks(corpus: DataFrame, coarse: Seq[Array[Double]],
+                        m: Int = 8, k: Int = 16, vecCol: String = "vec",
+                        seed: Long = 42L, sampleSize: Int = 2048,
+                        iters: Int = 10): Seq[Seq[Array[Double]]] = {
+    require(m > 0 && k > 0, s"m ($m) and k ($k) must be positive")
+    val sample = Similarity.seededSampleVecs(corpus, vecCol, sampleSize, seed)
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample.head.length
+    require(dim % m == 0,
+      s"embedding dim $dim is not divisible by m=$m subspaces")
+    def cellOf(v: Array[Double]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity
+      coarse.indices.foreach { j =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * coarse(j)(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = j }
+      }
+      best
+    }
+    val residuals = sample.map { v =>
+      val c = coarse(cellOf(v))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val ds = dim / m
+    (0 until m).map { i =>
+      trainCentroidsL2(residuals.map(r => r.slice(i * ds, (i + 1) * ds)),
+        k, iters, seed + i)
+    }
+  }
+
+  /** A column holding `coarse` as array<array<double>> so a row's cell
+    * centroid is one element_at lookup. */
+  private def coarseLit(coarse: Seq[Array[Double]]): Column =
+    array(coarse.map(c => lit(c)): _*)
+
+  /** Residual-encoded IVF-PQ (the classic configuration): corpus codes
+    * quantize `v − coarse[cell]`, the query builds one ADC table PER
+    * PROBED CELL from its own residual against that cell (m·k·nProbe
+    * table entries instead of m·k — the price of residual accuracy).
+    * The residual vectors are BOUND as lambda variables before
+    * encode/table construction: higher-order functions evaluate
+    * interpreted, so an unbound residual expression would re-run the
+    * subtraction per (subspace, centroid) probe — the O(d²)
+    * re-evaluation class this codebase keeps finding. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        coarse: Seq[Array[Double]],
+                        codebooks: Seq[Seq[Array[Double]]], nProbe: Int = 4,
+                        idCol: String = "id", qidCol: String = "qid",
+                        vecCol: String = "vec"): DataFrame = {
+    val cl = coarseLit(coarse)
+    val cVecs = graft.dedup.Dedup.widen(corpus)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
+      .withColumn("cell",
+        element_at(Similarity.probeCells(col("cv"), coarse, 1), 1))
+    val coded = cVecs.select(col("id"), col("cell"),
+      element_at(transform(
+        array(zip_with(col("cv"), element_at(cl, col("cell") + 1),
+          (x, y) => x - y)),
+        r => encodeExpr(r, codebooks)), 1).as("codes"))
+    val probed = queries.select(col(qidCol).as("qid"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
+      .select(col("qid"),
+        explode(Similarity.probeCells(col("qv"), coarse, nProbe))
+          .as("cell"), col("qv"))
+      .select(col("qid"), col("cell"),
+        element_at(transform(
+          array(zip_with(col("qv"), element_at(cl, col("cell") + 1),
+            (x, y) => x - y)),
+          r => adcTableExpr(r, codebooks)), 1).as("__tab"))
+    val scored = coded.join(broadcast(probed), Seq("cell"))
+      .select(col("qid"), col("id"),
+        adcDist(col("codes"), col("__tab")).as("adist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF-PQ: candidate generation by IVF cell equi-join (the
     * [[Similarity.ivfTopKWith]] shape — corpus assigned to its nearest
     * coarse centroid, query probes its nProbe closest cells), scoring by
     * ADC over the candidates. This is the billion-vector configuration:
     * the corpus moves nowhere, candidates are a cell-sized fraction, and
     * each candidate costs m table lookups. Codes here quantize the raw
-    * vectors (not IVF residuals — documented simplification; residual
-    * encoding needs per-cell query tables, m·k·nProbe instead of m·k). */
+    * vectors — ONE shared query table; [[ivfPqResidualTopK]] is the
+    * classic residual-encoded configuration (per-cell query tables,
+    * m·k·nProbe entries, finer quantization for the same budget). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 coarse: Seq[Array[Double]],
                 codebooks: Seq[Seq[Array[Double]]], nProbe: Int = 4,

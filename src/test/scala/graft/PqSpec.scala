@@ -131,4 +131,67 @@ class PqSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("not divisible"))
   }
+
+  test("ivfPqResidualTopK equals the residual model exactly, and residual " +
+      "encoding does not lose recall vs raw-vector codes") {
+    val coarse = Similarity.ivfCentroids(corpusDf, nCells = 4,
+      sampleSize = 512)
+    val rcb = Pq.residualCodebooks(corpusDf, coarse, m = m, k = k,
+      sampleSize = 512)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cells(v: Array[Double], n: Int): Seq[Int] =
+      coarse.zipWithIndex.map { case (c, i) => (-dot(v, c), i) }
+        .sorted.take(n).map(_._2)
+    def sub(a: Array[Double], b: Array[Double]): Array[Double] =
+      Array.tabulate(a.length)(i => a(i) - b(i))
+    def rCodes(v: Array[Double]): Array[Int] = {
+      val r = sub(v, coarse(cells(v, 1).head))
+      (0 until m).map { i =>
+        val s = r.slice(i * (dim / m), (i + 1) * (dim / m))
+        rcb(i).zipWithIndex.map { case (c, ci) => (l2sq(s, c), ci) }
+          .minBy(identity)._2
+      }.toArray
+    }
+    def rAdist(q: Array[Double], cell: Int, codes: Array[Int]): Double = {
+      val qr = sub(q, coarse(cell))
+      var s = 0.0
+      for (i <- 0 until m)
+        s += l2sq(qr.slice(i * (dim / m), (i + 1) * (dim / m)),
+          rcb(i)(codes(i)))
+      s
+    }
+    val nProbe = 2
+    val codes = corpusRows.map { case (id, v) =>
+      (id, cells(v, 1).head, rCodes(v)) }
+    val want = queryRows.flatMap { case (qid, q) =>
+      cells(q, nProbe).flatMap(cell =>
+          codes.filter(_._2 == cell)
+            .map { case (id, _, c) => (rAdist(q, cell, c), id) })
+        .sorted.take(5).zipWithIndex
+        .map { case ((_, id), r) => (qid, id, r + 1) }
+    }.toSet
+    val got = Pq.ivfPqResidualTopK(corpusDf, queryDf, k = 5, coarse, rcb,
+        nProbe = nProbe)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+
+    // recall vs exact L2 within the probed cells: residual codes should
+    // not be worse than raw-vector codes on this clustered data
+    val exact = queryRows.flatMap { case (qid, q) =>
+      corpusRows.map { case (id, v) => (l2sq(q, v), id) }
+        .sorted.take(5).map { case (_, id) => (qid, id) }
+    }.toSet
+    val plain = Pq.ivfPqTopK(corpusDf, queryDf, k = 5, coarse, codebooks,
+        nProbe = nProbe)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val res = got.map { case (qid, id, _) => (qid, id) }
+    val recallPlain = (exact & plain).size.toDouble / exact.size
+    val recallRes = (exact & res).size.toDouble / exact.size
+    assert(recallRes >= recallPlain,
+      s"residual recall $recallRes < raw-code recall $recallPlain")
+  }
 }
