@@ -106,6 +106,16 @@ object PipelineQueries {
       graft.sim.Pq.trainCodebooks(corpus, m = PqM, k = PqK, seed = LshSeed)
     })
 
+  /** BPE merges, memoized per sfDir (same query/oracle-identity reason
+    * as the quantizer caches). */
+  private val BpeMerges = 200
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeCache.getOrElseUpdate(dir,
+      graft.text.Bpe.train(t(s, dir, "documents"), "text",
+        numMerges = BpeMerges, seed = LshSeed))
+
   private val enStop = TextOps.enStopwords
 
   // ---- shared relevance parameters (query and oracle must agree) ----------
@@ -138,6 +148,16 @@ object PipelineQueries {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"))),
+    // Learned-BPE token counts: merges trained driver-side on the seeded
+    // sample (the quantizer regime), encode one native compiled pass per
+    // row; the oracle replays the merge table as a recursive CTE over
+    // DISTINCT words (lowest-rank leftmost-single-merge iteration —
+    // equivalent to the engine's all-at-once form, see text/Bpe.scala)
+    "q_bpe_tokens" -> ((s, dir) =>
+      graft.dedup.Dedup.widen(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.text.Bpe.tokenCount(col("text"), bpeMergesFor(s, dir))
+            .as("n_bpe"))),
     // Gopher rule filter (Rae et al. 2021 A1.1): per-rule measurements +
     // keep conjunction, one narrow codegen pass, every double a single
     // integer divide — replayed bit-exactly by the oracle. The corpus
@@ -1363,6 +1383,62 @@ object PipelineQueries {
        SELECT qid, id, rank FROM scored WHERE rank <= $AnnK"""
   }
 
+  /** Independent DuckDB replay of learned-BPE encoding: the merge table
+    * becomes a list-keyed MAP literal (list keys — a separator-joined
+    * string key would alias ("ab","c") with ("a","bc")); DISTINCT words
+    * initialize as rune arrays + '</w>' (RE2 `.` == Java codePoints) and
+    * a recursive CTE repeatedly merges the lowest-rank pair at its
+    * leftmost position — one merge per step, provably equivalent to the
+    * engine's all-occurrences pass because a merge can only create pairs
+    * involving the merged symbol, whose own merges rank LATER. Terminal
+    * states (no ranked pair) carry each word's final token count, summed
+    * back per doc weighted by occurrence. */
+  private def bpeTokensSql(merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val mapLit = merges.zipWithIndex
+      .map { case ((a, b), i) => s"['${esc(a)}','${esc(b)}']: $i" }
+      .mkString("MAP {", ", ", "}")
+    s"""WITH RECURSIVE words AS (
+         SELECT doc_id, w, count(*) AS cnt FROM (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+               x -> x <> '')) AS w
+           FROM documents)
+         GROUP BY doc_id, w),
+       enc(w, toks) AS (
+         SELECT w, list_append(regexp_extract_all(w, '.'), '</w>')
+         FROM (SELECT DISTINCT w FROM words)
+         UNION ALL
+         SELECT w, list_concat(list_concat(
+             toks[1:best.p-1], [toks[best.p] || toks[best.p+1]]),
+             toks[best.p+2:])
+         FROM (
+           SELECT w, toks,
+             list_sort(list_filter(
+               list_transform(range(1, len(toks)), i ->
+                 {'r': map_extract($mapLit, [toks[i], toks[i+1]])[1],
+                  'p': i}),
+               x -> x.r IS NOT NULL))[1] AS best
+           FROM enc)
+         WHERE best IS NOT NULL),
+       final AS (
+         SELECT w, len(toks) AS n FROM (
+           SELECT w, toks,
+             list_sort(list_filter(
+               list_transform(range(1, len(toks)), i ->
+                 {'r': map_extract($mapLit, [toks[i], toks[i+1]])[1],
+                  'p': i}),
+               x -> x.r IS NOT NULL))[1] AS best
+           FROM enc)
+         WHERE best IS NULL)
+       SELECT d.doc_id,
+         CAST(coalesce(SUM(words.cnt * final.n), 0) AS BIGINT) AS n_bpe
+       FROM documents d
+       LEFT JOIN words ON d.doc_id = words.doc_id
+       LEFT JOIN final ON words.w = final.w
+       GROUP BY d.doc_id"""
+  }
+
   /** Oracles are a def: the IVF entry needs the trained centroids, which
     * exist only after OracleContext is set (Verify does, before dumping). */
   def oracles: Map[String, String] = {
@@ -1965,6 +2041,7 @@ object PipelineQueries {
         static +
           ("q_ann_ivf" -> ivfAnnSql(ivfCentroidsFor(s, dir))) +
           ("q_ann_pq" -> pqAnnSql(pqCodebooksFor(s, dir))) +
+          ("q_bpe_tokens" -> bpeTokensSql(bpeMergesFor(s, dir))) +
           ("q_dedup_semantic" ->
             semanticPairsSql(ivfCentroidsFor(s, dir), threshold = 0.999))
       case None => static

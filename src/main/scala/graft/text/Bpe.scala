@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer (Sennrich et al. 2016): the merge table
+  * is trained DRIVER-SIDE on a bounded seeded document sample (the same
+  * train-on-sample regime as the IVF/PQ quantizers — production
+  * tokenizers are trained on a corpus sample too, then applied
+  * everywhere), and ENCODE runs at corpus scale as a native expression
+  * ([[graft.functions.BpeExpressions]]): one compiled per-row pass, no
+  * interpreted lambda dispatch, no shuffle.
+  *
+  * Exact token counts under the LEARNED vocabulary are what a training
+  * pipeline actually needs (packing offsets, length filters, cost
+  * estimates) — the `bpeTokens` regex in [[TextOps]] is only the
+  * pre-tokenizer approximation.
+  *
+  * Semantics (classic): a word is its codepoints plus a terminal
+  * `</w>`; training repeatedly merges the most frequent adjacent pair
+  * (ties: lexicographically smallest pair — deterministic, where the
+  * original is arbitrary); encode applies learned merges by repeatedly
+  * merging the lowest-rank pair present. Merging the leftmost
+  * occurrence and rescanning is equivalent to merging all occurrences
+  * of the chosen pair at once, because a pair created by a merge can
+  * only involve the merged symbol, whose own merges were learned LATER
+  * (higher rank) — so the chosen pair stays the lowest-rank pair until
+  * exhausted. The oracle replays the single-merge form; the engine
+  * runs the all-at-once form.
+  */
+object Bpe {
+
+  /** Ordered merge table from a seeded sample of `docs`. Words are
+    * whitespace tokens; frequencies weight the pair counts. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int = 200,
+            sampleSize: Int = 2048, seed: Long = 42L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val texts = sampleTexts(docs, textCol, sampleSize, seed)
+    val wordFreq = new scala.collection.mutable.HashMap[String, Long]()
+    texts.foreach(_.split("\\s+").foreach { w =>
+      if (w.nonEmpty) wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
+    })
+    // dict: word symbol sequences (codepoints + terminal marker)
+    var dict: Seq[(Array[String], Long)] = wordFreq.toSeq.sortBy(_._1)
+      .map { case (w, f) => (splitWord(w), f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var m = 0
+    while (m < numMerges && !done) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      dict.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // max frequency; ties to the lexicographically smallest pair
+        val best = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+        merges += best
+        dict = dict.map { case (syms, f) => (mergeAll(syms, best), f) }
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Codepoint symbols + terminal marker (surrogate-pair safe — chars
+    * would shred astral-plane codepoints; the oracle's RE2 `.` matches
+    * whole runes). */
+  private[graft] def splitWord(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += "</w>"
+    out.result()
+  }
+
+  /** One left-to-right pass merging all non-overlapping occurrences. */
+  private[graft] def mergeAll(syms: Array[String],
+                              p: (String, String)): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += (syms(i) + syms(i + 1)); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Bounded seeded sample of text values (the
+    * [[graft.sim.Similarity.seededSampleVecs]] recipe for strings). */
+  private def sampleTexts(docs: DataFrame, textCol: String,
+                          sampleSize: Int, seed: Long): Array[String] = {
+    val txts = docs.select(col(textCol).cast("string").as("t"))
+      .where(col("t").isNotNull)
+    val total = math.max(1L, txts.count())
+    val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / total)
+    txts.sample(withReplacement = false, fraction, seed)
+      .sort(xxhash64(col("t")))
+      .limit(sampleSize).collect().map(_.getString(0))
+  }
+
+  /** array<string> of learned-BPE tokens of a whitespace-tokenized text
+    * column — one native compiled pass per row. */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeExpressions.encode(text, merges)
+
+  /** Exact token count under the learned vocabulary. */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(encode(text, merges)).cast("long")
+}

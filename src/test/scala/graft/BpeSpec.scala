@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bpe
+
+/** Learned-BPE tokenizer: training properties, the engine encode vs an
+  * independent single-merge model (the equivalence the oracle relies
+  * on), and unicode safety. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox and the lazy dog and the end"),
+    (2L, "the fox and the dog and the fox again"),
+    (3L, "quick quick quick brown brown the the the")
+  ).toDF("doc_id", "text")
+
+  private lazy val merges = Bpe.train(corpus, "text", numMerges = 40,
+    sampleSize = 512)
+
+  /** Clean-room encode: iterated LEFTMOST SINGLE merge of the
+    * lowest-rank pair — deliberately the other algorithm than the
+    * engine's all-occurrences pass, so equality proves the equivalence
+    * the DuckDB oracle's recursion also relies on. */
+  private def modelEncode(word: String): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.codePoints().toArray.toSeq
+      .map(cp => new String(Character.toChars(cp))) :+ "</w>"
+    var done = false
+    while (!done && syms.length > 1) {
+      val cands = syms.zip(syms.tail).zipWithIndex
+        .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+      if (cands.isEmpty) done = true
+      else {
+        val (_, i) = cands.min
+        syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+      }
+    }
+    syms
+  }
+
+  test("training is deterministic and bounded by numMerges") {
+    val again = Bpe.train(corpus, "text", numMerges = 40, sampleSize = 512)
+    assert(merges == again)
+    assert(merges.length <= 40 && merges.nonEmpty)
+  }
+
+  test("the dominant word collapses to a single token") {
+    // 'the' appears 9 times — 40 merges easily learn t+h, th+e, the+</w>
+    val toks = spark.range(1).select(
+        Bpe.encode(lit("the"), merges).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(toks == Seq("the</w>"), toks.toString)
+  }
+
+  test("engine encode equals the single-merge model on every corpus word " +
+      "and on random strings") {
+    val words = corpus.select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(col("w") =!= "").distinct().as[String].collect().toSeq
+    val rnd = new scala.util.Random(11L)
+    val randoms = Seq.fill(40)(
+      (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(5)).toChar)
+        .mkString)
+    val all = words ++ randoms
+    val got = all.toDF("w")
+      .select(col("w"), Bpe.encode(col("w"), merges).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    all.foreach { w =>
+      assert(got(w) == modelEncode(w), s"word '$w'")
+    }
+  }
+
+  test("tokens concatenate back to the word plus terminal marker") {
+    val words = Seq("quick", "unseen", "zzz")
+    words.foreach { w =>
+      val toks = spark.range(1)
+        .select(Bpe.encode(lit(w), merges).as("t"))
+        .collect().head.getSeq[String](0)
+      assert(toks.mkString == w + "</w>", s"word '$w': $toks")
+    }
+  }
+
+  test("astral-plane codepoints stay whole symbols") {
+    val w = "a𝔘b" // a 𝔘 b
+    val toks = spark.range(1)
+      .select(Bpe.encode(lit(w), Seq.empty).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(toks == Seq("a", "𝔘", "b", "</w>"), toks.toString)
+  }
+
+  test("tokenCount sums words; empty and whitespace-only docs count 0") {
+    val out = Seq((1L, "the the"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Bpe.tokenCount(col("text"), merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L && out(2L) == 0L && out(3L) == 0L)
+  }
+}
