@@ -112,6 +112,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q_gopher_rules: one narrow codegen pass — no Exchange, no Join") {
+    val plan = planOf("q_gopher_rules")
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("q_bpe_tokens: narrow encode — at most the widen exchange, no " +
+      "Join, no aggregation") {
+    val plan = planOf("q_bpe_tokens")
+    // widen() may insert ONE round-robin repartition on single-row-group
+    // input; the encode itself must stay a per-row map
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan.take(2000))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      plan.take(2000))
+  }
+
   test("q_ann_pq: queries (with ADC tables) broadcast; the corpus " +
       "never joins by shuffle") {
     val plan = planOf("q_ann_pq")
