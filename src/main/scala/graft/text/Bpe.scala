@@ -117,4 +117,36 @@ object Bpe {
   /** Exact token count under the learned vocabulary. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(encode(text, merges)).cast("long")
+
+  /** Deterministic token→id table: id 0 is reserved for `<unk>`
+    * (char-level BPE has OOV at apply time — any codepoint absent from
+    * the training sample; byte-level BPE would close that hole at the
+    * cost of non-textual tokens), then base symbols in sorted order,
+    * then merge products in merge order. Built from the training
+    * sample's alphabet ∪ merge products, so train + vocab always agree. */
+  def vocab(docs: DataFrame, textCol: String,
+            merges: Seq[(String, String)], sampleSize: Int = 2048,
+            seed: Long = 42L): Map[String, Int] = {
+    val alphabet = scala.collection.mutable.SortedSet.empty[String]
+    sampleTexts(docs, textCol, sampleSize, seed)
+      .foreach(_.split("\\s+").foreach { w =>
+        if (w.nonEmpty) splitWord(w).foreach(alphabet += _)
+      })
+    val products = merges.map { case (a, b) => a + b }
+    ((alphabet.toSeq ++ products.filterNot(alphabet)).distinct
+      .zipWithIndex.map { case (s, i) => (s, i + 1) }).toMap
+  }
+
+  /** array<int> of token ids (`<unk>` = 0 for out-of-vocabulary
+    * symbols) — the column a training pipeline actually materializes. */
+  def encodeIds(text: Column, merges: Seq[(String, String)],
+                vocab: Map[String, Int]): Column = {
+    // literal lookup via map_from_arrays(keys, ids); element_at yields
+    // null for misses → coalesce to the <unk> id
+    val keys = vocab.keys.toSeq.sorted
+    val keyCol = lit(keys.toArray)
+    val idCol = lit(keys.map(vocab).toArray)
+    transform(encode(text, merges), t =>
+      coalesce(element_at(map_from_arrays(keyCol, idCol), t), lit(0)))
+  }
 }

@@ -88,6 +88,25 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("a", "𝔘", "b", "</w>"), toks.toString)
   }
 
+  test("encodeIds maps tokens to stable ids; OOV symbols hit <unk>=0") {
+    val v = Bpe.vocab(corpus, "text", merges, sampleSize = 512)
+    assert(!v.contains("<unk>") && v.values.forall(_ >= 1))
+    val out = Seq((1L, "the fox"), (2L, "Ω"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Bpe.encodeIds(col("text"), merges, v).as("ids"),
+        Bpe.encode(col("text"), merges).as("toks"))
+      .as[(Long, Seq[Int], Seq[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val (ids1, toks1) = out(1L)
+    // in-vocab tokens map through the table exactly
+    assert(ids1 == toks1.map(v), s"$ids1 vs $toks1")
+    // Ω never appeared in training: its symbol id must be <unk>=0
+    val (ids2, toks2) = out(2L)
+    assert(toks2.contains("Ω") || toks2.exists(_.contains("Ω")))
+    assert(ids2.contains(0), ids2.toString)
+  }
+
   test("tokenCount sums words; empty and whitespace-only docs count 0") {
     val out = Seq((1L, "the the"), (2L, ""), (3L, "   "))
       .toDF("doc_id", "text")
