@@ -106,6 +106,19 @@ object PipelineQueries {
       graft.sim.Pq.trainCodebooks(corpus, m = PqM, k = PqK, seed = LshSeed)
     })
 
+  /** Residual PQ codebooks (trained on v − coarse[cell]), memoized. */
+  private val pqResCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Array[Double]]]]
+  def pqResCodebooksFor(s: SparkSession,
+                        dir: String): Seq[Seq[Array[Double]]] =
+    pqResCache.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.sim.Pq.residualCodebooks(corpus, ivfCentroidsFor(s, dir),
+        m = PqM, k = PqK, seed = LshSeed)
+    })
+
   /** BPE merges, memoized per sfDir (same query/oracle-identity reason
     * as the quantizer caches). */
   private val BpeMerges = 200
@@ -625,6 +638,21 @@ object PipelineQueries {
       graft.sim.Pq.adcTopK(corpus, queries, k = AnnK,
         codebooks = pqCodebooksFor(s, dir))
         .select(col("qid"), col("id"), col("rank"))
+    }),
+    // residual-encoded IVF-PQ (the classic billion-vector config):
+    // corpus codes quantize v − coarse[cell], the query builds one ADC
+    // table per probed cell; the oracle fuses the IVF cell-assignment
+    // replay with the PQ encode/ADC replay over residual arithmetic
+    "q_ann_ivfpq_res" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.sim.Pq.ivfPqResidualTopK(corpus, queries, k = AnnK,
+        coarse = ivfCentroidsFor(s, dir),
+        codebooks = pqResCodebooksFor(s, dir), nProbe = IvfProbe)
+        .select(col("qid"), col("id"), col("rank"))
     })
   )
 
@@ -649,21 +677,6 @@ object PipelineQueries {
       graft.sim.Pq.ivfPqTopK(corpus, queries, k = AnnK,
         coarse = ivfCentroidsFor(s, dir),
         codebooks = pqCodebooksFor(s, dir), nProbe = IvfProbe)
-        .select(col("qid"), col("id"), col("rank"))
-    }),
-    // the classic residual-encoded configuration (per-cell query
-    // tables); PqSpec holds the exact model-differential
-    "q_ann_ivfpq_res" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
-      val corpus = emb.where(col("vec_id") >= 5)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val coarse = ivfCentroidsFor(s, dir)
-      graft.sim.Pq.ivfPqResidualTopK(corpus, queries, k = AnnK, coarse,
-        codebooks = graft.sim.Pq.residualCodebooks(corpus, coarse,
-          m = PqM, k = PqK, seed = LshSeed),
-        nProbe = IvfProbe)
         .select(col("qid"), col("id"), col("rank"))
     })
   )
@@ -1383,6 +1396,80 @@ object PipelineQueries {
        SELECT qid, id, rank FROM scored WHERE rank <= $AnnK"""
   }
 
+  /** Independent DuckDB replay of residual-encoded IVF-PQ: the
+    * [[ivfAnnSql]] cell-assignment machinery (max-dot argmin CASE chain,
+    * probe ranking) fused with the [[pqAnnSql]] encode/ADC machinery,
+    * but every distance runs over the RESIDUAL r = v − coarse[cell]
+    * (elementwise list subtraction — exact on both engines), and the
+    * query has one table per probed cell. Exactness arguments identical
+    * to the two parents. */
+  private def pqResAnnSql(coarse: Seq[Array[Double]],
+                          codebooks: Seq[Seq[Array[Double]]]): String = {
+    val n = coarse.length
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val ds = codebooks.head.head.length
+    val ndDefs = coarse.zipWithIndex.map { case (c, i) =>
+      s"(0.0 - list_dot_product(v, ${doubleList(c.toSeq)})) AS nd$i"
+    }.mkString(", ")
+    val assign = (0 until n).map { i =>
+      val conds = ((i + 1) until n).map(j => s"nd$i <= nd$j")
+      if (conds.isEmpty) s"ELSE $i"
+      else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString(" ")
+    val coarseCase = s"CASE cell ${(0 until n).map(i =>
+      s"WHEN $i THEN CAST(${doubleList(coarse(i).toSeq)} AS DOUBLE[])")
+      .mkString(" ")} END"
+    def dExpr(vcol: String, i: Int, c: Array[Double]): String =
+      s"list_reduce(list_transform(list_zip($vcol[${i * ds + 1}:${i * ds + ds}], " +
+        s"CAST(${doubleList(c.toSeq)} AS DOUBLE[])), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"
+    val crdDefs = (for { i <- 0 until m; c <- 0 until k }
+      yield s"${dExpr("r", i, codebooks(i)(c))} AS d${i}_$c").mkString(", ")
+    def codeCase(i: Int): String = (0 until k).map { c =>
+      val conds = ((c + 1) until k).map(j => s"d${i}_$c <= d${i}_$j")
+      if (conds.isEmpty) s"ELSE $c"
+      else s"WHEN ${conds.mkString(" AND ")} THEN $c"
+    }.mkString(" ")
+    val codeDefs = (0 until m)
+      .map(i => s"CASE ${codeCase(i)} END AS code$i").mkString(", ")
+    val qrdDefs = (for { i <- 0 until m; c <- 0 until k }
+      yield s"${dExpr("r", i, codebooks(i)(c))} AS q${i}_$c").mkString(", ")
+    val probeUnion = (0 until n).map { i =>
+      s"SELECT qid, v, $i AS cell, nd$i AS nd FROM qd0"
+    }.mkString(" UNION ALL ")
+    val adist = (0 until m).map { i =>
+      s"(CASE cc.code$i ${(0 until k)
+        .map(c => s"WHEN $c THEN qrd.q${i}_$c").mkString(" ")} END)"
+    }.mkString(" + ")
+    s"""WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id >= 5),
+       cd AS (SELECT id, v, $ndDefs FROM c0),
+       ca AS (SELECT id, v, CASE $assign END AS cell FROM cd),
+       cr AS (SELECT id, cell,
+         list_transform(list_zip(v, $coarseCase), p -> p[1] - p[2]) AS r
+         FROM ca),
+       crd AS (SELECT id, cell, $crdDefs FROM cr),
+       cc AS (SELECT id, cell, $codeDefs FROM crd),
+       q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 5),
+       qd0 AS (SELECT qid, v, $ndDefs FROM q0),
+       qc AS ($probeUnion),
+       qp AS (SELECT qid, v, cell FROM (
+         SELECT qid, v, cell,
+           row_number() OVER (PARTITION BY qid ORDER BY nd, cell) AS pr
+         FROM qc) WHERE pr <= $IvfProbe),
+       qr AS (SELECT qid, cell,
+         list_transform(list_zip(v, $coarseCase), p -> p[1] - p[2]) AS r
+         FROM qp),
+       qrd AS (SELECT qid, cell, $qrdDefs FROM qr),
+       scored AS (SELECT qrd.qid, cc.id,
+         row_number() OVER (PARTITION BY qrd.qid
+           ORDER BY ($adist) ASC, cc.id) AS rank
+         FROM cc JOIN qrd ON cc.cell = qrd.cell)
+       SELECT qid, id, rank FROM scored WHERE rank <= $AnnK"""
+  }
+
   /** Independent DuckDB replay of learned-BPE encoding: the merge table
     * becomes a list-keyed MAP literal (list keys — a separator-joined
     * string key would alias ("ab","c") with ("a","bc")); DISTINCT words
@@ -2041,6 +2128,8 @@ object PipelineQueries {
         static +
           ("q_ann_ivf" -> ivfAnnSql(ivfCentroidsFor(s, dir))) +
           ("q_ann_pq" -> pqAnnSql(pqCodebooksFor(s, dir))) +
+          ("q_ann_ivfpq_res" -> pqResAnnSql(ivfCentroidsFor(s, dir),
+            pqResCodebooksFor(s, dir))) +
           ("q_bpe_tokens" -> bpeTokensSql(bpeMergesFor(s, dir))) +
           ("q_dedup_semantic" ->
             semanticPairsSql(ivfCentroidsFor(s, dir), threshold = 0.999))
