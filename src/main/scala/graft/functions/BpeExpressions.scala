@@ -19,10 +19,16 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_bpe_encode"
 
+  // Keyed "a b" with a SPACE separator: symbols can never contain
+  // whitespace (words are split on \\s+; the end marker is "</w>"), so
+  // the key is provably collision-free -- bare concatenation would let
+  // distinct pairs ("ab","c")/("a","bc") alias, and a non-whitespace
+  // control char could in principle appear inside a symbol. Matches the
+  // oracle's list-keyed merge table.
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.put(a + "" + b, i)
+      m.put(a + " " + b, i)
     }
     m
   }
@@ -48,7 +54,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       var bestR: String = null
       var i = 0
       while (i < syms.length - 1) {
-        val r = rank.get(syms(i) + "" + syms(i + 1))
+        val r = rank.get(syms(i) + " " + syms(i + 1))
         if (r != null && r < bestRank) {
           bestRank = r; bestL = syms(i); bestR = syms(i + 1)
         }

@@ -169,8 +169,11 @@ object PipelineQueries {
     "q_bpe_tokens" -> ((s, dir) =>
       graft.dedup.Dedup.widen(t(s, dir, "documents"))
         .select(col("doc_id"),
-          graft.text.Bpe.tokenCount(col("text"), bpeMergesFor(s, dir))
-            .as("n_bpe"))),
+          // coalesce: NULL text must count 0 on BOTH sides (the oracle's
+          // LEFT JOIN + coalesce(SUM,0) already does) — without it the
+          // contract would diverge on null-text inputs
+          coalesce(graft.text.Bpe.tokenCount(col("text"), bpeMergesFor(s, dir)),
+            lit(0L)).as("n_bpe"))),
     // Gopher rule filter (Rae et al. 2021 A1.1): per-rule measurements +
     // keep conjunction, one narrow codegen pass, every double a single
     // integer divide — replayed bit-exactly by the oracle. The corpus

@@ -90,6 +90,22 @@ object StreamQueries {
         .select(col("key").as("user_id"), col("startId").as("start_id"),
           col("endId").as("next_id"))
     }),
+    // -- #42 CEP any_match: completed starts stay live until WITHIN expiry --
+    "q_stream_cep_any" -> ((s, dir) => {
+      import s.implicits._
+      val evs = eventStream(s, dir).select(
+          col("user_id").as("key"),
+          unix_micros(col("ts")).as("tsMicros"),
+          col("event_type").as("etype"),
+          col("event_id").as("id"),
+          col("value"))
+        .as[graft.cep.Matcher.Event]
+      val m = Streams.streamMatchSeq(evs, "signup", "purchase",
+        withinMicros = 3600L * 1000000L, mode = "skip_till_any_match")
+      runBounded(m.toDF(), "q_stream_cep_any_sink", OutputMode.Append())
+        .select(col("key").as("user_id"), col("startId").as("start_id"),
+          col("endId").as("next_id"))
+    }),
     // -- streaming dedup: distinct (user, type) keys off the stream ---------
     "q_stream_dedup" -> ((s, dir) => {
       // exact-variant bounded run; the watermarked production variant
@@ -162,6 +178,15 @@ object StreamQueries {
             AND epoch(b.ts) - epoch(a.ts) <= 3600
            WHERE a.event_type = 'signup' AND b.event_type = 'purchase')
          SELECT user_id, start_id, next_id FROM cand WHERE rn = 1""",
+    // any_match: a start matches EVERY strictly-later purchase within 1h
+    // (the batch fork semantics — no rn = 1 first-only filter)
+    "q_stream_cep_any" ->
+      """SELECT a.user_id, a.event_id AS start_id, b.event_id AS next_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND b.ts > a.ts
+          AND epoch(b.ts) - epoch(a.ts) <= 3600
+         WHERE a.event_type = 'signup' AND b.event_type = 'purchase'""",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // append-mode emission bound: a session emits iff its end (last

@@ -202,18 +202,19 @@ object Similarity {
     // and NPE the driver-side k-means on .toArray
     val vecs = corpus.select(col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
       .where(col("cv").isNotNull)
-    // a REAL seeded sample: fraction derived from the corpus count
-    // (sample(1.0).limit(n) would just take the head rows in partition
-    // order — clustered corpora would train centroids on one region)
-    val total = math.max(1L, vecs.count())
-    val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / total)
-    // the 1.2× overshoot is trimmed AFTER an order-normalizing seeded-
-    // hash sort — a bare limit() takes rows in partition order, which
-    // would drop the trim entirely from tail partitions (regional bias
-    // on clustered corpora, the exact thing the fraction sample avoids)
-    vecs.sample(withReplacement = false, fraction, seed)
-      .sort(xxhash64(to_json(col("cv"))))
+    // ONE corpus pass: the sampleSize smallest seed-salted hashes.
+    // sort+limit is TakeOrderedAndProject (per-partition top-k, driver
+    // merge of ≤ numPartitions×sampleSize candidates), hash order is
+    // pseudorandom w.r.t. any data clustering so this is a uniform
+    // seeded sample — unlike a bare limit() (head rows in partition
+    // order → regional bias) or the previous count()-derived Bernoulli
+    // fraction, which cost an extra full scan just to size itself.
+    // canonical (content-lexicographic) order after collect: k-means
+    // init shuffles the sample by seeded index, so training must depend
+    // only on the sample SET, not on the hash order it arrived in
+    vecs.sort(xxhash64(lit(seed), to_json(col("cv"))))
       .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+      .sortBy(_.mkString(","))
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,

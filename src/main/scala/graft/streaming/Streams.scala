@@ -298,16 +298,17 @@ object Streams {
                      withinMicros: Long,
                      stateTtlMs: Long = 0L,
                      mode: String = "skip_till_next_match"): Dataset[SeqMatch] = {
-    // subset of the batch Matcher.matchSeq mode surface. NOTE
-    // skip_till_any_match is NOT equivalent here and must stay rejected:
-    // the batch engine keeps the ORIGINAL partial open after a
-    // completion (s@0,p@10,p@20 emits (s,p10) AND (s,p20)), while this
-    // scan clears each start after its first end — supporting any_match
-    // means keeping completed starts live until WITHIN expiry
-    require(mode == "skip_till_next_match" || mode == "first_match" ||
-        mode == "contiguity_match",
+    // full batch Matcher.matchSeq mode surface (2-step SEQ shape).
+    // skip_till_any_match: the batch engine keeps the ORIGINAL partial
+    // open after a completion (s@0,p@10,p@20 emits (s,p10) AND (s,p20)),
+    // so here a completed start stays LIVE until its WITHIN horizon
+    // expires — state is still bounded by the horizon (the filter at the
+    // top of the scan) plus the processing-time TTL for keys that go
+    // quiet, exactly the state contract of the other modes.
+    require(graft.cep.Matcher.supportedModes.contains(mode),
       s"unsupported streaming MATCH_EVENT mode '$mode' — supported: " +
-        "contiguity_match, first_match, skip_till_next_match")
+        graft.cep.Matcher.supportedModes.toSeq.sorted.mkString(", "))
+    val anyMatch = mode == "skip_till_any_match"
     val firstMatch = mode == "first_match"
     val contiguity = mode == "contiguity_match"
     val spark = events.sparkSession
@@ -340,7 +341,10 @@ object Streams {
                   starts.partition { case (_, ts) => ts < e.tsMicros }
                 eligible.foreach { case (sid, _) => out += SeqMatch(key, sid, e.id) }
                 completedHere = eligible.nonEmpty
-                starts = sameTs // each start matches its first B only
+                // next/first_match: each start matches its first B only;
+                // any_match: completed starts STAY OPEN (they match every
+                // later B until WITHIN expiry — the batch fork semantics)
+                if (!anyMatch) starts = sameTs
               } else if (contiguity) {
                 // strict contiguity (batch-engine parity): any visible
                 // event that is not the awaited end KILLS the partial;

@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   * (higher rank) — so the chosen pair stays the lowest-rank pair until
   * exhausted. The oracle replays the single-merge form; the engine
   * runs the all-at-once form.
+  *
+  * Whitespace-class caveat: words are split with Java's `\s+` while the
+  * DuckDB oracle splits with RE2's `\s+`; the two classes agree on
+  * space/tab/newline/CR/FF but differ on `\x0B` (vertical tab) and some
+  * Unicode spaces. Cross-engine exactness therefore assumes input whose
+  * whitespace is limited to the common subset (true of the test corpus;
+  * normalize exotic whitespace to spaces first if that cannot be
+  * guaranteed).
   */
 object Bpe {
 
@@ -97,15 +105,16 @@ object Bpe {
   }
 
   /** Bounded seeded sample of text values (the
-    * [[graft.sim.Similarity.seededSampleVecs]] recipe for strings). */
+    * [[graft.sim.Similarity.seededSampleVecs]] recipe for strings):
+    * one corpus pass — the sampleSize smallest seed-salted hashes via
+    * TakeOrderedAndProject. Hash order is pseudorandom w.r.t. content,
+    * so this is a uniform seeded sample without the extra count() scan
+    * a Bernoulli fraction would need to size itself. */
   private def sampleTexts(docs: DataFrame, textCol: String,
                           sampleSize: Int, seed: Long): Array[String] = {
-    val txts = docs.select(col(textCol).cast("string").as("t"))
+    docs.select(col(textCol).cast("string").as("t"))
       .where(col("t").isNotNull)
-    val total = math.max(1L, txts.count())
-    val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / total)
-    txts.sample(withReplacement = false, fraction, seed)
-      .sort(xxhash64(col("t")))
+      .sort(xxhash64(lit(seed), col("t")))
       .limit(sampleSize).collect().map(_.getString(0))
   }
 

@@ -75,6 +75,19 @@ class CepDifferentialSpec extends SparkSpec {
     out.result()
   }
 
+  /** Independent model of skip_till_any_match for the 2-step shape:
+    * every s matches EVERY p strictly later within the horizon (the
+    * fork semantics — completed starts stay live until WITHIN expiry). */
+  private def anyModel(events: Seq[Matcher.Event],
+                       within: Long): Set[(Long, Long)] = {
+    (for {
+      (_, evs) <- events.groupBy(_.key).toSeq
+      s <- evs if s.etype == "s"
+      p <- evs if p.etype == "p" &&
+        p.tsMicros > s.tsMicros && p.tsMicros - s.tsMicros <= within
+    } yield (s.id, p.id)).toSet
+  }
+
   test("batch matchSeq contiguity_match equals the in-memory model on " +
       "random streams") {
     for (seed <- 1 to 8) {
@@ -111,7 +124,7 @@ class CepDifferentialSpec extends SparkSpec {
   test("streaming scan equals batch across random batch boundaries") {
     for (seed <- 3 to 5;
          mode <- Seq("skip_till_next_match", "first_match",
-           "contiguity_match")) {
+           "contiguity_match", "skip_till_any_match")) {
       val evs = randomEvents(seed, 60)
       val within = 8L * 1000000L
       implicit val sqlCtx = spark.sqlContext
@@ -133,9 +146,11 @@ class CepDifferentialSpec extends SparkSpec {
       val got = spark.table(tbl)
         .as[Streams.SeqMatch].collect().map(m => (m.startId, m.endId)).toSet
       q.stop()
-      val want =
-        if (mode == "contiguity_match") contiguityModel(evs, within)
-        else model(evs, within, mode == "first_match")
+      val want = mode match {
+        case "contiguity_match" => contiguityModel(evs, within)
+        case "skip_till_any_match" => anyModel(evs, within)
+        case m => model(evs, within, m == "first_match")
+      }
       assert(got == want, s"seed=$seed mode=$mode")
     }
   }
