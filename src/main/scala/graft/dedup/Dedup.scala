@@ -114,6 +114,22 @@ object Dedup {
   def minhashSignature(hashedShingleCol: Column, k: Int = 32): Column =
     graft.functions.ShingleExpressions.minhash(hashedShingleCol, k)
 
+  /** (id, band, bh) banded MinHash signatures of a hashed-shingle frame —
+    * the LSH bucket table [[minhashLsh]] self-joins, exposed so the
+    * incremental path ([[Incremental]]) buckets a delta shard with the
+    * EXACT same signature/band formula as the batch path (any drift would
+    * silently lose cross-shard candidates). Metadata-only rows: the
+    * shingle arrays never ride this frame. */
+  private[dedup] def bandedSignatures(sh: DataFrame, numHashes: Int,
+                                      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
+          .as(Seq("band", "bh")))
+  }
+
   /** MinHash+LSH near-duplicate pairs.
     *
     * bands×rows decomposition of the signature: docs sharing ANY band
@@ -128,20 +144,16 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "integer division would silently drop trailing permutations from every band")
-    val rows = numHashes / bands
     // sh feeds three plan branches (both band-join sides + the refine);
     // persist it — a few bytes per shingle — or every branch re-tokenizes
     // the corpus and re-compiles the signature codegen
     val sh = graft.core.Intermediates.track(
       hashedShingleDF(df, idCol, textCol, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
     // band hash per signature slice; the band join is METADATA-ONLY —
     // (id, band, bh) rows, never the shingle arrays (8× array replication
     // through the exchange otherwise; same late-fetch rule as multimodal)
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bh")))
+    val banded = bandedSignatures(sh, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Intermediates.track(banded)
     // alias self-join over the persisted bands: each side reads the cache

@@ -564,6 +564,33 @@ object PipelineQueries {
     // the PRODUCTION preset (6 bands — Dedup.embeddingCosine defaults) is
     // benchmarked separately via benchOnly: same shape, half the band
     // passes; its recall contract is spec'd, not oracled
+    // -- incremental dedup (append path): index old, fold in a delta shard --
+    // exact: base = the originals, Δ = the verbatim copies; the folded
+    // index must equal full-corpus exact dedup (the equivalence contract
+    // — the oracle IS the q_dedup_exact SQL over the whole corpus, so a
+    // fold that dropped/duplicated any fp group hash-fails)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      graft.dedup.Incremental.exactAppend(
+        graft.dedup.Incremental.exactIndex(docs, "doc_id", "text"),
+        delta, "doc_id", "text")
+    }),
+    // minhash: base = originals, Δ = the near-dup copies; the append
+    // step must emit exactly the pairs with ≥1 Δ side (old–old pairs
+    // belong to the index build). Same banding/threshold as
+    // q_dedup_minhash, so its oracle-equality argument carries over;
+    // the oracle restricts the brute-force pair set to Δ-touching pairs.
+    "q_dedup_incr_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = plantedDocs(t(s, dir, "documents"))
+        .where(col("doc_id") >= 1000000L)
+      val idx = graft.dedup.Incremental.minhashIndex(docs, "doc_id", "text",
+        numHashes = 48, bands = 16, shingleN = 3)
+      graft.dedup.Incremental.minhashAppend(idx, delta, "doc_id", "text",
+        numHashes = 48, bands = 16, threshold = 0.5, shingleN = 3)._1
+    }),
     "q_dedup_semantic" -> ((s, dir) =>
       // SemDeDup: cluster-scoped pairs under the SAME memoized quantizer
       // as q_ann_ivf; the oracle replays assignment (centroid literals,
@@ -2086,6 +2113,20 @@ object PipelineQueries {
            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
                   min(doc_id) AS keep_id, count(*) AS dup_cnt
            FROM planted WHERE text IS NOT NULL GROUP BY 1""",
+      // incremental exact dedup: the folded index must equal the
+      // full-corpus dedup — same SQL as q_dedup_exact
+      "q_dedup_incremental" ->
+        """WITH planted AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 1000000, text FROM documents)
+           SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                  min(doc_id) AS keep_id, count(*) AS dup_cnt
+           FROM planted WHERE text IS NOT NULL GROUP BY 1""",
+      // incremental minhash: all full-corpus pairs touching the delta
+      // shard (ids >= 1e6); id_a < id_b makes that id_b >= 1e6
+      "q_dedup_incr_minhash" ->
+        s"""SELECT * FROM (${jaccardPairsSql(n = 3, threshold = 0.5)})
+            WHERE id_b >= 1000000""",
       "q_decontaminate_fuzzy" ->
         fuzzyDecontaminateSql(n = 3, threshold = 0.5),
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),

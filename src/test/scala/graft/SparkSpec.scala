@@ -8,7 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * getOrCreate reuses it across suites, keeping `sbt test` fast). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
-  def sfDir = "/root/testdata/sf0.001"
+  // overridable so plan-shape suites (PlanAuditSpec) can re-assert
+  // against scaled data (ScaleBench's target/scale10) — "no plan flips
+  // at 10× data" is part of the scale-stress evidence
+  def sfDir = sys.env.getOrElse("SPARK_GRAFT_TEST_SF_DIR",
+    "/root/testdata/sf0.001")
 }
 
 object SparkSpec {
