@@ -80,6 +80,15 @@ object PipelineQueries {
   private val PqK = 16
   private val AnnK = 10
 
+  /** With `SPARK_GRAFT_MODEL_DIR` set, trained artifacts round-trip
+    * through the content-addressed [[graft.core.ModelStore]]: a later
+    * process over the same data LOADS instead of retraining (the
+    * production train-once contract). Unset — the driver's gate — every
+    * process trains fresh; either way the in-process memo below
+    * guarantees query/oracle identity, and the store's exact double
+    * round-trip guarantees load ≡ train. */
+  private def modelDir: Option[String] = sys.env.get("SPARK_GRAFT_MODEL_DIR")
+
   /** IVF centroids memoized per sfDir: the query execution and the oracle
     * generation (later in the same Verify process) must use the IDENTICAL
     * doubles. Training is deterministic anyway (seeded sample, fixed
@@ -91,7 +100,10 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") >= 5)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.ivfCentroids(corpus, nCells = IvfCells, seed = LshSeed)
+      def train = Similarity.ivfCentroids(corpus, nCells = IvfCells,
+        seed = LshSeed)
+      modelDir.fold(train)(md => graft.core.ModelStore.cachedCentroids(
+        md, s"ivf-$IvfCells-$LshSeed", corpus)(train))
     })
 
   /** PQ codebooks, memoized per sfDir for the same query/oracle-identity
@@ -103,7 +115,10 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") >= 5)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      graft.sim.Pq.trainCodebooks(corpus, m = PqM, k = PqK, seed = LshSeed)
+      def train = graft.sim.Pq.trainCodebooks(corpus, m = PqM, k = PqK,
+        seed = LshSeed)
+      modelDir.fold(train)(md => graft.core.ModelStore.cachedCodebooks(
+        md, s"pq-$PqM-$PqK-$LshSeed", corpus)(train))
     })
 
   /** Residual PQ codebooks (trained on v − coarse[cell]), memoized. */
@@ -115,8 +130,10 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") >= 5)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      graft.sim.Pq.residualCodebooks(corpus, ivfCentroidsFor(s, dir),
-        m = PqM, k = PqK, seed = LshSeed)
+      def train = graft.sim.Pq.residualCodebooks(corpus,
+        ivfCentroidsFor(s, dir), m = PqM, k = PqK, seed = LshSeed)
+      modelDir.fold(train)(md => graft.core.ModelStore.cachedCodebooks(
+        md, s"pqres-$PqM-$PqK-$IvfCells-$LshSeed", corpus)(train))
     })
 
   /** BPE merges, memoized per sfDir (same query/oracle-identity reason
@@ -125,9 +142,13 @@ object PipelineQueries {
   private val bpeCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
   def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpeCache.getOrElseUpdate(dir,
-      graft.text.Bpe.train(t(s, dir, "documents"), "text",
-        numMerges = BpeMerges, seed = LshSeed))
+    bpeCache.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+      def train = graft.text.Bpe.train(docs, "text",
+        numMerges = BpeMerges, seed = LshSeed)
+      modelDir.fold(train)(md => graft.core.ModelStore.cachedMerges(
+        md, s"bpe-$BpeMerges-$LshSeed", docs)(train))
+    })
 
   private val enStop = TextOps.enStopwords
 
