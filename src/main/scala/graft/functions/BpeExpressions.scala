@@ -44,6 +44,10 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   private def encodeWord(w: String): Array[String] = {
     val cache = memo.get()
     val hit = cache.get(w)
+    if (BpeEncode.statsEnabled) {
+      (if (hit != null) BpeEncode.memoHits else BpeEncode.memoMisses)
+        .incrementAndGet()
+    }
     if (hit != null) return hit
     var syms = graft.text.Bpe.splitWord(w)
     var continue = true
@@ -83,6 +87,17 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
+}
+
+/** Opt-in memo instrumentation (spec support): the per-thread word memo
+  * is the reason encode cost tracks DISTINCT words, not occurrences —
+  * the hit-rate spec measures that on real corpus text. One volatile
+  * read per word when disabled. */
+object BpeEncode {
+  @volatile var statsEnabled = false
+  val memoHits = new java.util.concurrent.atomic.AtomicLong
+  val memoMisses = new java.util.concurrent.atomic.AtomicLong
+  def resetStats(): Unit = { memoHits.set(0L); memoMisses.set(0L) }
 }
 
 object BpeExpressions {

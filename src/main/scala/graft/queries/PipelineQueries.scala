@@ -729,8 +729,34 @@ object PipelineQueries {
         coarse = ivfCentroidsFor(s, dir),
         codebooks = pqCodebooksFor(s, dir), nProbe = IvfProbe)
         .select(col("qid"), col("id"), col("rank"))
-    })
+    }),
+    // production-vocabulary BPE: numMerges = 32768 (a real tokenizer's
+    // merge budget). Correctness at scale is the same code path as the
+    // oracled 200-merge q_bpe_tokens; this row proves the ENCODE cost
+    // does not degrade with vocab size — encodeWord's per-merge rescan
+    // is O(symbols) with merges applied ≤ len(word), independent of the
+    // table size, and the memo amortizes it per DISTINCT word. Training
+    // stops early when the sample's pair universe is exhausted (every
+    // word one symbol), so the learned table is min(32768, exhaustion).
+    "q_bpe_tokens_32k" -> ((s, dir) =>
+      graft.dedup.Dedup.widen(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          coalesce(graft.text.Bpe.tokenCount(col("text"),
+            bpeMerges32kFor(s, dir)), lit(0L)).as("n_bpe")))
   )
+
+  /** 32k-merge BPE table, memoized per sfDir (benchOnly — the encode
+    * path is identical to [[bpeMergesFor]]'s, only the table grows). */
+  private val bpe32kCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  def bpeMerges32kFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpe32kCache.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+      def train = graft.text.Bpe.train(docs, "text",
+        numMerges = 32768, seed = LshSeed)
+      modelDir.fold(train)(md => graft.core.ModelStore.cachedMerges(
+        md, s"bpe-32768-$LshSeed", docs)(train))
+    })
 
   // ======================= oracle SQL builders ==============================
 

@@ -107,6 +107,61 @@ class BpeSpec extends SparkSpec {
     assert(ids2.contains(0), ids2.toString)
   }
 
+  test("production-vocab (32k-budget) table: training exhausts the " +
+      "sample's pair universe, encode still equals the model, and a word " +
+      "costs at most len(word) merges regardless of table size") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val big = Bpe.train(docs, "text", numMerges = 32768)
+    // the sample's pair universe is finite: training must stop at
+    // exhaustion (every sampled word one symbol), well under the budget
+    assert(big.nonEmpty && big.length < 32768,
+      s"expected early exhaustion, got ${big.length} merges")
+    // clean-room model with the big table on real corpus words: vocab
+    // size must not change WHAT encode computes
+    val rank = big.zipWithIndex.toMap
+    def model(word: String): Seq[String] = {
+      var syms = word.codePoints().toArray.toSeq
+        .map(cp => new String(Character.toChars(cp))) :+ "</w>"
+      var done = false
+      while (!done && syms.length > 1) {
+        val cands = syms.zip(syms.tail).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (cands.isEmpty) done = true
+        else {
+          val (_, i) = cands.min
+          syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+        }
+      }
+      syms
+    }
+    val words = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(col("w") =!= "").distinct().as[String].collect().take(200)
+    val got = words.toSeq.toDF("w")
+      .select(col("w"), Bpe.encode(col("w"), big).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach(w => assert(got(w) == model(w), s"word '$w'"))
+  }
+
+  test("the per-thread word memo hits on repeated words (Zipfian corpus: " +
+      "encode cost tracks distinct words, not occurrences)") {
+    import graft.functions.BpeEncode
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    BpeEncode.resetStats()
+    BpeEncode.statsEnabled = true
+    try {
+      docs.select(Bpe.tokenCount(col("text"), merges).as("n"))
+        .agg(sum(col("n"))).collect()
+    } finally BpeEncode.statsEnabled = false
+    val hits = BpeEncode.memoHits.get()
+    val misses = BpeEncode.memoMisses.get()
+    assert(hits + misses > 0, "no words encoded?")
+    val rate = hits.toDouble / (hits + misses)
+    // natural text repeats words heavily; even at sf0.001 with 4 test
+    // threads (each with its own memo) well over half the occurrences
+    // must be memo hits
+    assert(rate > 0.5, s"memo hit rate $rate (hits=$hits misses=$misses)")
+  }
+
   test("tokenCount sums words; empty and whitespace-only docs count 0") {
     val out = Seq((1L, "the the"), (2L, ""), (3L, "   "))
       .toDF("doc_id", "text")
