@@ -235,6 +235,42 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL MJPEG AVI per id: video `i` carries
+    * `1 + i % 5` solid-color JPEG frames at `(16 + (i%3)·8) ×
+    * (8 + (i%2)·8)` pixels, 40 ms/frame (25 fps) in the avih header.
+    * Every layout fact is pure id arithmetic, so a DuckDB oracle can
+    * replay the CONTAINER-STRUCTURAL outputs of a decode pipeline
+    * (frame indices, true decoded dimensions) without a SQL JPEG codec —
+    * the pixel-content features stay spec-asserted (AviSpec) instead.
+    * Encoding runs per-partition; payloads never shuffle. */
+  def plantedMjpegAssets(ids: Dataset[java.lang.Long]): Dataset[Asset] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.filter(_ != null).map(_.longValue()).mapPartitions { it =>
+      it.map { id =>
+        val w = 16 + (id % 3).toInt * 8
+        val h = 8 + (id % 2).toInt * 8
+        val n = 1 + (id % 5).toInt
+        val frames = (0 until n).map { fi =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try {
+            g.setColor(new java.awt.Color(
+              ((id * 37 + fi * 11) % 256).toInt, 0, 0))
+            g.fillRect(0, 0, w, h)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          if (!javax.imageio.ImageIO.write(img, "jpg", out))
+            sys.error("ImageIO: no JPEG writer")
+          out.toByteArray
+        }
+        Asset(id, "video", Avi.build(frames, w, h, microSecPerFrame = 40000L),
+          "avi", w, h, durationMs = n * 40L)
+      }
+    }
+  }
+
   /** Batched decode: per-partition iterator so decoder init happens once
     * per task, not per row (the mapInPandas batching contract). */
   def decodeFeatures(assets: Dataset[Asset],

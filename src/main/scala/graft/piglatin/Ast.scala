@@ -180,4 +180,26 @@ object Ast {
                                  pointSize: Option[Int], width: Int,
                                  height: Int,
                                  pointsOnly: Boolean = false) extends Stmt
+
+  // ---- graft dialect: LLM-data-curation statements (no reference
+  // analog — the headline dedup/quality/tokenize layer, scriptable) ----------
+  /** `b = DEDUP a BY id, content USING method(k=v, …)` — returns the
+    * input minus all but one representative per duplicate group.
+    * Methods: exact | minhash | simhash | jaccard | cosine | semantic
+    * (content = text column for the first four, embedding column for
+    * cosine/semantic). */
+  final case class DedupStmt(alias: String, in: String, idField: String,
+                             contentField: String, method: String,
+                             params: Map[String, String]) extends Stmt
+  /** `b = QUALITY a BY text [USING gopher]` — appends `quality` (score
+    * in 0..1) or, USING gopher, the rule-filter `keep` boolean. */
+  final case class QualityStmt(alias: String, in: String, field: String,
+                               method: String) extends Stmt
+  /** `b = TOKENIZE_DOCS a BY text [USING bpe(merges=…, sample=…,
+    * seed=…)]` — appends `tokens` (array<string>): whitespace tokens by
+    * default, learned-BPE tokens with USING bpe (merges trained on the
+    * input's seeded sample, the quantizer regime). */
+  final case class TokenizeStmt(alias: String, in: String, field: String,
+                                method: String,
+                                params: Map[String, String]) extends Stmt
 }

@@ -31,6 +31,11 @@ class PigCompiler(spark: SparkSession) {
                               keyExprs: Seq[Expr] = Nil)
 
   private val env = scala.collection.mutable.LinkedHashMap.empty[String, Rel]
+  /** TOKENIZE_DOCS … USING bpe merge tables, memoized per (input, field,
+    * params) — Rel thunks re-evaluate per reference and training must
+    * not re-run per DUMP/STORE of the same alias. */
+  private val bpeMergeMemo =
+    scala.collection.mutable.Map.empty[(String, String, String), Seq[(String, String)]]
   /** side-effect outputs of STORE statements: path → df */
   val stored = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
   /** registered Scala table functions for STREAM THROUGH */
@@ -1079,6 +1084,87 @@ class PigCompiler(spark: SparkSession) {
       val df = relation(in)
       env(a) = Rel(() => graft.core.Pipe(df).skyline(
         dims.map(_._1), maximize = dims.filter(_._2).map(_._1).toSet).df)
+
+    case DedupStmt(a, in, idF, cF, method, p) =>
+      // LLM dedup layer, scriptable: every method returns the INPUT
+      // RELATION minus all but one representative (min id) per duplicate
+      // group — the curation contract of Dedup.semanticDedup, applied
+      // uniformly. Near-dup pair sets cluster via connectedComponents.
+      val df = relation(in)
+      def intP(k: String, d: Int) = p.get(k).map(_.toInt).getOrElse(d)
+      def dblP(k: String, d: Double) = p.get(k).map(_.toDouble).getOrElse(d)
+      import graft.dedup.Dedup
+      env(a) = Rel(() => method match {
+        case "exact" =>
+          // winners: rows whose id IS the group's keep_id; null-content
+          // rows are unknown content, not duplicates — they pass through
+          val idx = Dedup.exact(df, idF, cF)
+            .select(col("fp").as("__fp"), col("keep_id"))
+          df.where(col(cF).isNotNull)
+            .withColumn("__fp", graft.text.TextOps.fingerprint(col(cF)))
+            .join(idx, Seq("__fp"))
+            .where(col(idF) === col("keep_id"))
+            .drop("__fp", "keep_id")
+            .unionByName(df.where(col(cF).isNull))
+        case m =>
+          val pairs = m match {
+            case "minhash" => Dedup.minhashLsh(df, idF, cF,
+              numHashes = intP("numhashes", 32), bands = intP("bands", 8),
+              threshold = dblP("threshold", 0.7), shingleN = intP("n", 3))
+            case "simhash" => Dedup.simhashPairs(
+              Dedup.simhash(df, idF, cF), maxDist = intP("maxdist", 3))
+            case "jaccard" => Dedup.ngramJaccard(df, idF, cF,
+              n = intP("n", 3), threshold = dblP("threshold", 0.6),
+              maxDocFreq = intP("maxdocfreq", 100))
+            case "cosine" => Dedup.embeddingCosine(df, idF, cF,
+              threshold = dblP("threshold", 0.95),
+              planes = intP("planes", 10), bands = intP("bands", 6))
+            case "semantic" =>
+              val cents = graft.sim.Similarity.ivfCentroids(
+                df.select(col(idF).as("id"), col(cF).as("vec")),
+                nCells = intP("cells", 16),
+                seed = p.get("seed").map(_.toLong).getOrElse(42L))
+              Dedup.semanticPairs(df, idF, cF, cents,
+                threshold = dblP("threshold", 0.95))
+            case other => sys.error(s"unknown DEDUP method '$other' — " +
+              "expected exact, minhash, simhash, jaccard, cosine or semantic")
+          }
+          val drop = Dedup.connectedComponents(
+              pairs.select(col("id_a"), col("id_b")))
+            .where(col("id") =!= col("label")).select(col("id").as(idF))
+          df.join(drop, Seq(idF), "left_anti")
+      })
+
+    case QualityStmt(a, in, f, method) =>
+      val df = relation(in)
+      env(a) = Rel(() => method match {
+        case "score" | "quality" =>
+          df.withColumn("quality", graft.text.TextOps.qualityScore(col(f)))
+        case "gopher" =>
+          df.withColumn("keep",
+            graft.text.TextOps.gopherRules(col(f)).getField("keep"))
+        case other => sys.error(
+          s"unknown QUALITY method '$other' — expected score or gopher")
+      })
+
+    case TokenizeStmt(a, in, f, method, p) =>
+      val df = relation(in)
+      env(a) = Rel(() => method match {
+        case "whitespace" =>
+          df.withColumn("tokens", graft.text.TextOps.tokens(col(f)))
+        case "bpe" =>
+          // merges train driver-side on the input's seeded sample (the
+          // quantizer regime); the Rel thunk may run more than once, so
+          // the table is memoized via the enclosing lazy
+          df.withColumn("tokens", graft.text.Bpe.encode(col(f),
+            bpeMergeMemo.getOrElseUpdate((in, f, p.toString),
+              graft.text.Bpe.train(df, f,
+                numMerges = p.get("merges").map(_.toInt).getOrElse(200),
+                sampleSize = p.get("sample").map(_.toInt).getOrElse(2048),
+                seed = p.get("seed").map(_.toLong).getOrElse(42L)))))
+        case other => sys.error(
+          s"unknown TOKENIZE_DOCS method '$other' — expected whitespace or bpe")
+      })
 
     case VisualizeStmt(in, field, path, ps, w, h, pointsOnly) =>
       val df = relation(in)

@@ -468,6 +468,37 @@ object PigParser extends RegexParsers {
         val (method, ps) = m.getOrElse("grid" -> Nil)
         PartitionStmt(a, in, p.mkString("."), method, ps) }
 
+  /** `(k=v, …)` parameter list of the LLM-curation statements. */
+  private def llmParams: Parser[Map[String, String]] =
+    opt("(" ~> repsep(ident ~ "=" ~ (number | quoted | ident), ",") <~ ")") ^^
+      (_.map(_.map { case k ~ _ ~ v => k.toLowerCase -> v }.toMap)
+        .getOrElse(Map.empty))
+
+  /** `b = DEDUP a BY doc_id, text USING minhash(threshold=0.5, …)`
+    * (graft dialect — the LLM dedup layer, scriptable). */
+  private def dedupStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("dedup")) ~ ident ~ (kw("by") ~> ident) ~
+      ("," ~> ident) ~ (kw("using") ~> ident) ~ llmParams ^^ {
+      case a ~ in ~ idF ~ cF ~ m ~ p =>
+        DedupStmt(a, in, idF, cF, m.toLowerCase, p) }
+
+  /** `b = QUALITY a BY text [USING gopher]` (graft dialect). */
+  private def qualityStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("quality")) ~ ident ~ (kw("by") ~> ident) ~
+      opt(kw("using") ~> ident) ^^ {
+      case a ~ in ~ f ~ m =>
+        QualityStmt(a, in, f, m.map(_.toLowerCase).getOrElse("score")) }
+
+  /** `b = TOKENIZE_DOCS a BY text [USING bpe(merges=200)]` (graft
+    * dialect; TOKENIZE stays the reference's per-field bag FUNCTION). */
+  private def tokenizeStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("tokenize_docs")) ~ ident ~ (kw("by") ~> ident) ~
+      opt((kw("using") ~> ident) ~ llmParams) ^^ {
+      case a ~ in ~ f ~ m =>
+        TokenizeStmt(a, in, f,
+          m.map(_._1.toLowerCase).getOrElse("whitespace"),
+          m.map(_._2).getOrElse(Map.empty)) }
+
   private def stmt: Parser[Stmt] =
     (load | store | dump | describe | filter | foreach | group | join |
      cross | union | distinctS | limit | orderBy | sample | split | rank |
@@ -475,6 +506,7 @@ object PigParser extends RegexParsers {
      matchEvent | windowStmt | socketRead | socketWrite | rdfLoad | tuplify |
      bgpFilter | spatialFilter | spatialJoin | indexStmt | partitionStmt |
      zipStmt | cacheStmt | delayStmt | skylineStmt | visualizeStmt |
+     dedupStmt | qualityStmt | tokenizeStmt |
      setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

@@ -123,6 +123,18 @@ object MiscQueries {
            grpd = GROUP words BY word;
            cnts = FOREACH grpd GENERATE group AS word, COUNT(words) AS cnt;""",
         "cnts", tables = Map("part" -> t(s, dir, "part")))),
+    // the LLM curation layer from the .pig front end (graft dialect):
+    // exact DEDUP keeps the min-id representative per content group —
+    // every planted verbatim copy must vanish, every original survive
+    "q_pig_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.union(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      PigScript.query(s,
+        """d = DEDUP docs BY doc_id, text USING exact;
+           r = FOREACH d GENERATE doc_id;""",
+        "r", tables = Map("docs" -> planted))
+    }),
 
     // -- RDF (#38–40) ----------------------------------------------------------
     "q_rdf_load" -> ((s, dir) =>
@@ -249,6 +261,16 @@ object MiscQueries {
       """SELECT word, COUNT(*) AS cnt FROM
          (SELECT unnest(string_split_regex(p_name, '[, "]')) AS word FROM part)
          WHERE word <> '' GROUP BY word""",
+    // DEDUP … USING exact keeps min(doc_id) per normalized-content group
+    // (null text passes through — unknown content is not a duplicate)
+    "q_pig_dedup" ->
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         SELECT min(doc_id) AS doc_id FROM planted WHERE text IS NOT NULL
+         GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+         UNION ALL
+         SELECT doc_id FROM planted WHERE text IS NULL""",
     "q_pig_it_aggregate" ->
       s"""SELECT x AS grp, count(y) AS cnt, CAST(sum(y) AS BIGINT) AS sm,
            avg(y) AS av

@@ -585,6 +585,23 @@ object PipelineQueries {
     // the PRODUCTION preset (6 bands — Dedup.embeddingCosine defaults) is
     // benchmarked separately via benchOnly: same shape, half the band
     // passes; its recall contract is spec'd, not oracled
+    // -- #68 multimodal: REAL MJPEG video decode, oracled ------------------
+    // planted AVIs whose layout is pure doc_id arithmetic: the pipeline
+    // (RIFF walk → header frame rate → stride sampling → per-frame REAL
+    // JPEG decode) emits (doc_id, frame_idx, width, height), and width/
+    // height come from the DECODED JPEG raster, not the header — so the
+    // oracle's arithmetic replay only matches if container parsing,
+    // sampling arithmetic and the imageio decode all agree. Pixel-content
+    // features (means, frame counts in features[7]) are exact-value
+    // spec'd in AviSpec; everyMs=80 over 40ms frames ⇒ stride 2.
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val assets = graft.multimodal.Multimodal.plantedMjpegAssets(
+        t(s, dir, "documents").select(col("doc_id")).as[java.lang.Long])
+      graft.multimodal.Multimodal.sampleFrames(assets, everyMs = 80L)
+        .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+          col("width"), col("height"))
+    }),
     // -- incremental dedup (append path): index old, fold in a delta shard --
     // exact: base = the originals, Δ = the verbatim copies; the folded
     // index must equal full-corpus exact dedup (the equivalence contract
@@ -2160,6 +2177,20 @@ object PipelineQueries {
            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
                   min(doc_id) AS keep_id, count(*) AS dup_cnt
            FROM planted WHERE text IS NOT NULL GROUP BY 1""",
+      // MJPEG decode pipeline, structurally replayed: frame dims are the
+      // planted JPEG dims (decode returns the true raster size), sampled
+      // indices are 0..n-1 by stride 2 (80ms over 40ms/frame)
+      "q_video_frames" ->
+        """WITH v AS (
+             SELECT doc_id,
+               16 + (doc_id % 3) * 8 AS w,
+               8 + (doc_id % 2) * 8 AS h,
+               1 + (doc_id % 5) AS n
+             FROM documents)
+           SELECT doc_id,
+             CAST(unnest(range(0, n, 2)) AS BIGINT) AS frame_idx,
+             CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
+           FROM v""",
       // incremental exact dedup: the folded index must equal the
       // full-corpus dedup — same SQL as q_dedup_exact
       "q_dedup_incremental" ->
