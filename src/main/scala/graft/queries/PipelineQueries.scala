@@ -596,8 +596,13 @@ object PipelineQueries {
     // spec'd in AviSpec; everyMs=80 over 40ms frames ⇒ stride 2.
     "q_video_frames" -> ((s, dir) => {
       import s.implicits._
+      // every 4th doc: the decode-pipeline check needs coverage, not
+      // volume — in-query JPEG encode of the planted corpus is the
+      // dominant cost, and the %4 filter is co-prime with the %5/%3/%2
+      // layout arithmetic so frame counts and dims still cycle fully
       val assets = graft.multimodal.Multimodal.plantedMjpegAssets(
-        t(s, dir, "documents").select(col("doc_id")).as[java.lang.Long])
+        t(s, dir, "documents").select(col("doc_id"))
+          .where(col("doc_id") % 4 === 0).as[java.lang.Long])
       graft.multimodal.Multimodal.sampleFrames(assets, everyMs = 80L)
         .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
           col("width"), col("height"))
@@ -2186,7 +2191,7 @@ object PipelineQueries {
                16 + (doc_id % 3) * 8 AS w,
                8 + (doc_id % 2) * 8 AS h,
                1 + (doc_id % 5) AS n
-             FROM documents)
+             FROM documents WHERE doc_id % 4 = 0)
            SELECT doc_id,
              CAST(unnest(range(0, n, 2)) AS BIGINT) AS frame_idx,
              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
