@@ -276,7 +276,20 @@ object Dedup {
     * c = 0.95, ≈ 1 - 6e-6 at c = 0.999; precision is exact (cosine
     * refine). The structural-equality oracle query overrides to 12 bands
     * (miss prob 3e-11 — see q_dedup_cosine's scaladoc); production dedup
-    * should not pay those extra 6 self-join passes. */
+    * should not pay those extra 6 self-join passes.
+    *
+    * SCALE CONTRACT — `planes` must grow with the corpus: the bucket
+    * space is 2^planes per band, so expected bucket occupancy is
+    * n / 2^planes and candidate pairs grow with n² / 2^planes. Size
+    * planes ≈ log₂(n) − log₂(targetBucketSize) (e.g. n = 10⁹, buckets
+    * of ~1000 → planes ≈ 20); recall stays high because band-miss
+    * probability at a tight threshold is (1-(1-p)^planes)^bands with
+    * p = θ/π small. The same rule as SemDeDup's nCells. A corpus whose
+    * DATA contains k-way near-duplicate groups (crawl boilerplate)
+    * inherently emits O(k²) pairs per group regardless of bucketing —
+    * for k beyond a handful, dedup with keep-one semantics
+    * ([[semanticDedup]]'s connectedComponents composition) instead of
+    * enumerating pairs. */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.95, planes: Int = 10,
                       bands: Int = 6, seed: Long = 42L): DataFrame = {
@@ -348,19 +361,28 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Keep-one curation step shared by every near-dup strategy: given
+    * the (id_a, id_b) pair graph any of the pair producers emit, drop
+    * all but one representative (the min id, via
+    * [[connectedComponents]]) per duplicate group. OUTPUT IS LINEAR in
+    * the input — the right terminal op when duplicate groups can be
+    * large (crawl boilerplate), where enumerating a k-way group's
+    * O(k²) pairs is itself the cost. */
+  def keepOne(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** The curation output of [[semanticPairs]]: the input minus all but
     * one representative (the min id, via [[connectedComponents]] on the
     * within-cluster pair graph) per semantic-duplicate group. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Array[Double]],
-                    threshold: Double = 0.95): DataFrame = {
-    val pairs = semanticPairs(df, idCol, vecCol, centroids, threshold)
-      .select(col("id_a"), col("id_b"))
-    val drop = connectedComponents(pairs)
-      .where(col("id") =!= col("label"))
-      .select(col("id").as(idCol))
-    df.join(drop, Seq(idCol), "left_anti")
-  }
+                    threshold: Double = 0.95): DataFrame =
+    keepOne(df, idCol,
+      semanticPairs(df, idCol, vecCol, centroids, threshold))
 
   // ---- connected components (cluster the pair graph) -----------------------
   /** Min-label propagation over a (id_a, id_b) pair graph until fixpoint:

@@ -1129,10 +1129,7 @@ class PigCompiler(spark: SparkSession) {
             case other => sys.error(s"unknown DEDUP method '$other' — " +
               "expected exact, minhash, simhash, jaccard, cosine or semantic")
           }
-          val drop = Dedup.connectedComponents(
-              pairs.select(col("id_a"), col("id_b")))
-            .where(col("id") =!= col("label")).select(col("id").as(idF))
-          df.join(drop, Seq(idF), "left_anti")
+          Dedup.keepOne(df, idF, pairs)
       })
 
     case QualityStmt(a, in, f, method) =>

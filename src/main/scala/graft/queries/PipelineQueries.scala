@@ -752,6 +752,33 @@ object PipelineQueries {
         codebooks = pqCodebooksFor(s, dir), nProbe = IvfProbe)
         .select(col("qid"), col("id"), col("rank"))
     }),
+    // the LSH planes-scaling contract (Dedup.embeddingCosine scaladoc)
+    // demonstrated: planes = 17 gives 131k buckets/band, so bucket
+    // occupancy — and with it the n²/2^planes random-collision
+    // candidate term — stays O(1) per vector up to ~10⁸ vectors, while
+    // band-miss at cosine 0.999 is (1-(1-p)^17)^12 ≈ 1e-8. The 10-plane
+    // default blows up its candidate set ~quadratically at 100× data
+    // (measured: spill-OOM at 400k vectors); THIS row survives it.
+    "q_dedup_cosine_scaled" -> ((s, dir) =>
+      Dedup.embeddingCosine(plantedVecs(t(s, dir, "embeddings")),
+        "vec_id", "embedding", threshold = 0.999, planes = 17, bands = 12)
+        .select(col("id_a"), col("id_b"))),
+    // the SemDeDup nCells-scaling contract (Dedup.semanticPairs
+    // scaladoc: the paper uses 50k clusters at web scale) demonstrated:
+    // 1024 cells keep within-cell pair work Σ|cell|² linear-ish where
+    // the oracled 16-cell preset is quadratic at 100× data
+    "q_dedup_semantic_scaled" -> ((s, dir) => {
+      val vecs = plantedVecs(t(s, dir, "embeddings"))
+      // 1024-cell k-means is ~seconds of driver time — memoized per
+      // dir (the ivfCentroidsFor regime; production persists it via
+      // the ModelStore instead of retraining per job)
+      val cents = semScaledCache.getOrElseUpdate(dir,
+        Similarity.ivfCentroids(vecs.select(col("vec_id").as("id"),
+          col("embedding").as("vec")), nCells = 1024, seed = LshSeed))
+      Dedup.semanticPairs(vecs, "vec_id", "embedding", cents,
+          threshold = 0.999)
+        .select(col("cell"), col("id_a"), col("id_b"))
+    }),
     // production-vocabulary BPE: numMerges = 32768 (a real tokenizer's
     // merge budget). Correctness at scale is the same code path as the
     // oracled 200-merge q_bpe_tokens; this row proves the ENCODE cost
@@ -766,6 +793,11 @@ object PipelineQueries {
           coalesce(graft.text.Bpe.tokenCount(col("text"),
             bpeMerges32kFor(s, dir)), lit(0L)).as("n_bpe")))
   )
+
+  /** 1024-cell centroids for the scaled SemDeDup bench row, memoized
+    * per sfDir. */
+  private val semScaledCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Double]]]
 
   /** 32k-merge BPE table, memoized per sfDir (benchOnly — the encode
     * path is identical to [[bpeMergesFor]]'s, only the table grows). */

@@ -226,17 +226,18 @@ object Similarity {
       ivfCentroids(corpus, nCells, vecCol, seed, sampleSize, iters),
       nProbe, idCol, qidCol, vecCol)
 
-  /** The `n` best cells for a vector by centroid dot product: sort
-    * (neg-dot, idx) pairs ascending, take the idxs — argmin of -dot with
-    * ties to the LOWEST index (the rule every oracle replays). A
-    * when-chain argmax would DOUBLE the expression tree per centroid —
-    * 2^nCells nodes; this stays linear. Shared by IVF search and
-    * semantic (cluster-scoped) dedup. */
-  def probeCells(v: Column, centroids: Seq[Array[Double]], n: Int): Column = {
-    val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-dot(v, lit(c))).as("nd"), lit(i).as("i")) }: _*)
-    slice(transform(array_sort(pairs), p => p.getField("i")), 1, n)
-  }
+  /** The `n` best cells for a vector by centroid dot product — argmin
+    * of -dot with ties to the LOWEST index (the rule every oracle
+    * replays), as ONE native compiled loop per row
+    * ([[graft.functions.NearestCells]]). The previous Column
+    * formulation (array of (-dot, i) structs → array_sort → slice)
+    * evaluated an interpreted HOF dot PER CENTROID per row — invisible
+    * at 16 cells, ~10 s/run at the 1024 cells a scaled SemDeDup needs.
+    * Same values, same tie order (Double.compare total order), same
+    * sequential per-dot summation. Shared by IVF search and semantic
+    * (cluster-scoped) dedup. */
+  def probeCells(v: Column, centroids: Seq[Array[Double]], n: Int): Column =
+    graft.functions.NearestCells(v, centroids, n)
 
   /** IVF search against an already-trained quantizer (centroids shared
     * with recall specs and the correctness oracle). */

@@ -98,6 +98,12 @@ object ScaleBench {
     * skips synthesis when the marker file records the same factor. */
   def synthesize(spark: SparkSession, base: String, scaled: String,
                  factor: Int): Unit = {
+    // the dedup queries plant duplicate ids at +1_000_000; scaled ids
+    // are doc_id·factor + copy and must stay below that offset or the
+    // planted corpus would silently alias two distinct documents
+    require(factor >= 2 && factor <= 100,
+      s"factor must be in [2, 100] (got $factor): scaled ids must stay " +
+        "below the 1e6 planted-duplicate offset used by the dedup queries")
     val dir = java.nio.file.Paths.get(scaled)
     val marker = dir.resolve("_FACTOR")
     if (java.nio.file.Files.exists(marker) &&
@@ -107,30 +113,42 @@ object ScaleBench {
 
     val copies = explode(sequence(lit(0), lit(factor - 1))).as("copy")
 
-    // documents: copy 0 is the original row verbatim (planted dup/near-
-    // dup structure survives); copies 1.. append a copy-specific suffix
-    // so the corpus does not become factor-way exact-duplicated (which
-    // would blow up every dedup group unrepresentatively)
+    // documents: copy 0 is the original row verbatim; copies 1.. suffix
+    // EVERY token with the copy id, so copies are near-duplicates of
+    // NOTHING — neither of the original nor of each other. The corpus
+    // then grows factor× while keeping the near-dup structure the
+    // queries themselves plant (one +1e6 twin per doc), so dedup OUTPUT
+    // stays linear in rows. (The first, suffix-only scheme made all
+    // `factor` copies of a doc MUTUAL near-dups: realistic for crawl
+    // boilerplate, but pair-enumeration output then grows ~factor² —
+    // at factor 100 that is 100-way groups ⇒ ~5000× the pairs, which
+    // is an output-size artifact of the synthesizer, not an engine
+    // property. The committed 10× ledger used the grouped scheme — its
+    // ratios are therefore CONSERVATIVE.)
     val docs = spark.read.parquet(s"$base/documents.parquet")
     docs.select(col("*"), copies)
       .select(
         (col("doc_id") * factor + col("copy")).as("doc_id"),
         when(col("copy") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" copyvariant"), col("copy")))
+          .otherwise(concat_ws(" ", expr(
+            "transform(filter(split(text, '\\\\s+'), t -> t <> ''), " +
+              "t -> concat(t, '_c', copy))")))
           .as("text"),
         col("lang"), col("source"),
-        // preserve whatever n_chars convention the generator used:
-        // original value plus the exact appended-suffix length
         when(col("copy") === 0, col("n_chars"))
-          .otherwise(col("n_chars") +
-            length(concat(lit(" copyvariant"), col("copy").cast("string"))))
+          .otherwise(length(concat_ws(" ", expr(
+            "transform(filter(split(text, '\\\\s+'), t -> t <> ''), " +
+              "t -> concat(t, '_c', copy))"))))
           .as("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
 
-    // embeddings: copies shift the first component by copy·1e-3 — near
-    // neighbors stay near (ANN recall structure preserved), exact-dup
-    // explosion avoided
+    // embeddings: copies shift the first component by copy·0.1 — far
+    // enough that no copy is a 0.999-cosine twin of the original or of
+    // another copy (0.001-style jitter left chains of copies above the
+    // near-dup threshold ⇒ the same output-size blowup as above), while
+    // the planted +1e6 twins the queries add remain the detectable
+    // structure
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     emb.select(col("*"), copies)
       .select(
@@ -138,7 +156,7 @@ object ScaleBench {
         when(col("copy") === 0, col("embedding"))
           .otherwise(expr(
             "transform(embedding, (x, i) -> " +
-              "IF(i = 0, CAST(x + copy * 0.001 AS FLOAT), x))"))
+              "IF(i = 0, CAST(x + copy * 0.1 AS FLOAT), x))"))
           .as("embedding"),
         col("label"))
       .repartition(32)
