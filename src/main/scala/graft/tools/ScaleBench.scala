@@ -143,12 +143,19 @@ object ScaleBench {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
 
-    // embeddings: copies shift the first component by copy·0.1 — far
-    // enough that no copy is a 0.999-cosine twin of the original or of
-    // another copy (0.001-style jitter left chains of copies above the
-    // near-dup threshold ⇒ the same output-size blowup as above), while
-    // the planted +1e6 twins the queries add remain the detectable
-    // structure
+    // embeddings: copy c flips the sign of component i iff bit (i mod 7)
+    // of c is set — a per-copy ±1 Rademacher-style pattern. Distinct
+    // copies (c < 128) get distinct patterns; two copies differing in
+    // one bit disagree on ~1/7 of the energy, so pairwise cosine ≈ 0.71
+    // ≪ the 0.999 threshold, norms are untouched, and directions spread
+    // over 2^7 orthant classes instead of concentrating. (Two earlier
+    // schemes failed instructively: +0.001·c left CHAINS of copies
+    // above 0.999 — quadratic pair output — and +0.1·c made every
+    // high-c copy nearly parallel to e₀, collapsing 800k vectors into
+    // one angular cone that defeated ANY bucket count. Direction
+    // dispersal, not magnitude jitter, is what a scaled LSH corpus
+    // needs.) The queries' own planted +1e-3 twins remain the only
+    // near-dup structure.
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     emb.select(col("*"), copies)
       .select(
@@ -156,7 +163,7 @@ object ScaleBench {
         when(col("copy") === 0, col("embedding"))
           .otherwise(expr(
             "transform(embedding, (x, i) -> " +
-              "IF(i = 0, CAST(x + copy * 0.1 AS FLOAT), x))"))
+              "CAST(IF((shiftright(copy, i % 7) & 1) = 1, -x, x) AS FLOAT))"))
           .as("embedding"),
         col("label"))
       .repartition(32)
