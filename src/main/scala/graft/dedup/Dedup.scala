@@ -290,6 +290,21 @@ object Dedup {
     * for k beyond a handful, dedup with keep-one semantics
     * ([[semanticDedup]]'s connectedComponents composition) instead of
     * enumerating pairs. */
+  /** The planes-sizing rule from the scale contract above, as API:
+    * smallest `planes` keeping expected bucket occupancy ≤
+    * `targetBucketSize` at `corpusRows` vectors (floored at the
+    * 10-plane default). At n = 10⁹ and buckets of 1000 → 20 planes;
+    * band-miss at cosine 0.999 with 6 bands is still < 1e-3, and
+    * callers at tight thresholds should raise `bands` as planes grow
+    * (recall math in [[embeddingCosine]]'s scaladoc). */
+  def planesFor(corpusRows: Long, targetBucketSize: Int = 1000): Int = {
+    require(corpusRows > 0 && targetBucketSize > 0,
+      s"need positive corpusRows/targetBucketSize, got " +
+        s"$corpusRows/$targetBucketSize")
+    math.max(10, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, corpusRows / targetBucketSize)))
+  }
+
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.95, planes: Int = 10,
                       bands: Int = 6, seed: Long = 42L): DataFrame = {

@@ -585,6 +585,27 @@ object PipelineQueries {
     // the PRODUCTION preset (6 bands — Dedup.embeddingCosine defaults) is
     // benchmarked separately via benchOnly: same shape, half the band
     // passes; its recall contract is spec'd, not oracled
+    // Lee et al. 2021-style repeated-substring excision: plant cross-doc
+    // boilerplate (every 7th doc) and a within-doc repeat (every 11th ≡ 3:
+    // its own first 4 tokens re-appended), then remove every duplicated
+    // ≥4-token substring occurrence beyond each gram's global first.
+    // The oracle replays tokenization, gram grouping (joining gram
+    // STRINGS where the engine joins 60-bit md5 hashes — the
+    // decontaminate precedent), the min-(doc,pos) first-occurrence rule,
+    // coverage and in-order reassembly — hash-exact.
+    "q_substring_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"),
+              lit(" shared boilerplate block repeated verbatim across docs")))
+          .otherwise(col("text")))
+      val planted = base.withColumn("text", when(col("doc_id") % 11 === 3,
+          concat_ws(" ", col("text"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 4))))
+        .otherwise(col("text")))
+      graft.text.SubstringDedup.exciseRepeated(planted, "doc_id", "text",
+        k = 4)
+    }),
     // -- #68 multimodal: REAL MJPEG video decode, oracled ------------------
     // planted AVIs whose layout is pure doc_id arithmetic: the pipeline
     // (RIFF walk → header frame rate → stride sampling → per-frame REAL
@@ -2214,6 +2235,50 @@ object PipelineQueries {
            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
                   min(doc_id) AS keep_id, count(*) AS dup_cnt
            FROM planted WHERE text IS NOT NULL GROUP BY 1""",
+      // repeated-substring excision: full replay — plant, tokenize,
+      // 4-gram occurrences, min-(doc,pos) firsts, coverage, reassembly
+      "q_substring_dedup" ->
+        s"""WITH base AS (
+             SELECT doc_id, CASE WHEN doc_id % 7 = 0
+               THEN text || ' shared boilerplate block repeated verbatim across docs'
+               ELSE text END AS text
+             FROM documents),
+           p2 AS (
+             SELECT doc_id, CASE WHEN doc_id % 11 = 3
+               THEN text || ' ' ||
+                 array_to_string(($toksExpr)[1:4], ' ')
+               ELSE text END AS text
+             FROM base),
+           tok AS (SELECT doc_id, $toksExpr AS toks FROM p2),
+           pos AS (SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - 2, 1))) AS p
+                   FROM tok),
+           g AS (SELECT doc_id, p - 1 AS pos,
+                   array_to_string(toks[p:p+3], chr(31)) AS gram
+                 FROM pos),
+           m AS (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gram
+                     ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY gram) AS cnt
+                 FROM g),
+           dup AS (SELECT doc_id, pos FROM m WHERE cnt >= 2 AND rn > 1),
+           cov AS (SELECT DISTINCT doc_id, cpos FROM
+                     (SELECT doc_id, pos + unnest(range(0, 4)) AS cpos
+                      FROM dup)),
+           tp AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                    unnest(toks) AS tok FROM tok),
+           keep AS (SELECT t.doc_id, t.pos, t.tok
+                    FROM tp t LEFT JOIN cov c
+                      ON t.doc_id = c.doc_id AND t.pos = c.cpos
+                    WHERE c.doc_id IS NULL),
+           agg AS (SELECT doc_id,
+                     array_to_string(list(tok ORDER BY pos), ' ')
+                       AS clean_text,
+                     count(*) AS kept
+                   FROM keep GROUP BY doc_id)
+           SELECT k2.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             CAST(len(k2.toks) - coalesce(a.kept, 0) AS BIGINT) AS n_removed
+           FROM tok k2 LEFT JOIN agg a USING (doc_id)""",
       // MJPEG decode pipeline, structurally replayed: frame dims are the
       // planted JPEG dims (decode returns the true raster size), sampled
       // indices are 0..n-1 by stride 2 (80ms over 40ms/frame)

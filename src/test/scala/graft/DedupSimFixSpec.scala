@@ -87,4 +87,17 @@ class DedupSimFixSpec extends SparkSpec {
     val got = df.select(Dedup.jaccard(col("a"), col("b"))).as[Double].collect()
     assert(got.toSeq == Seq(0.5, 0.0, 1.0))
   }
+
+  test("planesFor keeps expected bucket occupancy at or under target") {
+    // 2^planes >= corpus/target at every probe point, floored at 10
+    for (n <- Seq(1L, 1000L, 100000L, 4000000L, 1000000000L, Long.MaxValue);
+         t <- Seq(100, 1000)) {
+      val p = Dedup.planesFor(n, t)
+      assert(p >= 10 && p <= 64, s"n=$n t=$t p=$p")
+      if (p > 10) // above the floor the bound must be tight-ish
+        assert(math.pow(2, p) >= n.toDouble / t, s"n=$n t=$t p=$p")
+    }
+    assert(Dedup.planesFor(1000000000L, 1000) == 20) // the scaladoc example
+    intercept[IllegalArgumentException](Dedup.planesFor(0L))
+  }
 }
