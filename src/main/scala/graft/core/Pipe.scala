@@ -165,6 +165,62 @@ final case class Pipe(df: DataFrame) {
     Pipe(df.withColumn(outCol, assign))
   }
 
+  /** Systematic (low-variance) weighted resampling — the selection step
+    * importance-weighting pipelines (DSIR and particle-filter mixing)
+    * apply after computing integer weights: lay the documents end to
+    * end in `orderCol` order, each occupying an interval of length =
+    * its weight in cumulative-weight space [0, W), and select the k
+    * grid points t_j = (2j+1)·W/(2k). A document's multiplicity is the
+    * number of grid points inside its interval — E[m_i] = k·wᵢ/W
+    * exactly, variance strictly below independent draws, and the whole
+    * construction is INTEGER arithmetic, so it is deterministic and
+    * cross-engine replayable (weights are fx longs, the same regime as
+    * [[graft.text.Dsir]]; no float ordering, no RNG).
+    *
+    * Multiplicity has a closed form — no grid table, no range join:
+    * m = ⌊(2k(c+w)+W−1) / 2W⌋ − ⌊(2kc+W−1) / 2W⌋, with the products in
+    * DECIMAL(38,0) (2k·W can pass 2⁶³; quotients are ≤ k so the `div`
+    * result is a plain long). Scale shape: one distributed prefix sum
+    * ([[Pipe.exclusivePrefixSum]] — range partition + per-partition
+    * window + driver offsets over numPartitions longs) and one narrow
+    * arithmetic pass; the driver never sees rows.
+    *
+    * @param weightFx non-negative integral weights (rows with weight 0
+    *                 are never selected); negative weights fail fast
+    * @param k        number of grid points (Σ multiplicity = k exactly)
+    * @param orderCol total order of the layout (unique key)
+    * @return input rows that received ≥1 grid point, with their
+    *         `multiplicity` (long) appended */
+  def systematicResample(weightFx: Column, k: Int, orderCol: Column): Pipe = {
+    require(k >= 1, s"systematicResample: k must be >= 1, got $k")
+    val clash = df.columns.toSet.intersect(
+      Set("__w", "__c", "__pid", "multiplicity"))
+    require(clash.isEmpty, "systematicResample: input already has " +
+      s"reserved column(s) ${clash.mkString(", ")}")
+    val d = df.withColumn("__w",
+      coalesce(weightFx.cast(org.apache.spark.sql.types.LongType), lit(0L)))
+    val pre = Pipe.exclusivePrefixSum(d, Seq(orderCol.asc), "__w", "__c")
+      .drop("__pid")
+    // one bounded action: total weight + nonnegativity validation (a
+    // silently-negative weight would corrupt every later interval)
+    val row = pre.agg(coalesce(sum(col("__w")), lit(0L)),
+      coalesce(min(col("__w")), lit(0L))).head()
+    val (total, minW) = (row.getLong(0), row.getLong(1))
+    require(minW >= 0, s"systematicResample: negative weight $minW")
+    require(total > 0, "systematicResample: total weight is 0 — nothing selectable")
+    val m2 = expr(
+      s"((CAST(${2L * k} AS DECIMAL(38,0)) * (CAST(__c AS DECIMAL(38,0)) " +
+        s"+ CAST(__w AS DECIMAL(38,0))) + CAST(${total} AS DECIMAL(38,0)) - 1) div " +
+        s"(2 * CAST($total AS DECIMAL(38,0)))) - " +
+      s"((CAST(${2L * k} AS DECIMAL(38,0)) * CAST(__c AS DECIMAL(38,0)) " +
+        s"+ CAST(${total} AS DECIMAL(38,0)) - 1) div " +
+        s"(2 * CAST($total AS DECIMAL(38,0))))")
+    Pipe(pre.withColumn("multiplicity",
+        m2.cast(org.apache.spark.sql.types.LongType))
+      .where(col("multiplicity") >= 1)
+      .drop("__w", "__c"))
+  }
+
   /** reference: op/OrderBy.scala — range-partitioned total sort (scales:
     * each partition sorts locally after the range exchange). */
   def orderByCols(cols: Column*): Pipe = Pipe(df.orderBy(cols: _*))

@@ -585,6 +585,15 @@ object PipelineQueries {
     // the PRODUCTION preset (6 bands — Dedup.embeddingCosine defaults) is
     // benchmarked separately via benchOnly: same shape, half the band
     // passes; its recall contract is spec'd, not oracled
+    // systematic weighted resampling (the DSIR selection step): integer
+    // token-count weights, k=100 grid points over cumulative-weight
+    // space — all integer arithmetic, replayed exactly (windowed
+    // prefix sums + floor-division)
+    "q_sys_resample" -> ((s, dir) =>
+      graft.core.Pipe(t(s, dir, "documents"))
+        .systematicResample(TextOps.tokenCount(col("text")), k = 100,
+          orderCol = col("doc_id"))
+        .df.select(col("doc_id"), col("multiplicity"))),
     // Lee et al. 2021-style repeated-substring excision: plant cross-doc
     // boilerplate (every 7th doc) and a within-doc repeat (every 11th ≡ 3:
     // its own first 4 tokens re-appended), then remove every duplicated
@@ -2235,6 +2244,25 @@ object PipelineQueries {
            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
                   min(doc_id) AS keep_id, count(*) AS dup_cnt
            FROM planted WHERE text IS NOT NULL GROUP BY 1""",
+      // systematic resampling: exclusive prefix sums + the closed-form
+      // grid-point count m = ⌊(2k(c+w)+W−1)/2W⌋ − ⌊(2kc+W−1)/2W⌋ (all
+      // integer; // is DuckDB floor division, exact on positives)
+      "q_sys_resample" ->
+        s"""WITH w AS (SELECT doc_id,
+               CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS wt
+             FROM documents),
+           c AS (SELECT doc_id, wt,
+                   coalesce(SUM(wt) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - wt, 0) AS cum
+                 FROM w),
+           t AS (SELECT SUM(wt) AS tw FROM w)
+           SELECT doc_id, multiplicity FROM (
+             SELECT doc_id,
+               CAST(((200 * (cum + wt) + tw - 1) // (2 * tw)) -
+                    ((200 * cum + tw - 1) // (2 * tw)) AS BIGINT)
+                 AS multiplicity
+             FROM c, t)
+           WHERE multiplicity >= 1""",
       // repeated-substring excision: full replay — plant, tokenize,
       // 4-gram occurrences, min-(doc,pos) firsts, coverage, reassembly
       "q_substring_dedup" ->
