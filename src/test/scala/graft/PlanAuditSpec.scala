@@ -139,4 +139,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("ShuffledHashJoin"), plan.take(2000))
   }
+
+  test("q_sys_resample: the prefix sum never runs a global (unpartitioned) " +
+      "window") {
+    val df = SparkEntry.queries("q_sys_resample")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // exclusivePrefixSum = range partition + per-partition window +
+    // driver offsets; a windowspecdefinition with NO partition columns
+    // (the spec prints the ordering spec right after the '(') would be
+    // the classic single-partition bottleneck
+    plan.linesIterator.filter(_.contains("windowspecdefinition(")).foreach {
+      l => assert(!l.matches(""".*windowspecdefinition\(\s*[a-zA-Z_0-9#]+\s+ASC.*"""),
+        s"unpartitioned window: ${l.take(200)}")
+    }
+    assert(plan.contains("Window"), plan.take(1500))
+  }
+
+  test("q_substring_dedup: gram aggregation is partially aggregated " +
+      "map-side and no exchange ships token text on the gram key") {
+    val df = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the gram-count agg must combine map-side (partial_) before the
+    // 8-byte-key exchange
+    assert(plan.contains("partial_count"), plan.take(2000))
+    // exchanges keyed on the gram hash must not carry the token column
+    val lines = plan.linesIterator.toVector
+    lines.filter(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("__gh")).foreach { l =>
+      assert(!l.contains("__tok#"), s"token text on gram exchange: ${l.take(200)}")
+    }
+  }
 }
