@@ -76,12 +76,26 @@ object Incremental {
                     idCol: String, textCol: String,
                     numHashes: Int = 32, bands: Int = 8,
                     threshold: Double = 0.7,
-                    shingleN: Int = 3): (DataFrame, MinhashIndex) = {
+                    shingleN: Int = 3,
+                    validateDisjoint: Boolean = true): (DataFrame, MinhashIndex) = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val dSh = graft.core.Intermediates.track(
       Dedup.hashedShingleDF(delta, idCol, textCol, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // a delta id already present in the index would silently DUPLICATE
+    // refine rows (two shingle rows per id side) — fail fast instead.
+    // One bounded probe (limit 1 against the id columns); callers that
+    // guarantee disjointness externally can skip it
+    if (validateDisjoint) {
+      val overlap = index.shingles.select(col("id"))
+        .join(dSh.select(col("id")), Seq("id")).limit(1).collect()
+      require(overlap.isEmpty,
+        s"minhashAppend: delta id ${overlap.headOption.map(_.get(0))} " +
+          "already exists in the index — delta shards must carry fresh " +
+          "ids (re-ingestion requires rebuilding or first removing the " +
+          "old rows from the index)")
+    }
     val dBands = graft.core.Intermediates.track(
       Dedup.bandedSignatures(dSh, numHashes, bands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

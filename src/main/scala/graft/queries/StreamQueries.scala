@@ -106,6 +106,25 @@ object StreamQueries {
         .select(col("key").as("user_id"), col("startId").as("start_id"),
           col("endId").as("next_id"))
     }),
+    // -- #42 n-step CEP: 3-step SEQ via the general streaming scan ----------
+    "q_stream_cep3" -> ((s, dir) => {
+      import s.implicits._
+      val evs = eventStream(s, dir).select(
+          col("user_id").as("key"),
+          unix_micros(col("ts")).as("tsMicros"),
+          col("event_type").as("etype"),
+          col("event_id").as("id"),
+          col("value"))
+        .as[graft.cep.Matcher.Event]
+      val m = Streams.streamMatchPattern(evs,
+        Seq("signup", "view", "purchase"),
+        withinMicros = 1800L * 1000000L, mode = "skip_till_any_match")
+      runBounded(m.toDF(), "q_stream_cep3_sink", OutputMode.Append())
+        .select(col("key").as("user_id"),
+          element_at(col("ids"), 1).as("start_id"),
+          element_at(col("ids"), 2).as("mid_id"),
+          element_at(col("ids"), 3).as("end_id"))
+    }),
     // -- streaming dedup: distinct (user, type) keys off the stream ---------
     "q_stream_dedup" -> ((s, dir) => {
       // exact-variant bounded run; the watermarked production variant
@@ -187,6 +206,19 @@ object StreamQueries {
           AND b.ts > a.ts
           AND epoch(b.ts) - epoch(a.ts) <= 3600
          WHERE a.event_type = 'signup' AND b.event_type = 'purchase'""",
+    // 3-step any_match: every strictly-increasing signup→view→purchase
+    // chain whose LATER steps stay within 30min of the signup (the scan
+    // expires a partial before processing each event)
+    "q_stream_cep3" ->
+      """SELECT a.user_id, a.event_id AS start_id, b.event_id AS mid_id,
+           c.event_id AS end_id
+         FROM events a
+         JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts
+           AND epoch(b.ts) - epoch(a.ts) <= 1800
+         JOIN events c ON c.user_id = a.user_id AND c.ts > b.ts
+           AND epoch(c.ts) - epoch(a.ts) <= 1800
+         WHERE a.event_type = 'signup' AND b.event_type = 'view'
+           AND c.event_type = 'purchase'""",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // append-mode emission bound: a session emits iff its end (last

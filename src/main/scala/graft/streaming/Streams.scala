@@ -293,6 +293,89 @@ object Streams {
   case class SeqState(starts: List[(Long, Long)]) // (startId, startMicros)
   case class SeqMatch(key: Long, startId: Long, endId: Long)
 
+  /** State/result of the GENERAL n-step streaming SEQ scan: partials
+    * carry (matched ids REVERSED, next step index, start, last). */
+  case class PatState(partials: List[(List[Long], Int, Long, Long)])
+  case class PatMatch(key: Long, ids: Seq[Long], startMicros: Long,
+                      endMicros: Long)
+
+  /** Arbitrary-length SEQ pattern (type₀ then type₁ … within
+    * `withinMicros`) on a stream — the n-step generalization of
+    * [[streamMatchSeq]], mirroring the batch [[graft.cep.Matcher]]
+    * semantics step for step for all four selection modes (Pos-only
+    * patterns; NEG guards remain batch-only — absence detection on an
+    * unbounded stream needs the WITHIN-horizon delayed emission the
+    * batch scan also rejects). Same ordering contract as
+    * [[streamMatchSeq]]: per-key event-time order must be
+    * non-decreasing across micro-batches. State is bounded by the
+    * WITHIN horizon (expiry on every event) plus the processing-time
+    * TTL for keys that go quiet. */
+  def streamMatchPattern(events: Dataset[graft.cep.Matcher.Event],
+                         types: Seq[String], withinMicros: Long,
+                         stateTtlMs: Long = 0L,
+                         mode: String = "skip_till_next_match"): Dataset[PatMatch] = {
+    require(types.nonEmpty, "streamMatchPattern: empty pattern")
+    require(graft.cep.Matcher.supportedModes.contains(mode),
+      s"unsupported streaming MATCH_EVENT mode '$mode' — supported: " +
+        graft.cep.Matcher.supportedModes.toSeq.sorted.mkString(", "))
+    val anyMatch = mode == "skip_till_any_match"
+    val firstMatch = mode == "first_match"
+    val contiguity = mode == "contiguity_match"
+    val nPos = types.length
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[PatState, PatMatch](
+        OutputMode.Append(), timeoutConf) {
+        case (key, it, state: GroupState[PatState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var open = state.getOption.map(_.partials).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[PatMatch]
+            it.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+              open = open.filter { case (_, _, start, _) =>
+                e.tsMicros - start <= withinMicros }
+              // first_match slot check BEFORE advancing (batch parity:
+              // a completing event cannot itself re-open the slot)
+              val slotFree = open.isEmpty
+              val advanced = scala.collection.mutable.ListBuffer
+                .empty[(List[Long], Int, Long, Long)]
+              open.foreach { case p @ (ids, next, start, last) =>
+                if (types(next) == e.etype && e.tsMicros > last) {
+                  val nids = e.id :: ids
+                  if (nids.length == nPos)
+                    out += PatMatch(key, nids.reverse, start, e.tsMicros)
+                  else
+                    advanced += ((nids, next + 1, start, e.tsMicros))
+                  if (anyMatch) advanced += p // fork: original stays open
+                } else if (!contiguity || e.tsMicros <= last) {
+                  // non-advancing partials survive, except under strict
+                  // contiguity when the event was VISIBLE to them
+                  advanced += p
+                }
+              }
+              open = advanced.toList
+              // step 0 opens a new partial (first_match: only into a
+              // free slot)
+              if ((!firstMatch || slotFree) && types.head == e.etype) {
+                if (nPos == 1)
+                  out += PatMatch(key, Seq(e.id), e.tsMicros, e.tsMicros)
+                else open = (List(e.id), 1, e.tsMicros, e.tsMicros) :: open
+              }
+            }
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(PatState(open))
+              if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   def streamMatchSeq(events: Dataset[graft.cep.Matcher.Event],
                      startType: String, endType: String,
                      withinMicros: Long,

@@ -121,6 +121,70 @@ class CepDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("n-step streaming pattern equals the BATCH ENGINE across random " +
+      "batch boundaries, all four modes (3-step s→x→p)") {
+    val pattern3 = Seq(Matcher.Pos(Matcher.typeIs("s")),
+      Matcher.Pos(Matcher.typeIs("x")), Matcher.Pos(Matcher.typeIs("p")))
+    for (seed <- 3 to 5;
+         mode <- Seq("skip_till_next_match", "first_match",
+           "contiguity_match", "skip_till_any_match")) {
+      val evs = randomEvents(seed, 60)
+      val within = 12L * 1000000L
+      val want = Matcher.matchSeq(
+          evs.toDF("key", "tsMicros", "etype", "id", "value")
+            .withColumn("tsMicros", timestamp_micros(col("tsMicros"))),
+          "key", "tsMicros", "etype", "id", "value", pattern3, within,
+          mode = mode)
+        .select(col("key"), col("ids"))
+        .as[(Long, Seq[Long])].collect().toSet
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Matcher.Event]
+      val tbl = s"cep_pat_${seed}_$mode"
+      val q = Streams.memorySink(
+        Streams.streamMatchPattern(input.toDS(), Seq("s", "x", "p"),
+          within, mode = mode).toDF(), tbl, OutputMode.Append())
+      val rnd = new scala.util.Random(seed + 77)
+      var rest = evs.sortBy(e => (e.tsMicros, e.id))
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(10)
+        input.addData(rest.take(k): _*)
+        rest = rest.drop(k)
+      }
+      q.processAllAvailable()
+      val got = spark.table(tbl).as[Streams.PatMatch].collect()
+        .map(m => (m.key, m.ids)).toSet
+      q.stop()
+      assert(got == want, s"seed=$seed mode=$mode")
+    }
+  }
+
+  test("streamMatchPattern on a 2-step pattern equals streamMatchSeq") {
+    for (mode <- Seq("skip_till_next_match", "first_match",
+        "contiguity_match", "skip_till_any_match")) {
+      val evs = randomEvents(11, 60)
+      val within = 8L * 1000000L
+      implicit val sqlCtx = spark.sqlContext
+      def feed[T](tbl: String,
+                  mk: org.apache.spark.sql.Dataset[Matcher.Event] =>
+                    org.apache.spark.sql.DataFrame): Unit = {
+        val input = MemoryStream[Matcher.Event]
+        val q = Streams.memorySink(mk(input.toDS()), tbl, OutputMode.Append())
+        input.addData(evs.sortBy(e => (e.tsMicros, e.id)): _*)
+        q.processAllAvailable(); q.stop()
+      }
+      feed(s"cep_p2_$mode", ds =>
+        Streams.streamMatchPattern(ds, Seq("s", "p"), within,
+          mode = mode).toDF())
+      feed(s"cep_s2_$mode", ds =>
+        Streams.streamMatchSeq(ds, "s", "p", within, mode = mode).toDF())
+      val pat = spark.table(s"cep_p2_$mode").as[Streams.PatMatch]
+        .collect().map(m => (m.key, m.ids.head, m.ids.last)).toSet
+      val seq = spark.table(s"cep_s2_$mode").as[Streams.SeqMatch]
+        .collect().map(m => (m.key, m.startId, m.endId)).toSet
+      assert(pat == seq, s"mode=$mode")
+    }
+  }
+
   test("streaming scan equals batch across random batch boundaries") {
     for (seed <- 3 to 5;
          mode <- Seq("skip_till_next_match", "first_match",

@@ -55,6 +55,19 @@ class DedupIncrementalSpec extends SparkSpec {
     assert((basePairs ++ appended) == full)
   }
 
+  test("minhash append fails fast when a delta id already exists in " +
+      "the index") {
+    val all = planted
+    val base = all.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val idx = Incremental.minhashIndex(base, "doc_id", "text",
+      numHashes = 48, bands = 16)
+    val err = intercept[IllegalArgumentException] {
+      Incremental.minhashAppend(idx, base.limit(1), "doc_id", "text",
+        numHashes = 48, bands = 16, threshold = 0.5)
+    }
+    assert(err.getMessage.contains("already exists in the index"))
+  }
+
   test("minhash index round-trips through parquet persistence") {
     val all = planted
     val base = all.where(pmod(col("doc_id"), lit(3)) =!= 0)
