@@ -305,6 +305,24 @@ object Dedup {
       math.max(1L, corpusRows / targetBucketSize)))
   }
 
+  /** [[embeddingCosine]] with the bucket space SIZED TO THE CORPUS:
+    * one count() over the id column (trivially cheap next to the dedup
+    * job itself) picks `planes` via [[planesFor]], and `bands` grows
+    * with planes so boundary recall holds — per-band hit (1-p)^planes
+    * shrinks as planes grow, so bands ∝ planes keeps the all-band miss
+    * probability roughly fixed. The production entry point for corpora
+    * whose size isn't known at call-site. */
+  def embeddingCosineAuto(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double = 0.95,
+                          targetBucketSize: Int = 1000,
+                          seed: Long = 42L): DataFrame = {
+    val n = df.select(col(idCol)).count()
+    val planes = planesFor(math.max(1L, n), targetBucketSize)
+    // 6 bands at the 10-plane floor, scaled ∝ planes above it
+    val bands = math.max(6, (6 * planes + 9) / 10)
+    embeddingCosine(df, idCol, vecCol, threshold, planes, bands, seed)
+  }
+
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.95, planes: Int = 10,
                       bands: Int = 6, seed: Long = 42L): DataFrame = {

@@ -100,4 +100,20 @@ class DedupSimFixSpec extends SparkSpec {
     assert(Dedup.planesFor(1000000000L, 1000) == 20) // the scaladoc example
     intercept[IllegalArgumentException](Dedup.planesFor(0L))
   }
+
+  test("embeddingCosineAuto finds planted twins at the sized bucket space") {
+    // 64 base vectors + near-identical twins; the auto sizing must keep
+    // recall (all twin pairs found) at a small corpus (planes floor 10)
+    val rnd = new scala.util.Random(3L)
+    val base = (0L until 64L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian())))
+    val twins = base.map { case (i, v) =>
+      (i + 1000L, v.updated(0, v.head + 1e-6)) }
+    val df = (base ++ twins).toDF("id", "vec")
+    val pairs = Dedup.embeddingCosineAuto(df, "id", "vec",
+        threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    base.foreach { case (i, _) =>
+      assert(pairs.contains((i, i + 1000L)), s"missing twin pair for $i") }
+  }
 }
