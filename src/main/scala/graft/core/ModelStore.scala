@@ -67,6 +67,14 @@ object ModelStore {
       val tmp = new Path(baseDir, s".tmp_${target.getName}_" +
         java.util.UUID.randomUUID().toString.take(8))
       fs.mkdirs(new Path(baseDir))
+      // sweep tmp files orphaned by a JVM that died between create and
+      // rename; the age bound keeps concurrent writers' live tmps safe
+      val staleBefore = System.currentTimeMillis() - 60L * 60 * 1000
+      fs.listStatus(new Path(baseDir)).foreach { st =>
+        if (st.getPath.getName.startsWith(".tmp_") &&
+            st.getModificationTime < staleBefore)
+          fs.delete(st.getPath, false)
+      }
       val out = fs.create(tmp, true)
       try out.write(payload.getBytes("UTF-8")) finally out.close()
       if (!fs.rename(tmp, target)) fs.delete(tmp, false)
@@ -88,13 +96,17 @@ object ModelStore {
       .split("\n").toSeq.filter(_.nonEmpty).map(decVec)
 
   /** PQ codebooks: `m` blocks of `k` centroid lines, blocks separated by
-    * a bare `#` line. */
+    * a bare `#` line. The degenerate empty model (`Seq()`) serializes to
+    * "" — decoded explicitly, since `"".split` would yield one empty
+    * block (`Seq(Seq())`) and break the round-trip. */
   def cachedCodebooks(baseDir: String, params: String, input: DataFrame)
-                     (train: => Seq[Seq[Array[Double]]]): Seq[Seq[Array[Double]]] =
-    cachedText(baseDir, "codebooks", params, input)(
+                     (train: => Seq[Seq[Array[Double]]]): Seq[Seq[Array[Double]]] = {
+    val payload = cachedText(baseDir, "codebooks", params, input)(
       train.map(_.map(encVec).mkString("\n")).mkString("\n#\n"))
-      .split("\n#\n").toSeq.map(_.split("\n").toSeq
-        .filter(_.nonEmpty).map(decVec))
+    if (payload.isEmpty) Seq()
+    else payload.split("\n#\n").toSeq.map(_.split("\n").toSeq
+      .filter(_.nonEmpty).map(decVec))
+  }
 
   /** BPE merge table: one `a b` line per merge, in rank order (symbols
     * never contain whitespace — the [[graft.text.Bpe]] contract — so the

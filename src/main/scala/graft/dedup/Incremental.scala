@@ -39,14 +39,35 @@ object Incremental {
 
   /** Fold a delta shard into an exact index WITHOUT rescanning the old
     * corpus: dedup Δ alone, then merge the two fp-keyed tables (min
-    * winner id, summed duplicate counts) with one shuffle on fp. */
+    * winner id, summed duplicate counts) with one shuffle on fp.
+    *
+    * Re-ingesting rows already in the index would silently inflate
+    * `dup_cnt` (and can flip `keep_id`), so by default a bounded
+    * limit(1) probe joins Δ ids against the index's keep_id set and
+    * fails fast on overlap — the same contract [[minhashAppend]]
+    * enforces. (The index only records winner ids, so a re-ingested
+    * former DUPLICATE is undetectable from the index alone; the probe
+    * catches the common whole-shard re-ingestion case, where winners
+    * reappear too.) Callers that guarantee fresh ids can skip it. */
   def exactAppend(index: DataFrame, delta: DataFrame,
-                  idCol: String, textCol: String): DataFrame =
+                  idCol: String, textCol: String,
+                  validateDisjoint: Boolean = true): DataFrame = {
+    if (validateDisjoint) {
+      val overlap = index.select(col("keep_id").as("id"))
+        .join(delta.select(col(idCol).as("id")), Seq("id"))
+        .limit(1).collect()
+      require(overlap.isEmpty,
+        s"exactAppend: delta id ${overlap.headOption.map(_.get(0))} " +
+          "already exists in the index — delta shards must carry fresh " +
+          "ids (re-ingestion would double-count dup_cnt; rebuild or " +
+          "remove the old rows from the index first)")
+    }
     index.select(col("fp"), col("keep_id"), col("dup_cnt"))
       .unionByName(Dedup.exact(delta, idCol, textCol))
       .groupBy(col("fp"))
       .agg(min(col("keep_id")).as("keep_id"),
         sum(col("dup_cnt")).cast(LongType).as("dup_cnt"))
+  }
 
   // ---- MinHash + LSH -------------------------------------------------------
   /** The persisted state of the MinHash path: the shingle sets (refine

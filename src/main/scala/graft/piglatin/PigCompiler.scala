@@ -31,11 +31,16 @@ class PigCompiler(spark: SparkSession) {
                               keyExprs: Seq[Expr] = Nil)
 
   private val env = scala.collection.mutable.LinkedHashMap.empty[String, Rel]
-  /** TOKENIZE_DOCS … USING bpe merge tables, memoized per (input, field,
-    * params) — Rel thunks re-evaluate per reference and training must
-    * not re-run per DUMP/STORE of the same alias. */
-  private val bpeMergeMemo =
-    scala.collection.mutable.Map.empty[(String, String, String), Seq[(String, String)]]
+  /** TOKENIZE_DOCS … USING bpe merge tables, memoized per (resolved
+    * input plan, field, params) — Rel thunks re-evaluate per reference
+    * and training must not re-run per DUMP/STORE of the same alias. The
+    * key is the CANONICALIZED logical plan of the input, not the alias
+    * name: Pig scripts may rebind an alias, and an alias-keyed memo
+    * would silently serve merge tables trained on the old relation's
+    * data to a tokenize over the rebound one. */
+  private val bpeMergeMemo = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String),
+      Seq[(String, String)]]
   /** side-effect outputs of STORE statements: path → df */
   val stored = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
   /** registered Scala table functions for STREAM THROUGH */
@@ -1154,7 +1159,8 @@ class PigCompiler(spark: SparkSession) {
           // quantizer regime); the Rel thunk may run more than once, so
           // the table is memoized via the enclosing lazy
           df.withColumn("tokens", graft.text.Bpe.encode(col(f),
-            bpeMergeMemo.getOrElseUpdate((in, f, p.toString),
+            bpeMergeMemo.getOrElseUpdate(
+              (df.queryExecution.logical.canonicalized, f, p.toString),
               graft.text.Bpe.train(df, f,
                 numMerges = p.get("merges").map(_.toInt).getOrElse(200),
                 sampleSize = p.get("sample").map(_.toInt).getOrElse(2048),

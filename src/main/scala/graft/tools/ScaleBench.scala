@@ -87,8 +87,9 @@ object ScaleBench {
         s""""total_base_sec":$totB,"total_scaled_sec":$totS,""" +
         s""""total_ratio":${totS / totB},"queries":$qs}"""
     println(line)
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(ledger).getParent)
+    // a bare-filename ledger has a null parent — only create real ones
+    Option(java.nio.file.Paths.get(ledger).getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(ledger), line)
     spark.stop()
   }
@@ -106,8 +107,11 @@ object ScaleBench {
         "below the 1e6 planted-duplicate offset used by the dedup queries")
     val dir = java.nio.file.Paths.get(scaled)
     val marker = dir.resolve("_FACTOR")
+    // the marker records factor AND base: a scaled dir built from one
+    // base must not be silently reused against a different one
+    val markerContent = s"$factor\n$base"
     if (java.nio.file.Files.exists(marker) &&
-        java.nio.file.Files.readString(marker).trim == factor.toString) return
+        java.nio.file.Files.readString(marker).trim == markerContent.trim) return
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     java.nio.file.Files.createDirectories(dir)
 
@@ -179,6 +183,6 @@ object ScaleBench {
       if (!java.nio.file.Files.exists(target))
         java.nio.file.Files.createSymbolicLink(target, p.toAbsolutePath)
     }
-    java.nio.file.Files.writeString(marker, factor.toString)
+    java.nio.file.Files.writeString(marker, markerContent)
   }
 }

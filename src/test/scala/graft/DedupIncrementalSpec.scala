@@ -68,6 +68,21 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(err.getMessage.contains("already exists in the index"))
   }
 
+  test("exact append fails fast when a delta id already exists in " +
+      "the index") {
+    val base = planted.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val idx = Incremental.exactIndex(base, "doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Incremental.exactAppend(idx, base.limit(1), "doc_id", "text")
+        .collect()
+    }
+    assert(err.getMessage.contains("already exists in the index"))
+    // explicit opt-out still runs (caller vouches for fresh ids)
+    val delta = planted.where(pmod(col("doc_id"), lit(3)) === 0)
+    assert(Incremental.exactAppend(idx, delta, "doc_id", "text",
+      validateDisjoint = false).count() > 0)
+  }
+
   test("minhash index round-trips through parquet persistence") {
     val all = planted
     val base = all.where(pmod(col("doc_id"), lit(3)) =!= 0)

@@ -63,6 +63,26 @@ class LlmDialectSpec extends SparkSpec {
       .split(" ").map(_ + "</w>").mkString)
   }
 
+  test("TOKENIZE_DOCS USING bpe retrains after an alias is rebound " +
+      "(memo keys on the relation, not the alias name)") {
+    // corpus A teaches merges for 'aaaa'; corpus B for 'bbbb'. A memo
+    // keyed by alias NAME would serve A's table to the rebound docs,
+    // leaving B's word an unmerged character sequence.
+    val a = Seq((1L, "aaaa aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val b = Seq((1L, "bbbb bbbb bbbb bbbb")).toDF("doc_id", "text")
+    val c = PigScript.run(spark,
+      """t1 = TOKENIZE_DOCS docs BY text USING bpe(merges=50);
+        |docs = FOREACH other GENERATE doc_id, text;
+        |t2 = TOKENIZE_DOCS docs BY text USING bpe(merges=50);
+        |""".stripMargin,
+      tables = Map("docs" -> a, "other" -> b))
+    val t1 = c.relation("t1").select(col("tokens")).as[Seq[String]].head()
+    val t2 = c.relation("t2").select(col("tokens")).as[Seq[String]].head()
+    assert(t1 == Seq.fill(4)("aaaa</w>"), t1.toString)
+    assert(t2 == Seq.fill(4)("bbbb</w>"),
+      s"rebound alias must retrain on the new relation: $t2")
+  }
+
   test("unknown methods fail fast with the supported list") {
     val err = intercept[RuntimeException] {
       PigScript.query(spark, "d = DEDUP docs BY doc_id, text USING tree;",

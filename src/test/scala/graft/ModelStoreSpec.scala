@@ -52,6 +52,28 @@ class ModelStoreSpec extends SparkSpec {
     assert(m1 == merges && m2 == merges)
   }
 
+  test("degenerate empty models round-trip (no phantom empty codebook)") {
+    val dir = freshDir
+    assert(ModelStore.cachedCodebooks(dir, "e", emb)(Seq()) == Seq())
+    assert(ModelStore.cachedCodebooks(dir, "e", emb)(
+      sys.error("must not retrain")) == Seq(),
+      "loaded empty model must decode to Seq(), not Seq(Seq())")
+    assert(ModelStore.cachedCentroids(dir, "e", emb)(Seq()) == Seq())
+    assert(ModelStore.cachedMerges(dir, "e", emb)(Seq()) == Seq())
+  }
+
+  test("stale tmp files from a dead JVM are swept on the next write") {
+    val dir = freshDir
+    val stale = java.nio.file.Paths.get(dir, ".tmp_dead_12345678")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(stale, "torn")
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    ModelStore.cachedMerges(dir, "s", emb)(Seq(("a", "b")))
+    assert(!java.nio.file.Files.exists(stale), "stale tmp must be swept")
+  }
+
   test("regenerated input data invalidates the cached model") {
     val dir = freshDir
     val data = java.nio.file.Files
