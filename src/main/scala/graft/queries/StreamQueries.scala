@@ -125,6 +125,51 @@ object StreamQueries {
           element_at(col("ids"), 2).as("mid_id"),
           element_at(col("ids"), 3).as("end_id"))
     }),
+    // -- #42 CEP with a NEG guard: signup → purchase with no intervening
+    //    error, on the stream. Interior NEG is exact under the in-order
+    //    feed (every negator is scanned before the completing event);
+    //    same pattern and oracle as the batch q_cep_neg ------------------
+    "q_stream_cep_neg" -> ((s, dir) => {
+      import s.implicits._
+      val evs = eventStream(s, dir).select(
+          col("user_id").as("key"),
+          unix_micros(col("ts")).as("tsMicros"),
+          col("event_type").as("etype"),
+          col("event_id").as("id"),
+          col("value"))
+        .as[graft.cep.Matcher.Event]
+      val m = Streams.streamMatchSteps(evs, Seq(
+          graft.cep.Matcher.Pos(graft.cep.Matcher.typeIs("signup")),
+          graft.cep.Matcher.Neg(graft.cep.Matcher.typeIs("error")),
+          graft.cep.Matcher.Pos(graft.cep.Matcher.typeIs("purchase"))),
+        withinMicros = 3600L * 1000000L)
+      runBounded(m.toDF(), "q_stream_cep_neg_sink", OutputMode.Append())
+        .select(col("key").as("user_id"),
+          element_at(col("ids"), 1).as("start_id"),
+          element_at(col("ids"), 2).as("next_id"))
+    }),
+    // -- #42 CEP behind the watermark reorder buffer: same signup→purchase
+    //    pattern, but events pass through streamMatchStepsReordered —
+    //    matches emit only once the watermark releases the completing
+    //    event, so the oracle bounds completions at max(ts) - delay ------
+    "q_stream_cep_reorder" -> ((s, dir) => {
+      import s.implicits._
+      val evs = eventStream(s, dir).select(
+          col("user_id").as("key"),
+          unix_micros(col("ts")).as("tsMicros"),
+          col("event_type").as("etype"),
+          col("event_id").as("id"),
+          col("value"))
+        .as[graft.cep.Matcher.Event]
+      val m = Streams.streamMatchStepsReordered(evs, Seq(
+          graft.cep.Matcher.Pos(graft.cep.Matcher.typeIs("signup")),
+          graft.cep.Matcher.Pos(graft.cep.Matcher.typeIs("purchase"))),
+        withinMicros = 3600L * 1000000L, watermarkDelay = "30 minutes")
+      runBounded(m.toDF(), "q_stream_cep_reorder_sink", OutputMode.Append())
+        .select(col("key").as("user_id"),
+          element_at(col("ids"), 1).as("start_id"),
+          element_at(col("ids"), 2).as("next_id"))
+    }),
     // -- streaming dedup: distinct (user, type) keys off the stream ---------
     "q_stream_dedup" -> ((s, dir) => {
       // exact-variant bounded run; the watermarked production variant
@@ -219,6 +264,39 @@ object StreamQueries {
            AND epoch(c.ts) - epoch(a.ts) <= 1800
          WHERE a.event_type = 'signup' AND b.event_type = 'view'
            AND c.event_type = 'purchase'""",
+    // identical to the batch q_cep_neg oracle: interior NEG under the
+    // in-order feed is exact (negators scan before the completing event)
+    "q_stream_cep_neg" ->
+      """WITH cand AS (
+           SELECT a.user_id, a.event_id AS start_id, b.event_id AS next_id,
+             row_number() OVER (PARTITION BY a.event_id
+               ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id AND b.ts > a.ts
+            AND epoch(b.ts) - epoch(a.ts) <= 3600
+           WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+             AND NOT EXISTS (
+               SELECT 1 FROM events n
+               WHERE n.user_id = a.user_id AND n.event_type = 'error'
+                 AND n.ts > a.ts AND n.ts < b.ts))
+         SELECT user_id, start_id, next_id FROM cand WHERE rn = 1""",
+    // reorder-buffer emission bound: a match emits iff the watermark
+    // (max event time - 30 min) released its completing event; the
+    // released set is a ts-prefix, so the first-purchase choice is
+    // unaffected for any start that matches at all
+    "q_stream_cep_reorder" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         cand AS (
+           SELECT a.user_id, a.event_id AS start_id, b.event_id AS next_id,
+             row_number() OVER (PARTITION BY a.event_id
+               ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id AND b.ts > a.ts
+            AND epoch(b.ts) - epoch(a.ts) <= 3600
+           CROSS JOIN mx
+           WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+             AND epoch(b.ts) <= epoch(mx.m) - 1800)
+         SELECT user_id, start_id, next_id FROM cand WHERE rn = 1""",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // append-mode emission bound: a session emits iff its end (last

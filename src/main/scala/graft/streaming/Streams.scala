@@ -289,39 +289,160 @@ object Streams {
     * `Matcher.matchSeq` therefore holds when per-key event-time order is
     * non-decreasing across batches (true for the replayed file streams
     * here and for any source that preserves per-key order); out-of-order
-    * sources would need a watermark-delayed reorder buffer in front. */
+    * sources get the same guarantee from the watermark-delayed reorder
+    * buffer in [[streamMatchStepsReordered]]. */
   case class SeqState(starts: List[(Long, Long)]) // (startId, startMicros)
   case class SeqMatch(key: Long, startId: Long, endId: Long)
 
   /** State/result of the GENERAL n-step streaming SEQ scan: partials
-    * carry (matched ids REVERSED, next step index, start, last). */
+    * carry (matched ids REVERSED, next PATTERN index, start, last). */
   case class PatState(partials: List[(List[Long], Int, Long, Long)])
   case class PatMatch(key: Long, ids: Seq[Long], startMicros: Long,
                       endMicros: Long)
+  /** [[streamMatchStepsReordered]] state: the watermark-delayed reorder
+    * buffer plus the scan partials. `flushedUpTo` is the event-time
+    * frontier already fed to the scan (micros) — events at or below it
+    * are too late and are dropped, which is what keeps the per-key feed
+    * order non-decreasing. */
+  case class ReorderState(flushedUpTo: Long,
+                          buffered: List[graft.cep.Matcher.Event],
+                          partials: List[(List[Long], Int, Long, Long)])
+  /** Event + the TimestampType column the watermark machinery needs. */
+  case class TimedEvent(key: Long, tsMicros: Long, etype: String, id: Long,
+                        value: Double, eventTime: java.sql.Timestamp)
+
+  private def validatePattern(pattern: Seq[graft.cep.Matcher.Step],
+                              mode: String): Unit = {
+    require(pattern.nonEmpty &&
+      pattern.head.isInstanceOf[graft.cep.Matcher.Pos],
+      "pattern must start with a Pos step")
+    require(pattern.last.isInstanceOf[graft.cep.Matcher.Pos],
+      "pattern must end with a Pos step: a trailing Neg (absence after " +
+        "the final match) is not supported — bound it with a closing " +
+        "Pos step or post-filter the matches")
+    require(graft.cep.Matcher.supportedModes.contains(mode),
+      s"unsupported streaming MATCH_EVENT mode '$mode' — supported: " +
+        graft.cep.Matcher.supportedModes.toSeq.sorted.mkString(", "))
+    require(mode != "contiguity_match" ||
+      pattern.forall(_.isInstanceOf[graft.cep.Matcher.Pos]),
+      "contiguity_match rejects Neg steps: strict contiguity already " +
+        "kills a partial on ANY non-matching event, so a negation " +
+        "window can never fire")
+  }
+
+  /** One pass of the pattern automaton over `events` (sorted here by
+    * (ts, id) — the same order the batch secondary sort delivers),
+    * starting from `initial` open partials. Mirrors
+    * [[graft.cep.Matcher.matchSeq]]'s feed loop STEP FOR STEP — expiry,
+    * NEG kills, first_match slot check, advance/fork, contiguity kill,
+    * step-0 open — so batch and streaming can only drift if one of the
+    * two loops is edited alone (the differential specs would catch it).
+    * Shared by [[streamMatchSteps]] (in-order contract) and
+    * [[streamMatchStepsReordered]] (watermark-buffered). */
+  private def scanEvents(pattern: IndexedSeq[graft.cep.Matcher.Step],
+                         nPos: Int, withinMicros: Long, anyMatch: Boolean,
+                         firstMatch: Boolean, contiguity: Boolean)
+                        (key: Long, events: Seq[graft.cep.Matcher.Event],
+                         initial: List[(List[Long], Int, Long, Long)])
+      : (Seq[PatMatch], List[(List[Long], Int, Long, Long)]) = {
+    def nextPosIdx(from: Int): Int = {
+      var i = from
+      while (i < pattern.length &&
+        !pattern(i).isInstanceOf[graft.cep.Matcher.Pos]) i += 1
+      i
+    }
+    var open = initial
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatMatch]
+    events.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+      open = open.filter { case (_, _, start, _) =>
+        e.tsMicros - start <= withinMicros }
+      // NEG guards preceding each partial's next Pos step: a negating
+      // event STRICTLY after the last matched step kills the partial
+      // (batch parity — see Matcher.feed; under the non-decreasing feed
+      // order every negator between two Pos steps is seen before the
+      // completing event, so interior NEG needs no delayed emission)
+      open = open.filter { case (_, next, _, last) =>
+        var i = next - 1
+        var alive = true
+        while (i >= 0 && pattern(i).isInstanceOf[graft.cep.Matcher.Neg]) {
+          if (e.tsMicros > last &&
+            pattern(i).asInstanceOf[graft.cep.Matcher.Neg].pred(e))
+            alive = false
+          i -= 1
+        }
+        alive
+      }
+      // first_match slot check BEFORE advancing (batch parity: a
+      // completing event cannot itself re-open the slot)
+      val slotFree = open.isEmpty
+      val advanced = scala.collection.mutable.ListBuffer
+        .empty[(List[Long], Int, Long, Long)]
+      open.foreach { case p @ (ids, next, start, last) =>
+        if (pattern(next).asInstanceOf[graft.cep.Matcher.Pos].pred(e) &&
+            e.tsMicros > last) {
+          val nids = e.id :: ids
+          if (nids.length == nPos)
+            out += PatMatch(key, nids.reverse, start, e.tsMicros)
+          else
+            advanced += ((nids, nextPosIdx(next + 1), start, e.tsMicros))
+          if (anyMatch) advanced += p // fork: original stays open
+        } else if (!contiguity || e.tsMicros <= last) {
+          // non-advancing partials survive, except under strict
+          // contiguity when the event was VISIBLE to them
+          advanced += p
+        }
+      }
+      open = advanced.toList
+      // step 0 opens a new partial (first_match: only into a free slot)
+      if ((!firstMatch || slotFree) &&
+          pattern.head.asInstanceOf[graft.cep.Matcher.Pos].pred(e)) {
+        if (nPos == 1)
+          out += PatMatch(key, Seq(e.id), e.tsMicros, e.tsMicros)
+        else open = (List(e.id), nextPosIdx(1), e.tsMicros, e.tsMicros) :: open
+      }
+    }
+    (out.toSeq, open)
+  }
 
   /** Arbitrary-length SEQ pattern (type₀ then type₁ … within
     * `withinMicros`) on a stream — the n-step generalization of
-    * [[streamMatchSeq]], mirroring the batch [[graft.cep.Matcher]]
-    * semantics step for step for all four selection modes (Pos-only
-    * patterns; NEG guards remain batch-only — absence detection on an
-    * unbounded stream needs the WITHIN-horizon delayed emission the
-    * batch scan also rejects). Same ordering contract as
-    * [[streamMatchSeq]]: per-key event-time order must be
-    * non-decreasing across micro-batches. State is bounded by the
-    * WITHIN horizon (expiry on every event) plus the processing-time
-    * TTL for keys that go quiet. */
+    * [[streamMatchSeq]] for type-named steps. Delegates to
+    * [[streamMatchSteps]]; see there for the full semantics, including
+    * NEG guards between steps. */
   def streamMatchPattern(events: Dataset[graft.cep.Matcher.Event],
                          types: Seq[String], withinMicros: Long,
                          stateTtlMs: Long = 0L,
                          mode: String = "skip_till_next_match"): Dataset[PatMatch] = {
     require(types.nonEmpty, "streamMatchPattern: empty pattern")
-    require(graft.cep.Matcher.supportedModes.contains(mode),
-      s"unsupported streaming MATCH_EVENT mode '$mode' — supported: " +
-        graft.cep.Matcher.supportedModes.toSeq.sorted.mkString(", "))
+    streamMatchSteps(events,
+      types.map(t => graft.cep.Matcher.Pos(graft.cep.Matcher.typeIs(t))),
+      withinMicros, stateTtlMs, mode)
+  }
+
+  /** General pattern scan on a stream — the full batch
+    * [[graft.cep.Matcher]] step surface including NEG guards between
+    * Pos steps (an interior negating event kills the partial; trailing
+    * Neg rejected, exactly as in batch), mirroring the batch semantics
+    * step for step for all four selection modes via the shared
+    * [[scanEvents]] loop. ORDERING CONTRACT (same as
+    * [[streamMatchSeq]]): per-key event-time order must be
+    * non-decreasing across micro-batches — interior NEG is then exact,
+    * because every negator between two Pos steps is scanned before the
+    * completing event. Out-of-order sources: use
+    * [[streamMatchStepsReordered]]. State is bounded by the WITHIN
+    * horizon (expiry on every event) plus the processing-time TTL for
+    * keys that go quiet. */
+  def streamMatchSteps(events: Dataset[graft.cep.Matcher.Event],
+                       pattern: Seq[graft.cep.Matcher.Step],
+                       withinMicros: Long,
+                       stateTtlMs: Long = 0L,
+                       mode: String = "skip_till_next_match"): Dataset[PatMatch] = {
+    validatePattern(pattern, mode)
     val anyMatch = mode == "skip_till_any_match"
     val firstMatch = mode == "first_match"
     val contiguity = mode == "contiguity_match"
-    val nPos = types.length
+    val pat = pattern.toIndexedSeq
+    val nPos = pat.count(_.isInstanceOf[graft.cep.Matcher.Pos])
     val spark = events.sparkSession
     import spark.implicits._
     val timeoutConf =
@@ -333,39 +454,9 @@ object Streams {
         case (key, it, state: GroupState[PatState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var open = state.getOption.map(_.partials).getOrElse(Nil)
-            val out = scala.collection.mutable.ArrayBuffer.empty[PatMatch]
-            it.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
-              open = open.filter { case (_, _, start, _) =>
-                e.tsMicros - start <= withinMicros }
-              // first_match slot check BEFORE advancing (batch parity:
-              // a completing event cannot itself re-open the slot)
-              val slotFree = open.isEmpty
-              val advanced = scala.collection.mutable.ListBuffer
-                .empty[(List[Long], Int, Long, Long)]
-              open.foreach { case p @ (ids, next, start, last) =>
-                if (types(next) == e.etype && e.tsMicros > last) {
-                  val nids = e.id :: ids
-                  if (nids.length == nPos)
-                    out += PatMatch(key, nids.reverse, start, e.tsMicros)
-                  else
-                    advanced += ((nids, next + 1, start, e.tsMicros))
-                  if (anyMatch) advanced += p // fork: original stays open
-                } else if (!contiguity || e.tsMicros <= last) {
-                  // non-advancing partials survive, except under strict
-                  // contiguity when the event was VISIBLE to them
-                  advanced += p
-                }
-              }
-              open = advanced.toList
-              // step 0 opens a new partial (first_match: only into a
-              // free slot)
-              if ((!firstMatch || slotFree) && types.head == e.etype) {
-                if (nPos == 1)
-                  out += PatMatch(key, Seq(e.id), e.tsMicros, e.tsMicros)
-                else open = (List(e.id), 1, e.tsMicros, e.tsMicros) :: open
-              }
-            }
+            val (out, open) = scanEvents(pat, nPos, withinMicros, anyMatch,
+              firstMatch, contiguity)(key, it.toSeq,
+              state.getOption.map(_.partials).getOrElse(Nil))
             if (open.isEmpty) state.remove()
             else {
               state.update(PatState(open))
@@ -373,6 +464,96 @@ object Streams {
             }
             out.iterator
           }
+      }
+  }
+
+  /** [[streamMatchSteps]] for OUT-OF-ORDER sources: a watermark-delayed
+    * reorder buffer in front of the same scan, in ONE stateful operator
+    * (chaining two flatMapGroupsWithState stages is not supported by
+    * Structured Streaming's unsupported-operations checker, and the
+    * fused form holds buffer + partials in a single state row anyway).
+    *
+    * Mechanics: incoming events are buffered in state; each invocation
+    * releases — in (ts, id) order — exactly the buffered events at or
+    * below the CURRENT WATERMARK (max event time seen minus
+    * `watermarkDelay`, the engine's own monotonic frontier) into the
+    * scan, and keeps the rest. An event-time timer re-fires the group
+    * when the watermark passes the earliest still-buffered event, so
+    * buffered events flush even if their key goes quiet. Events at or
+    * below the already-flushed frontier are DROPPED as too late (the
+    * documented lateness bound: disorder beyond `watermarkDelay` is
+    * data loss, the same contract as every watermarked Spark operator —
+    * Spark itself also filters rows behind the watermark before the
+    * operator). Within the bound, results are IDENTICAL to the batch
+    * engine regardless of arrival order, because the scan consumes a
+    * per-key non-decreasing sequence by construction.
+    *
+    * Emission is therefore delayed by up to `watermarkDelay` past the
+    * completing event (the price of reordering); partials whose WITHIN
+    * horizon the watermark has passed are evicted eagerly, so state is
+    * bounded by delay + horizon. Bounded replays that must flush
+    * everything append a far-future sentinel event to push the
+    * watermark past the real data (standard watermark practice). */
+  def streamMatchStepsReordered(events: Dataset[graft.cep.Matcher.Event],
+                                pattern: Seq[graft.cep.Matcher.Step],
+                                withinMicros: Long,
+                                watermarkDelay: String,
+                                mode: String = "skip_till_next_match"): Dataset[PatMatch] = {
+    validatePattern(pattern, mode)
+    val anyMatch = mode == "skip_till_any_match"
+    val firstMatch = mode == "first_match"
+    val contiguity = mode == "contiguity_match"
+    val pat = pattern.toIndexedSeq
+    val nPos = pat.count(_.isInstanceOf[graft.cep.Matcher.Pos])
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timed = events.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[TimedEvent]
+    timed.groupByKey(_.key)
+      .flatMapGroupsWithState[ReorderState, PatMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state: GroupState[ReorderState]) =>
+          // NOTE: a timer firing is just "the watermark moved" — flush,
+          // don't evict (state.hasTimedOut carries no other meaning here)
+          val prev = state.getOption.getOrElse(ReorderState(Long.MinValue, Nil, Nil))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val incoming = it.map(t =>
+            graft.cep.Matcher.Event(t.key, t.tsMicros, t.etype, t.id, t.value))
+          // too-late events (at or below the flushed frontier) would
+          // regress the scan's feed order — drop them (lateness bound)
+          val buf = prev.buffered ++
+            incoming.filter(_.tsMicros > prev.flushedUpTo)
+          val (release, keep) = buf.partition(_.tsMicros <= wmMicros)
+          val (out, open0) = scanEvents(pat, nPos, withinMicros, anyMatch,
+            firstMatch, contiguity)(key, release, prev.partials)
+          // partials past their WITHIN horizon relative to the watermark
+          // can never advance again (every future released event is
+          // > wm ≥ start + within) — evict so quiet keys do not leak
+          val open = open0.filter { case (_, _, start, _) =>
+            wmMicros - start <= withinMicros }
+          if (keep.isEmpty && open.isEmpty) state.remove()
+          else {
+            state.update(ReorderState(
+              math.max(prev.flushedUpTo, wmMicros), keep, open))
+            if (keep.nonEmpty) {
+              // fire when the watermark passes the earliest buffered
+              // event (ms granularity: +1 covers sub-ms truncation)
+              val minMs = keep.map(_.tsMicros).min / 1000L + 1
+              state.setTimeoutTimestamp(
+                math.max(minMs, state.getCurrentWatermarkMs() + 1))
+            } else if (open.nonEmpty) {
+              // no buffer, live partials: fire at the latest WITHIN
+              // horizon so expired partials are evicted even if the key
+              // never sees another event
+              val horizonMs = open.map { case (_, _, start, _) =>
+                (start + withinMicros) / 1000L + 1 }.max
+              state.setTimeoutTimestamp(
+                math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
       }
   }
 

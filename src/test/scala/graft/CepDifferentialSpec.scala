@@ -185,6 +185,110 @@ class CepDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("streaming NEG pattern equals the BATCH ENGINE across random " +
+      "batch boundaries (s → ¬x → p)") {
+    val patternNeg = Seq(Matcher.Pos(Matcher.typeIs("s")),
+      Matcher.Neg(Matcher.typeIs("x")), Matcher.Pos(Matcher.typeIs("p")))
+    for (seed <- 3 to 8) {
+      val evs = randomEvents(seed, 80)
+      val within = 10L * 1000000L
+      val want = Matcher.matchSeq(
+          evs.toDF("key", "tsMicros", "etype", "id", "value")
+            .withColumn("tsMicros", timestamp_micros(col("tsMicros"))),
+          "key", "tsMicros", "etype", "id", "value", patternNeg, within)
+        .select(col("key"), col("ids"))
+        .as[(Long, Seq[Long])].collect().toSet
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Matcher.Event]
+      val tbl = s"cep_neg_$seed"
+      val q = Streams.memorySink(
+        Streams.streamMatchSteps(input.toDS(), patternNeg, within).toDF(),
+        tbl, OutputMode.Append())
+      val rnd = new scala.util.Random(seed + 31)
+      var rest = evs.sortBy(e => (e.tsMicros, e.id))
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(10)
+        input.addData(rest.take(k): _*)
+        rest = rest.drop(k)
+      }
+      q.processAllAvailable()
+      val got = spark.table(tbl).as[Streams.PatMatch].collect()
+        .map(m => (m.key, m.ids)).toSet
+      q.stop()
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  /** Feed `evs` OUT OF ORDER (shuffled within consecutive blocks of
+    * `blockSize` sorted events — disorder bounded by a block's time
+    * span) through the reorder-buffered scan, with a far-future
+    * sentinel to flush, and return the emitted (key, ids) set. */
+  private def runReordered(evs: Seq[Matcher.Event],
+                           pattern: Seq[Matcher.Step], within: Long,
+                           delay: String, mode: String, seed: Int,
+                           blockSize: Int): Set[(Long, Seq[Long])] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Matcher.Event]
+    val tbl = s"cep_reord_${seed}_${mode}_${pattern.length}_$blockSize"
+    val q = Streams.memorySink(
+      Streams.streamMatchStepsReordered(input.toDS(), pattern, within,
+        delay, mode).toDF(), tbl, OutputMode.Append())
+    val rnd = new scala.util.Random(seed + 55)
+    val sorted = evs.sortBy(e => (e.tsMicros, e.id))
+    val disordered = sorted.grouped(blockSize).flatMap(rnd.shuffle(_)).toSeq
+    var rest = disordered
+    while (rest.nonEmpty) {
+      val k = 1 + rnd.nextInt(7)
+      input.addData(rest.take(k): _*)
+      rest = rest.drop(k)
+      q.processAllAvailable()
+    }
+    // far-future sentinel (non-matching type, unused key) pushes the
+    // watermark past every real event so all buffered events release
+    input.addData(Matcher.Event(99L, 1000L * 1000000L, "z", 999999L, 0.0))
+    q.processAllAvailable()
+    val got = spark.table(tbl).as[Streams.PatMatch].collect()
+      .map(m => (m.key, m.ids)).toSet
+    q.stop()
+    got
+  }
+
+  test("reorder-buffered scan equals the BATCH ENGINE on OUT-OF-ORDER " +
+      "micro-batches, all four modes + NEG") {
+    val pattern3 = Seq(Matcher.Pos(Matcher.typeIs("s")),
+      Matcher.Pos(Matcher.typeIs("x")), Matcher.Pos(Matcher.typeIs("p")))
+    val patternNeg = Seq(Matcher.Pos(Matcher.typeIs("s")),
+      Matcher.Neg(Matcher.typeIs("x")), Matcher.Pos(Matcher.typeIs("p")))
+    val cases = Seq(
+      ("skip_till_next_match", pattern3), ("first_match", pattern3),
+      ("contiguity_match", pattern3), ("skip_till_any_match", pattern3),
+      ("skip_till_next_match", patternNeg))
+    for (seed <- 4 to 5; (mode, pat) <- cases) {
+      val evs = randomEvents(seed, 60)
+        .map(e => e.copy(tsMicros = e.tsMicros + 1000000L)) // keep ts > 0:
+      // the initial watermark is 0 and a ts-0 event straddling a batch
+      // boundary would be dropped as late before the stream even starts
+      val within = 12L * 1000000L
+      val want = Matcher.matchSeq(
+          evs.toDF("key", "tsMicros", "etype", "id", "value")
+            .withColumn("tsMicros", timestamp_micros(col("tsMicros"))),
+          "key", "tsMicros", "etype", "id", "value", pat, within,
+          mode = mode)
+        .select(col("key"), col("ids"))
+        .as[(Long, Seq[Long])].collect().toSet
+      // blockwise disorder < the 20s delay: incremental release + timers
+      val gotBlock = runReordered(evs, pat, within, "20 seconds", mode,
+        seed, blockSize = 8)
+      assert(gotBlock == want, s"blockwise seed=$seed mode=$mode " +
+        s"neg=${pat.exists(_.isInstanceOf[Matcher.Neg])}")
+      // full shuffle under a delay wider than the whole range: pure
+      // buffering, everything releases at the sentinel
+      val gotFull = runReordered(evs, pat, within, "60 seconds", mode,
+        seed + 100, blockSize = evs.length)
+      assert(gotFull == want, s"full-shuffle seed=$seed mode=$mode")
+    }
+  }
+
   test("streaming scan equals batch across random batch boundaries") {
     for (seed <- 3 to 5;
          mode <- Seq("skip_till_next_match", "first_match",
