@@ -202,4 +202,33 @@ object Ast {
   final case class TokenizeStmt(alias: String, in: String, field: String,
                                 method: String,
                                 params: Map[String, String]) extends Stmt
+  /** `b = DECONTAMINATE a BY id, text AGAINST bench BY bid, btext
+    * [USING clean|report|fuzzy(n=8, minhits=1, threshold=0.5, …)]` —
+    * drop (clean/fuzzy) or report corpus docs leaking benchmark
+    * content. */
+  final case class DecontaminateStmt(alias: String, in: String,
+                                     idField: String, textField: String,
+                                     bench: String, benchIdField: String,
+                                     benchTextField: String, method: String,
+                                     params: Map[String, String]) extends Stmt
+  /** `b = PACK a ON doc_id BY text INTO 2048` — GPT-style
+    * concat-and-chunk layout: BY names a numeric per-doc token count or
+    * a string column to whitespace-count; INTO is the sequence length. */
+  final case class PackStmt(alias: String, in: String, idField: String,
+                            byField: String, seqLen: Long) extends Stmt
+  /** `b = SPLIT_HASH a BY doc_id INTO train 80, val 10, test 10` —
+    * deterministic md5-bucket split assignment (appends `split`). */
+  final case class SplitHashStmt(alias: String, in: String,
+                                 keyFields: Seq[String],
+                                 splits: Seq[(String, Int)]) extends Stmt
+  /** `b = SCORE a BY id, text [WITH weights] USING classifier(labels=y,
+    * buckets=1024)` — margin + prediction per doc under a trained
+    * linear model: WITH applies a previously-computed (bucket, w)
+    * relation; without it, labels= names a column to train on
+    * in-script (classifier = one-pass NB; perceptron = epochs= full-
+    * batch perceptron). */
+  final case class ScoreStmt(alias: String, in: String, idField: String,
+                             textField: String, weights: Option[String],
+                             method: String,
+                             params: Map[String, String]) extends Stmt
 }

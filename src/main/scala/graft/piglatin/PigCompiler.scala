@@ -1169,6 +1169,80 @@ class PigCompiler(spark: SparkSession) {
           s"unknown TOKENIZE_DOCS method '$other' — expected whitespace or bpe")
       })
 
+    case DecontaminateStmt(a, in, idF, tF, bench, bId, bT, method, p) =>
+      val corpus = relation(in)
+      val bdf = relation(bench)
+      env(a) = Rel(() => method match {
+        case "clean" => graft.text.Decontaminate.clean(corpus, idF, tF,
+          bdf, bId, bT,
+          n = p.get("n").map(_.toInt).getOrElse(8),
+          minHits = p.get("minhits").map(_.toLong).getOrElse(1L))
+        case "report" => graft.text.Decontaminate.report(corpus, idF, tF,
+          bdf, bId, bT,
+          n = p.get("n").map(_.toInt).getOrElse(8),
+          minHits = p.get("minhits").map(_.toLong).getOrElse(1L))
+        case "fuzzy" => graft.text.Decontaminate.fuzzyClean(corpus, idF, tF,
+          bdf, bId, bT,
+          numHashes = p.get("numhashes").map(_.toInt).getOrElse(48),
+          bands = p.get("bands").map(_.toInt).getOrElse(16),
+          threshold = p.get("threshold").map(_.toDouble).getOrElse(0.5),
+          shingleN = p.get("shinglen").map(_.toInt).getOrElse(3))
+        case other => sys.error(
+          s"unknown DECONTAMINATE method '$other' — expected clean, " +
+            "report or fuzzy")
+      })
+
+    case PackStmt(a, in, idF, f, seqLen) =>
+      val df = relation(in)
+      // BY names either a precomputed numeric token count or a string
+      // column to whitespace-count (resolved from the schema, so a typo
+      // fails here rather than producing a zero-token layout)
+      val nTok = df.schema(f).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          graft.text.TextOps.tokenCount(col(f))
+        case _: org.apache.spark.sql.types.NumericType => col(f)
+        case other => sys.error(
+          s"PACK BY field '$f' must be a string (token-counted) or " +
+            s"numeric (precomputed count) column, found $other")
+      }
+      env(a) = Rel(() =>
+        graft.text.Pack.packConcat(df, idF, nTok, seqLen))
+
+    case SplitHashStmt(a, in, keys, splits) =>
+      val df = relation(in)
+      env(a) = Rel(() =>
+        graft.core.Pipe(df).splitByHash(splits, keys.map(col): _*).df)
+
+    case ScoreStmt(a, in, idF, tF, weightsAlias, method, p) =>
+      val df = relation(in)
+      require(Set("classifier", "nb", "perceptron").contains(method),
+        s"unknown SCORE method '$method' — expected classifier (nb) or " +
+          "perceptron")
+      val buckets = p.get("buckets").map(_.toInt).getOrElse(1024)
+      val wdf = weightsAlias.map(relation) // resolved now: a later
+      // rebinding of the weights alias must not change this statement
+      env(a) = Rel(() => {
+        val weights = wdf.getOrElse {
+          val labelF = p.getOrElse("labels", sys.error(
+            "SCORE without WITH <weights> needs labels=<field> to " +
+              "train in-script"))
+          val label = col(labelF)
+          method match {
+            case "classifier" | "nb" =>
+              graft.text.Classifier.trainNaiveBayes(df, idF, tF, label,
+                buckets)
+            case "perceptron" =>
+              graft.text.Classifier.trainPerceptron(df, idF, tF, label,
+                buckets, epochs = p.get("epochs").map(_.toInt).getOrElse(3))
+            case other => sys.error(
+              s"unknown SCORE method '$other' — expected classifier " +
+                "(nb) or perceptron")
+          }
+        }
+        df.join(graft.text.Classifier.score(df, idF, tF, weights, buckets),
+          Seq(idF))
+      })
+
     case VisualizeStmt(in, field, path, ps, w, h, pointsOnly) =>
       val df = relation(in)
       graft.spatial.Visualize.scatter(df, compileExpr(df, field), path,

@@ -499,6 +499,42 @@ object PigParser extends RegexParsers {
           m.map(_._1.toLowerCase).getOrElse("whitespace"),
           m.map(_._2).getOrElse(Map.empty)) }
 
+  /** `b = DECONTAMINATE a BY id, text AGAINST bench BY bid, btext
+    * [USING clean|report|fuzzy(…)]` (graft dialect). */
+  private def decontaminateStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("decontaminate")) ~ ident ~ (kw("by") ~> ident) ~
+      ("," ~> ident) ~ (kw("against") ~> ident) ~ (kw("by") ~> ident) ~
+      ("," ~> ident) ~ opt((kw("using") ~> ident) ~ llmParams) ^^ {
+      case a ~ in ~ idF ~ tF ~ bench ~ bId ~ bT ~ m =>
+        DecontaminateStmt(a, in, idF, tF, bench, bId, bT,
+          m.map(_._1.toLowerCase).getOrElse("clean"),
+          m.map(_._2).getOrElse(Map.empty)) }
+
+  /** `b = PACK a ON doc_id BY text INTO 2048` (graft dialect). */
+  private def packStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("pack")) ~ ident ~ (kw("on") ~> ident) ~
+      (kw("by") ~> ident) ~ (kw("into") ~> number) ^^ {
+      case a ~ in ~ idF ~ f ~ n => PackStmt(a, in, idF, f, n.toLong) }
+
+  /** `b = SPLIT_HASH a BY doc_id INTO train 80, val 10, test 10`
+    * (graft dialect). */
+  private def splitHashStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("split_hash")) ~ ident ~
+      (kw("by") ~> rep1sep(ident, ",")) ~
+      (kw("into") ~> rep1sep(ident ~ number, ",")) ^^ {
+      case a ~ in ~ keys ~ ss =>
+        SplitHashStmt(a, in, keys,
+          ss.map { case n ~ p => n -> p.toInt }) }
+
+  /** `b = SCORE a BY id, text [WITH weights] USING classifier(labels=y)`
+    * (graft dialect). */
+  private def scoreStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("score")) ~ ident ~ (kw("by") ~> ident) ~
+      ("," ~> ident) ~ opt(kw("with") ~> ident) ~
+      (kw("using") ~> ident) ~ llmParams ^^ {
+      case a ~ in ~ idF ~ tF ~ w ~ m ~ p =>
+        ScoreStmt(a, in, idF, tF, w, m.toLowerCase, p) }
+
   private def stmt: Parser[Stmt] =
     (load | store | dump | describe | filter | foreach | group | join |
      cross | union | distinctS | limit | orderBy | sample | split | rank |
@@ -506,7 +542,8 @@ object PigParser extends RegexParsers {
      matchEvent | windowStmt | socketRead | socketWrite | rdfLoad | tuplify |
      bgpFilter | spatialFilter | spatialJoin | indexStmt | partitionStmt |
      zipStmt | cacheStmt | delayStmt | skylineStmt | visualizeStmt |
-     dedupStmt | qualityStmt | tokenizeStmt |
+     dedupStmt | qualityStmt | tokenizeStmt | decontaminateStmt |
+     packStmt | splitHashStmt | scoreStmt |
      setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

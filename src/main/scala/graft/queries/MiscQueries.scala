@@ -135,6 +135,22 @@ object MiscQueries {
            r = FOREACH d GENERATE doc_id;""",
         "r", tables = Map("docs" -> planted))
     }),
+    // PACK from the .pig front end: same concat-and-chunk layout (and
+    // seqLen) as q_pack_sequences, so the same oracle carries over
+    "q_pig_pack" -> ((s, dir) =>
+      PigScript.query(s,
+        "p = PACK docs ON doc_id BY text INTO 512;",
+        "p", tables = Map("docs" ->
+          t(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("n_tok"), col("tok_start"),
+          col("seq_first"), col("seq_last"))),
+    // SPLIT_HASH from the .pig front end: the deterministic md5-bucket
+    // assignment of q_split_hash, scriptable
+    "q_pig_split" -> ((s, dir) =>
+      PigScript.query(s,
+        """sp = SPLIT_HASH docs BY doc_id INTO train 80, val 10, test 10;
+           r = FOREACH sp GENERATE doc_id, lang, split;""",
+        "r", tables = Map("docs" -> t(s, dir, "documents")))),
 
     // -- RDF (#38–40) ----------------------------------------------------------
     "q_rdf_load" -> ((s, dir) =>
@@ -271,6 +287,30 @@ object MiscQueries {
          GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
          UNION ALL
          SELECT doc_id FROM planted WHERE text IS NULL""",
+    // identical layout to the q_pack_sequences oracle (seqLen 512)
+    "q_pig_pack" ->
+      """WITH t AS (SELECT doc_id,
+           coalesce(len(list_filter(string_split_regex(text, '\s+'),
+             x -> x <> '')), 0)
+             AS n_tok FROM documents),
+         c AS (SELECT doc_id, n_tok,
+           SUM(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+             AS tok_start FROM t)
+         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(tok_start // 512 AS BIGINT) AS seq_first,
+           CAST((tok_start + greatest(n_tok, 1) - 1) // 512
+             AS BIGINT) AS seq_last
+         FROM c""",
+    // identical assignment to the q_split_hash oracle
+    "q_pig_split" ->
+      """SELECT doc_id, lang,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, lang,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+         FROM documents)""",
     "q_pig_it_aggregate" ->
       s"""SELECT x AS grp, count(y) AS cnt, CAST(sum(y) AS BIGINT) AS sm,
            avg(y) AS av

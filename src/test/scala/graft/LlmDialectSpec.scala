@@ -89,5 +89,106 @@ class LlmDialectSpec extends SparkSpec {
         "d", tables = Map("docs" -> docs)).count()
     }
     assert(err.getMessage.contains("unknown DEDUP method"))
+    val err2 = intercept[RuntimeException] {
+      PigScript.query(spark,
+        "d = DECONTAMINATE docs BY doc_id, text AGAINST docs BY doc_id, " +
+          "text USING magic;",
+        "d", tables = Map("docs" -> docs)).count()
+    }
+    assert(err2.getMessage.contains("unknown DECONTAMINATE method"))
+    val err3 = intercept[RuntimeException] {
+      PigScript.query(spark,
+        "d = SCORE docs BY doc_id, text USING forest(labels=doc_id);",
+        "d", tables = Map("docs" -> docs)).count()
+    }
+    assert(err3.getMessage.contains("unknown SCORE method"))
+  }
+
+  test("DECONTAMINATE drops corpus docs leaking benchmark n-grams " +
+      "(clean ≡ engine; report lists them)") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bid", "btext")
+    val cleaned = PigScript.query(spark,
+      "c = DECONTAMINATE docs BY doc_id, text AGAINST bench BY bid, " +
+        "btext USING clean(n=8);",
+      "c", tables = Map("docs" -> docs, "bench" -> bench))
+      .select("doc_id").as[Long].collect().toSet
+    val want = graft.text.Decontaminate.clean(docs, "doc_id", "text",
+      bench, "bid", "btext", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleaned == want)
+    assert(!cleaned(1L) && !cleaned(2L), "8-gram leaks must be dropped")
+    val report = PigScript.query(spark,
+      "r = DECONTAMINATE docs BY doc_id, text AGAINST bench BY bid, " +
+        "btext USING report(n=8);",
+      "r", tables = Map("docs" -> docs, "bench" -> bench))
+    assert(report.columns.toSet ==
+      Set("doc_id", "matched_ngrams", "bench_docs"))
+    // docs 1/2 contain the full bench text; doc 3's 8 tokens form
+    // exactly the bench doc's trailing 8-gram — all three leak
+    assert(report.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+  }
+
+  test("PACK lays out the concat-and-chunk stream (string BY token-" +
+      "counts; numeric BY uses the precomputed count)") {
+    val packed = PigScript.query(spark,
+      "p = PACK docs ON doc_id BY text INTO 10;",
+      "p", tables = Map("docs" -> docs))
+      .select("doc_id", "n_tok", "tok_start").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // doc 1: 9 tokens at offset 0; doc 2: 9 at 9; doc 3: 8 at 18 …
+    assert(packed.take(3).toSeq ==
+      Seq((1L, 9L, 0L), (2L, 9L, 9L), (3L, 8L, 18L)))
+    val pre = PigScript.query(spark,
+      """n = FOREACH docs GENERATE doc_id, 5 AS cnt;
+        |p = PACK n ON doc_id BY cnt INTO 10;""".stripMargin,
+      "p", tables = Map("docs" -> docs))
+      .select("doc_id", "tok_start", "seq_first").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(pre.map(_._2).toSeq == Seq(0L, 5L, 10L, 15L, 20L))
+  }
+
+  test("SPLIT_HASH assigns deterministic named splits summing to 100") {
+    val sp = PigScript.query(spark,
+      "sp = SPLIT_HASH docs BY doc_id INTO train 80, val 10, test 10;",
+      "sp", tables = Map("docs" -> docs))
+    assert(sp.columns.contains("split"))
+    val want = graft.core.Pipe(docs)
+      .splitByHash(Seq("train" -> 80, "val" -> 10, "test" -> 10),
+        col("doc_id")).df
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(sp.select("doc_id", "split").as[(Long, String)]
+      .collect().toSet == want)
+  }
+
+  test("SCORE trains in-script on labels= and separates the classes; " +
+      "WITH applies precomputed weights identically") {
+    val labeled = docs.where(col("text").isNotNull)
+      .withColumn("y", when(col("doc_id") <= 3, 1L).otherwise(-1L))
+    val scored = PigScript.query(spark,
+      "s = SCORE docs BY doc_id, text USING classifier(labels=y, " +
+        "buckets=64);",
+      "s", tables = Map("docs" -> labeled))
+    assert(scored.columns.contains("margin") &&
+      scored.columns.contains("pred"))
+    // NB on this toy corpus separates the fox docs from the spark doc
+    val preds = scored.select("doc_id", "pred").as[(Long, Long)]
+      .collect().toMap
+    assert(preds(1L) == 1L && preds(4L) == -1L, preds.toString)
+    // WITH: weights trained by a prior statement apply the same model
+    val c = PigScript.run(spark,
+      """s1 = SCORE docs BY doc_id, text USING classifier(labels=y,
+        |  buckets=64);""".stripMargin,
+      tables = Map("docs" -> labeled))
+    val w = graft.text.Classifier.trainNaiveBayes(labeled, "doc_id",
+      "text", col("y"), buckets = 64)
+    val viaWith = PigScript.query(spark,
+      "s2 = SCORE docs BY doc_id, text WITH w USING classifier(" +
+        "buckets=64);",
+      "s2", tables = Map("docs" -> labeled, "w" -> w))
+      .select("doc_id", "margin").as[(Long, Long)].collect().toSet
+    assert(viaWith == c.relation("s1").select("doc_id", "margin")
+      .as[(Long, Long)].collect().toSet)
   }
 }
