@@ -821,8 +821,48 @@ object PipelineQueries {
       graft.dedup.Dedup.widen(t(s, dir, "documents"))
         .select(col("doc_id"),
           coalesce(graft.text.Bpe.tokenCount(col("text"),
-            bpeMerges32kFor(s, dir)), lit(0L)).as("n_bpe")))
+            bpeMerges32kFor(s, dir)), lit(0L)).as("n_bpe"))),
+    // ModelStore production path, regression-guarded in the round
+    // ledger: these two rows BYPASS the in-process TrieMap memos and
+    // route every model fetch through the on-disk content-addressed
+    // store (bench run 1 trains + stores; runs 2-3 fingerprint the
+    // input and LOAD — the median is therefore the warm cache path,
+    // and any breakage in store round-trip or fingerprinting fails
+    // the row). The absolute cold-vs-warm split lives in
+    // tools/ModelStoreBench's ledger.
+    "q_ann_ivfpq_res_cached" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val coarse = graft.core.ModelStore.cachedCentroids(BenchModelDir,
+        s"ivf-$IvfCells-$LshSeed", corpus)(
+        Similarity.ivfCentroids(corpus, nCells = IvfCells, seed = LshSeed))
+      val books = graft.core.ModelStore.cachedCodebooks(BenchModelDir,
+        s"pqres-$PqM-$PqK-$IvfCells-$LshSeed", corpus)(
+        graft.sim.Pq.residualCodebooks(corpus, coarse, m = PqM, k = PqK,
+          seed = LshSeed))
+      graft.sim.Pq.ivfPqResidualTopK(corpus, queries, k = AnnK,
+        coarse = coarse, codebooks = books, nProbe = IvfProbe)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
+    "q_bpe_tokens_cached" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.core.ModelStore.cachedMerges(BenchModelDir,
+        s"bpe-$BpeMerges-$LshSeed", docs)(
+        graft.text.Bpe.train(docs, "text", numMerges = BpeMerges,
+          seed = LshSeed))
+      graft.dedup.Dedup.widen(docs).select(col("doc_id"),
+        coalesce(graft.text.Bpe.tokenCount(col("text"), merges), lit(0L))
+          .as("n_bpe"))
+    })
   )
+
+  /** On-disk store for the `*_cached` bench rows (deliberately NOT the
+    * SPARK_GRAFT_MODEL_DIR env hook — these rows must exercise the store
+    * even when the driver leaves the env unset). */
+  private val BenchModelDir = "target/model_store_bench"
 
   /** 1024-cell centroids for the scaled SemDeDup bench row, memoized
     * per sfDir. */
