@@ -106,11 +106,12 @@ object Dedup {
   /** k-permutation MinHash signature as an array<long>.
     *
     * Each shingle string is hashed ONCE (FNV-1a in the native shingle
-    * expression); the k permutations are
-    * seeded xorshift64 mixes of the base hash — XOR/shift bijections on
-    * longs, so they wrap under ANSI mode (multiplication would throw
-    * ARITHMETIC_OVERFLOW) and cost ~nothing vs k string hashes. All inside
-    * codegen — no UDF, no shuffle. */
+    * expression); the k permutations are seeded splitmix64 mixes of the
+    * base hash, computed in plain JVM arithmetic inside the expression
+    * (wraps mod 2^64 — SQL ANSI overflow checking never applies). The
+    * mix must be NON-linear over GF(2): see the XorshiftMinhash scaladoc
+    * for the correlated-orderings failure the earlier F2-linear xorshift
+    * mix caused (a 0.92-Jaccard pair missing all LSH bands). */
   def minhashSignature(hashedShingleCol: Column, k: Int = 32): Column =
     graft.functions.ShingleExpressions.minhash(hashedShingleCol, k)
 

@@ -131,7 +131,13 @@ object Incremental {
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"))
       .distinct()
-    val allSh = index.shingles.unionByName(dSh)
+    // the refine feeds allSh into TWO join sides: persist it so the
+    // (array-heavy) index shingle parquet decodes once, not twice — the
+    // same reason minhashLsh persists its shingle frame before the
+    // self-join (batch and append keep identical cache discipline)
+    val allSh = graft.core.Intermediates.track(
+      index.shingles.unionByName(dSh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = cands
       .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

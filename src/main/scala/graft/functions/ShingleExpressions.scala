@@ -72,7 +72,24 @@ case class HashedShingles(child: Expression, n: Int)
 }
 
 /** k-permutation MinHash signature (array<long>) over a hashed shingle
-  * array, using seeded xorshift64 permutations — one compiled pass. */
+  * array, one compiled pass. Each "permutation" is the splitmix64
+  * finalizer over `h ^ seed_j`.
+  *
+  * The mix MUST be non-linear over GF(2). The first implementation used
+  * a seeded xorshift (`xorshift(h ^ seed)`), and xorshift is an F2-linear
+  * bijection, so it factored as `xorshift(h) ^ xorshift(seed)` — every
+  * "permutation" was the SAME ordering XOR-translated, which makes the
+  * min of a set follow the seed constant down a binary trie of the
+  * element hashes. An element sitting alone near the top of that trie
+  * then wins the min with probability ~1/2 PER SEED regardless of set
+  * size, so a Jaccard-0.92 pair could miss all 16 LSH bands with
+  * probability ~1/8 instead of the (1-j^r)^b ≈ 6e-11 the banding math
+  * promises (observed: a planted decontamination twin undetected at
+  * sf0.1). splitmix64's two multiply-xor-shift rounds carry bits across
+  * lanes (carries are non-linear in GF(2)), restoring approximately
+  * pairwise-independent orderings. Multiplication here is plain JVM
+  * arithmetic inside the expression — it wraps mod 2^64 by definition;
+  * SQL-level ANSI overflow checking never sees it. */
 case class XorshiftMinhash(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -92,7 +109,9 @@ case class XorshiftMinhash(child: Expression, k: Int)
       var j = 0
       while (j < k) {
         var x = h0 ^ seeds(j)
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^= x >>> 31
         if (x < sig(j)) sig(j) = x
         j += 1
       }

@@ -17,13 +17,12 @@ import org.apache.spark.sql.functions._
   *      shard into a 10× index should cost about the shard's share of
   *      a full rebuild, not the rebuild.
   *
-  * Δ = the base documents re-idized into a disjoint range (+10M, far
-  * above the synthesizer's `doc_id·factor + copy` ids and the dedup
-  * queries' +1e6 planted offset) with content left VERBATIM — every
-  * delta doc exactly duplicates its copy-0 scaled counterpart, which is
-  * the duplication an append shard carries in production (yesterday's
-  * crawl, re-crawled). Output therefore grows by |Δ| matched pairs —
-  * linear, not quadratic.
+  * Δ = the sf0.01 documents (a ~1% shard — the production shape:
+  * yesterday's 100 GB on top of a 100 TB corpus) re-idized into a
+  * disjoint range (+10M, far above the synthesizer's
+  * `doc_id·factor + copy` ids and the dedup queries' +1e6 planted
+  * offset) with content left verbatim. Output grows by the shard's
+  * matched pairs — linear, not quadratic.
   *
   * Usage: runMain graft.tools.AppendBench [factor] [ledgerPath]
   *   SPARK_GRAFT_SCALE_BASE / SPARK_GRAFT_SCALE_DIR as in [[ScaleBench]].
@@ -51,7 +50,9 @@ object AppendBench {
 
     val corpus = spark.read.parquet(s"$scaled/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val delta = spark.read.parquet(s"$base/documents.parquet")
+    val deltaSrc = sys.env.getOrElse("SPARK_GRAFT_APPEND_DELTA",
+      "/root/testdata/sf0.01")
+    val delta = spark.read.parquet(s"$deltaSrc/documents.parquet")
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
     val union = corpus.unionByName(delta)
 
@@ -115,6 +116,7 @@ object AppendBench {
 
     val line =
       s"""{"metric":"append_vs_rebuild","factor":$factor,"base":"$base",""" +
+        s""""delta":"$deltaSrc",""" +
         s""""scaled":"$scaled",""" +
         s""""exact":{"index_build_sec":$exIndexSec,"append_sec":$exAppendSec,""" +
         s""""rebuild_sec":$exRebuildSec,"append_over_rebuild":${exAppendSec / exRebuildSec},""" +

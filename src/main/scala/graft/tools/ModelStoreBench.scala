@@ -56,8 +56,11 @@ object ModelStoreBench {
         s"ivf-64-$seed", corpus)(
         graft.sim.Similarity.ivfCentroids(corpus, nCells = 64, seed = seed))),
       ("pq_res_codebooks", () => {
-        val coarse = graft.sim.Similarity.ivfCentroids(corpus, nCells = 64,
-          seed = seed)
+        // coarse centroids route through the store too — the warm path
+        // must not retrain the coarse quantizer it depends on
+        val coarse = ModelStore.cachedCentroids(storeDir,
+          s"ivf-64-$seed", corpus)(
+          graft.sim.Similarity.ivfCentroids(corpus, nCells = 64, seed = seed))
         ModelStore.cachedCodebooks(storeDir, s"pqres-8-16-64-$seed", corpus)(
           graft.sim.Pq.residualCodebooks(corpus, coarse, m = 8, k = 16,
             seed = seed))
