@@ -148,18 +148,56 @@ object Incremental {
   }
 
   // ---- index persistence ---------------------------------------------------
+  /** Signature-algorithm version baked into every persisted index. An
+    * index banded under a different per-permutation mix (e.g. the
+    * pre-splitmix64 xorshift era) produces (band, bh) keys that match
+    * NOTHING from the current mix — the append join would silently drop
+    * every delta-vs-old pair. Bump this whenever [[graft.functions
+    * .XorshiftMinhash]]'s mixing (or the shingle hash / band formula)
+    * changes, and the load path below fails fast instead. */
+  private[dedup] val SignatureVersion = "minhash-splitmix64-v2"
+  private val MetaFile = "_meta"
+
   /** Persist a MinHash index under `dir` (overwrite = the post-append
     * snapshot replaces the pre-append one). Bucketing both tables by id
     * would additionally pre-shuffle the refine side; plain parquet keeps
-    * the layout portable. */
+    * the layout portable. A `_meta` stamp records the signature-algorithm
+    * version so a later load under a changed mix fails fast rather than
+    * silently matching nothing (same CodecVersion discipline as
+    * [[graft.core.ModelStore]]). */
   def saveMinhashIndex(index: MinhashIndex, dir: String): Unit = {
     index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
     index.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    val conf = index.shingles.sparkSession.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    try out.write(SignatureVersion.getBytes("UTF-8")) finally out.close()
   }
 
   /** Reload a persisted MinHash index (plain parquet scans — prunable,
-    * and the candidate join reads only (id, band, bh)). */
-  def loadMinhashIndex(spark: SparkSession, dir: String): MinhashIndex =
+    * and the candidate join reads only (id, band, bh)). Fails fast when
+    * the stored signature version differs from the current one — or is
+    * absent (a pre-stamp index from the xorshift era): appending with a
+    * mismatched mix would band the delta into a key space the index
+    * never uses and silently emit zero delta-vs-old pairs. */
+  def loadMinhashIndex(spark: SparkSession, dir: String): MinhashIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
+    val fs = path.getFileSystem(conf)
+    val stored =
+      if (fs.exists(path)) {
+        val in = fs.open(path)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } else "<missing>"
+    require(stored == SignatureVersion,
+      s"loadMinhashIndex: index at $dir was written with signature " +
+        s"version '$stored' but this build uses '$SignatureVersion' — " +
+        "its (band, bh) keys would match nothing and every delta-vs-old " +
+        "near-dup pair would be silently dropped; rebuild the index with " +
+        "minhashIndex on the current code")
     MinhashIndex(spark.read.parquet(s"$dir/shingles"),
       spark.read.parquet(s"$dir/bands"))
+  }
 }

@@ -49,8 +49,8 @@ object SubstringDedup {
   def exciseRepeated(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, outCol: String = "clean_text"): DataFrame = {
     require(k >= 2, s"exciseRepeated: k must be >= 2, got $k")
-    require(!Seq("__toks", "__pos", "__gh", "__cnt", "__first",
-        "__new", "__isl", "__s", "__e", "__ivs", outCol, "n_removed")
+    require(!Seq("__toks", "__th", "__pos", "__gh", "__cnt", "__first",
+        "__new", "__isl", "__s", "__e", "__ivs", "__kept", outCol, "n_removed")
         .contains(idCol),
       s"exciseRepeated: id column '$idCol' collides with an internal name")
     // can (id, pos) pack into one long? Integral ids up to 2^41 with
@@ -165,11 +165,17 @@ object SubstringDedup {
       acc => concat(acc.getField("p"),
         slice(col("__toks"), acc.getField("c") + 1, n - acc.getField("c"))))
 
+    // the O(tokens) walk is bound ONCE (a no-interval doc keeps its
+    // token array unchanged, so kept ≡ __toks there); outCol and
+    // n_removed both derive from the single __kept attribute —
+    // CollapseProject refuses to inline a multiply-referenced
+    // non-cheap alias, so the optimized plan carries exactly one
+    // aggregate(...) (PlanAuditSpec-asserted)
     toks.join(ivs, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        when(col("__ivs").isNull, col("__toks")).otherwise(walk).as("__kept"))
       .select(col(idCol),
-        when(col("__ivs").isNull, concat_ws(" ", col("__toks")))
-          .otherwise(concat_ws(" ", walk)).as(outCol),
-        when(col("__ivs").isNull, lit(0L))
-          .otherwise((n - size(walk)).cast(LongType)).as("n_removed"))
+        concat_ws(" ", col("__kept")).as(outCol),
+        (n - size(col("__kept"))).cast(LongType).as("n_removed"))
   }
 }

@@ -108,4 +108,29 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(updated.shingles.count() ==
       all.where(length(trim(col("text"))) > 0).count())
   }
+
+  test("loading an index with a stale or missing signature stamp fails fast") {
+    val base = planted.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_stamp").toString
+    Incremental.saveMinhashIndex(
+      Incremental.minhashIndex(base, "doc_id", "text"), dir)
+    // a stamp from a different mix era: the (band, bh) keys would match
+    // nothing and append would silently emit zero delta-vs-old pairs —
+    // the load must refuse instead
+    // drop the Hadoop LocalFS sidecar checksum before tampering, or the
+    // read fails on CRC instead of on the version check
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._meta.crc"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_meta"), "minhash-xorshift-v1")
+    val e1 = intercept[IllegalArgumentException](
+      Incremental.loadMinhashIndex(spark, dir))
+    assert(e1.getMessage.contains("minhash-xorshift-v1"))
+    // pre-stamp index (the xorshift era wrote no _meta at all)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_meta"))
+    val e2 = intercept[IllegalArgumentException](
+      Incremental.loadMinhashIndex(spark, dir))
+    assert(e2.getMessage.contains("<missing>"))
+  }
 }

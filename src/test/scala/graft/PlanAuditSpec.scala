@@ -171,4 +171,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(!l.contains("__tok#"), s"token text on gram exchange: ${l.take(200)}")
     }
   }
+
+  test("q_substring_dedup: the O(tokens) excision walk is bound ONCE — " +
+      "exactly one aggregate(...) in the optimized plan") {
+    val df = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
+    // outCol and n_removed both derive from the single __kept alias;
+    // CollapseProject must not inline the non-cheap HOF into both
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val walks = "aggregate\\(".r.findAllIn(optimized).length
+    assert(walks == 1,
+      s"expected exactly 1 aggregate(...) HOF (the excision walk), found " +
+        s"$walks — the walk is being re-evaluated per derived column")
+  }
 }

@@ -100,8 +100,18 @@ if __name__ == "__main__":
                       f"present; oracle SQL infeasible at this SF)", flush=True)
                 del running[n]
             elif not p.is_alive():
-                results[n] = "WORKER DIED"
-                print(f"FAIL  {n}: worker died", flush=True)
+                # mp.Queue.empty() is unreliable: a worker that exits right
+                # after put() can transiently present an empty queue. Drain
+                # with a short-timeout get before declaring the worker dead.
+                try:
+                    name, res, dt = q.get(timeout=2)
+                    results[name] = res
+                    flag = "PASS" if res in ("OK", "rows-only OK") else "FAIL"
+                    print(f"{flag}  {name}: {res}  [{dt:.1f}s]", flush=True)
+                except Exception:
+                    results[n] = "WORKER DIED"
+                    print(f"FAIL  {n}: worker died", flush=True)
+                p.join()
                 del running[n]
     ok = sum(1 for v in results.values() if v in ("OK", "rows-only OK"))
     to = sum(1 for v in results.values() if v.startswith("ORACLE TIMEOUT"))
