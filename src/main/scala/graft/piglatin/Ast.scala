@@ -105,10 +105,15 @@ object Ast {
   final case class POr(items: Seq[Pat]) extends Pat
   final case class PNeg(item: Pat) extends Pat
 
-  /** MATCH_EVENT in PATTERN p WITH (A: expr, ...) [MODE m] [WITHIN n unit] */
+  /** MATCH_EVENT in [BY key] PATTERN p WITH (A: expr, ...) [MODE m]
+    * [WITHIN n unit] [REORDER BY 'delay'] — `key` partitions the scan
+    * (default: one global key), `reorder` opts a STREAMING input into
+    * the watermark-delayed reorder buffer (out-of-order sources). */
   final case class MatchEvent(alias: String, in: String, pattern: Pat,
                               defs: Seq[(String, Expr)], mode: String,
-                              withinSeconds: Long) extends Stmt
+                              withinSeconds: Long,
+                              key: Option[String] = None,
+                              reorder: Option[String] = None) extends Stmt
 
   /** WINDOW in RANGE n unit SLIDE RANGE m unit | ROWS n SLIDE ROWS m */
   final case class WindowStmt(alias: String, in: String,

@@ -738,8 +738,8 @@ class PigCompiler(spark: SparkSession) {
     case DefineAlias(n, t) =>
       udos.get(t.toUpperCase).foreach(f => udos(n.toUpperCase) = f)
 
-    // ---- CEP (reference: op/Matcher.scala) ---------------------------------
-    case MatchEvent(a, in, pattern, defs, mode, withinSec) =>
+    // ---- CEP (reference: op/Matcher.scala + ceplib streaming scripts) ------
+    case MatchEvent(a, in, pattern, defs, mode, withinSec, keyField, reorder) =>
       import graft.cep.Matcher
       val df = relation(in)
       // label each row with the FIRST event definition it satisfies
@@ -748,8 +748,20 @@ class PigCompiler(spark: SparkSession) {
       val tsCol = df.schema.fields
         .find(_.dataType == TimestampType).map(_.name)
         .getOrElse(df.columns.head)
+      // BY field partitions the scan per key (numeric keys cast, others
+      // hash — the scan only equi-compares keys); default: one global key
+      val keyCol = keyField.map { f =>
+        require(df.columns.contains(f),
+          s"MATCH_EVENT BY $f: no such field in " +
+            df.columns.mkString("(", ", ", ")"))
+        df.schema(f).dataType match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            col(f).cast(LongType)
+          case _ => xxhash64(col(f))
+        }
+      }.getOrElse(lit(0L))
       val prepared0 = df.withColumn("__etype", etype)
-        .withColumn("__key", lit(0L))
+        .withColumn("__key", keyCol)
         .withColumn("__val", lit(0.0))
         .withColumn("__id", xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))
       // matchSeq reads numeric time columns as MICROS; the Pig dialect's
@@ -769,16 +781,63 @@ class PigCompiler(spark: SparkSession) {
         case PSeq(items) => items.flatMap(steps)
         case PAnd(_) => sys.error("top-level AND handled separately")
       }
-      def run(p: Pat) = Matcher.matchSeq(prepared, "__key", tsName,
-        "__etype", "__id", "__val", steps(p), withinSec * 1000000L, mode)
-        .select(col("ids"), col("startMicros"), col("endMicros"))
-      val out = pattern match {
-        // AND(A,B): both occur in either order within the window
-        case PAnd(items) =>
-          items.permutations.map(perm => run(PSeq(perm))).reduce(_.unionByName(_))
-        case p => run(p)
-      }
-      env(a) = Rel(() => out)
+      // BY exposes the key in the output; the keyless form keeps the
+      // original (ids, startMicros, endMicros) shape
+      def shape(m: DataFrame) =
+        if (keyField.isDefined)
+          m.select(col("key"), col("ids"), col("startMicros"), col("endMicros"))
+        else m.select(col("ids"), col("startMicros"), col("endMicros"))
+      val withinMicros = withinSec * 1000000L
+      val out: () => DataFrame =
+        if (df.isStreaming) {
+          // STREAMING input: route to the stateful streaming scan — the
+          // reference scripted CEP over socket streams (ceplib); batch
+          // matchSeq cannot execute on an unbounded relation. REORDER BY
+          // 'delay' opts into the watermark reorder buffer for
+          // out-of-order sources; without it the per-key in-order
+          // arrival contract of streamMatchSteps applies.
+          import spark.implicits._
+          val tsMicros =
+            if (df.schema(tsCol).dataType == TimestampType)
+              unix_micros(col(tsCol))
+            else (col(tsCol).cast(DoubleType) * 1e6).cast(LongType)
+          val evs = prepared0.select(
+              col("__key").as("key"), tsMicros.as("tsMicros"),
+              col("__etype").as("etype"), col("__id").as("id"),
+              col("__val").as("value"))
+            .where(col("key").isNotNull && col("tsMicros").isNotNull &&
+              col("id").isNotNull)
+            .as[Matcher.Event]
+          def runStream(p: Pat): DataFrame = {
+            val st = steps(p)
+            reorder match {
+              case Some(delay) => graft.streaming.Streams
+                .streamMatchStepsReordered(evs, st, withinMicros, delay, mode)
+                .toDF()
+              case None => graft.streaming.Streams
+                .streamMatchSteps(evs, st, withinMicros, mode = mode).toDF()
+            }
+          }
+          () => shape(pattern match {
+            case PAnd(items) => items.permutations
+              .map(perm => runStream(PSeq(perm))).reduce(_.unionByName(_))
+            case p => runStream(p)
+          })
+        } else {
+          require(reorder.isEmpty,
+            "MATCH_EVENT REORDER BY applies to streaming inputs only — " +
+              "a batch relation is already time-sortable")
+          def run(p: Pat) = shape(Matcher.matchSeq(prepared, "__key", tsName,
+            "__etype", "__id", "__val", steps(p), withinMicros, mode))
+          val batched = pattern match {
+            // AND(A,B): both occur in either order within the window
+            case PAnd(items) => items.permutations
+              .map(perm => run(PSeq(perm))).reduce(_.unionByName(_))
+            case p => run(p)
+          }
+          () => batched
+        }
+      env(a) = Rel(out)
 
     // ---- WINDOW (reference: op/Window.scala) -------------------------------
     case WindowStmt(a, in, rows, size, unit, slide, slideUnit) =>

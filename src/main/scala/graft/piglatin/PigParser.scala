@@ -301,12 +301,14 @@ object PigParser extends RegexParsers {
     "(?i)\\b(seconds?|minutes?|hours?|days?)\\b".r ^^ (_.toLowerCase)
 
   private def matchEvent: Parser[Stmt] =
-    (ident <~ "=" <~ kw("match_event")) ~ ident ~ (kw("pattern") ~> pat) ~
+    (ident <~ "=" <~ kw("match_event")) ~ ident ~
+      opt(kw("by") ~> ident) ~ (kw("pattern") ~> pat) ~
       (kw("with") ~> "(" ~> rep1sep((ident <~ ":") ~ expr ^^ {
         case n ~ e => (n, e) }, ",") <~ ")") ~
       opt(kw("mode") ~> ident) ~
-      opt(kw("within") ~> number ~ timeUnit) ^^ {
-      case a ~ in ~ p ~ defs ~ mode ~ within =>
+      opt(kw("within") ~> number ~ timeUnit) ~
+      opt(kw("reorder") ~> kw("by") ~> quoted) ^^ {
+      case a ~ in ~ key ~ p ~ defs ~ mode ~ within ~ reorder =>
         val secs = within.map { case n ~ u =>
           val mult = u.stripSuffix("s") match {
             case "second" => 1L; case "minute" => 60L
@@ -314,7 +316,8 @@ object PigParser extends RegexParsers {
           }
           n.toLong * mult
         }.getOrElse(Long.MaxValue / 2000000L)
-        MatchEvent(a, in, p, defs, mode.getOrElse("skip_till_next_match"), secs)
+        MatchEvent(a, in, p, defs, mode.getOrElse("skip_till_next_match"),
+          secs, key, reorder)
     }
 
   private def windowSpec: Parser[(Boolean, Long, String)] =

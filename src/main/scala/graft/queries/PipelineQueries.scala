@@ -80,14 +80,20 @@ object PipelineQueries {
   private val PqK = 16
   private val AnnK = 10
 
-  /** With `SPARK_GRAFT_MODEL_DIR` set, trained artifacts round-trip
-    * through the content-addressed [[graft.core.ModelStore]]: a later
-    * process over the same data LOADS instead of retraining (the
-    * production train-once contract). Unset — the driver's gate — every
-    * process trains fresh; either way the in-process memo below
-    * guarantees query/oracle identity, and the store's exact double
-    * round-trip guarantees load ≡ train. */
-  private def modelDir: Option[String] = sys.env.get("SPARK_GRAFT_MODEL_DIR")
+  /** Trained artifacts round-trip through the content-addressed
+    * [[graft.core.ModelStore]] BY DEFAULT (the production train-once
+    * contract: a later process over the same data LOADS instead of
+    * retraining — measured 48-215× faster than cold training in
+    * bench_r07_modelstore.json). `SPARK_GRAFT_MODEL_DIR` overrides the
+    * store location; `SPARK_GRAFT_MODEL_DIR=""` (empty) disables the
+    * store entirely and trains fresh per process. Either way the
+    * in-process memo below guarantees query/oracle identity, and the
+    * store's exact double round-trip guarantees load ≡ train. The
+    * truly-cold training cost stays visible via the `*_cold` benchOnly
+    * rows, which bypass both the store and the memo. */
+  private def modelDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_MODEL_DIR").orElse(Some("target/model_store"))
+      .filter(_.nonEmpty)
 
   /** IVF centroids memoized per sfDir: the query execution and the oracle
     * generation (later in the same Verify process) must use the IDENTICAL
@@ -853,6 +859,32 @@ object PipelineQueries {
         s"bpe-$BpeMerges-$LshSeed", docs)(
         graft.text.Bpe.train(docs, "text", numMerges = BpeMerges,
           seed = LshSeed))
+      graft.dedup.Dedup.widen(docs).select(col("doc_id"),
+        coalesce(graft.text.Bpe.tokenCount(col("text"), merges), lit(0L))
+          .as("n_bpe"))
+    }),
+    // TRULY-COLD regression rows: train per run, bypassing BOTH the
+    // ModelStore (now the oracled rows' default) and the in-process
+    // memos. These keep the absolute training cost visible in every
+    // round ledger — if training regresses, only these rows move.
+    "q_ann_ivfpq_res_cold" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val corpus = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val coarse = Similarity.ivfCentroids(corpus, nCells = IvfCells,
+        seed = LshSeed)
+      val books = graft.sim.Pq.residualCodebooks(corpus, coarse,
+        m = PqM, k = PqK, seed = LshSeed)
+      graft.sim.Pq.ivfPqResidualTopK(corpus, queries, k = AnnK,
+        coarse = coarse, codebooks = books, nProbe = IvfProbe)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
+    "q_bpe_tokens_cold" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.train(docs, "text",
+        numMerges = BpeMerges, seed = LshSeed)
       graft.dedup.Dedup.widen(docs).select(col("doc_id"),
         coalesce(graft.text.Bpe.tokenCount(col("text"), merges), lit(0L))
           .as("n_bpe"))

@@ -170,6 +170,23 @@ object StreamQueries {
           element_at(col("ids"), 1).as("start_id"),
           element_at(col("ids"), 2).as("next_id"))
     }),
+    // -- #42/#28 streaming CEP FROM THE PIG DIALECT: the script's
+    //    MATCH_EVENT compiles to streamMatchSteps when the bound
+    //    relation is a stream (the reference scripted CEP over socket
+    //    streams); ids are synthetic row hashes in the dialect, so the
+    //    output keys on (user, start, end) micros instead --------------
+    "q_pig_stream_cep" -> ((s, dir) => {
+      val m = graft.piglatin.PigScript.query(s,
+        """m = MATCH_EVENT ev BY user_id PATTERN seq(signup, purchase)
+          |      WITH (signup: event_type == 'signup',
+          |            purchase: event_type == 'purchase')
+          |      WITHIN 1 hours;""".stripMargin,
+        "m", tables = Map("ev" -> eventStream(s, dir)))
+      runBounded(m, "q_pig_stream_cep_sink", OutputMode.Append())
+        .select(col("key").as("user_id"),
+          col("startMicros").as("start_us"),
+          col("endMicros").as("end_us"))
+    }),
     // -- streaming dedup: distinct (user, type) keys off the stream ---------
     "q_stream_dedup" -> ((s, dir) => {
       // exact-variant bounded run; the watermarked production variant
@@ -297,6 +314,21 @@ object StreamQueries {
            WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
              AND epoch(b.ts) <= epoch(mx.m) - 1800)
          SELECT user_id, start_id, next_id FROM cand WHERE rn = 1""",
+    // the dialect's streaming MATCH_EVENT — same first-purchase-per-
+    // signup semantics as q_stream_cep, keyed on event times (the
+    // dialect synthesizes row-hash ids, so event_id is not exposed)
+    "q_pig_stream_cep" ->
+      """WITH cand AS (
+           SELECT a.user_id, epoch_us(a.ts) AS start_us,
+             epoch_us(b.ts) AS end_us,
+             row_number() OVER (PARTITION BY a.event_id
+               ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id
+            AND b.ts > a.ts
+            AND epoch(b.ts) - epoch(a.ts) <= 3600
+           WHERE a.event_type = 'signup' AND b.event_type = 'purchase')
+         SELECT user_id, start_us, end_us FROM cand WHERE rn = 1""",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // append-mode emission bound: a session emits iff its end (last

@@ -116,3 +116,14 @@ if __name__ == "__main__":
     ok = sum(1 for v in results.values() if v in ("OK", "rows-only OK"))
     to = sum(1 for v in results.values() if v.startswith("ORACLE TIMEOUT"))
     print(f"\n{ok}/{len(results)} pass, {to} oracle-timeout", flush=True)
+    # committed-ledger dump: CHECK_RESULTS_JSON=path writes the full
+    # per-query outcome map (plus run metadata) as one JSON artifact
+    dest = os.environ.get("CHECK_RESULTS_JSON")
+    if dest:
+        with open(dest, "w") as f:
+            json.dump({"sfdir": sfdir, "outdir": outdir,
+                       "oracle_timeout_sec": budget,
+                       "pass": ok, "oracle_timeout": to,
+                       "total": len(results),
+                       "results": dict(sorted(results.items()))}, f, indent=1)
+        print(f"ledger written to {dest}", flush=True)
