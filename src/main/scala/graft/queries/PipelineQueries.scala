@@ -306,6 +306,18 @@ object PipelineQueries {
       graft.text.Decontaminate.report(corpus, "doc_id", "text",
         bench, "doc_id", "text", n = 8)
     }),
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // bloom-prefiltered exact decontamination: same corpus/bench split
+      // and the SAME oracle as q_decontaminate — the bloom has no false
+      // negatives and the exact stage re-verifies candidates, so any
+      // output difference is a correctness bug, not a tuning artifact
+      val docs = plantedDocs(t(s, dir, "documents"))
+      val corpus = docs.where(col("doc_id") >= 1000000L)
+      val bench = docs.where(col("doc_id") < 1000000L &&
+        col("doc_id") % 20 === 3)
+      graft.text.Decontaminate.reportBloom(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 8)
+    }),
     "q_decontaminate_fuzzy" -> ((s, dir) => {
       // FUZZY variant: same corpus/bench split, but contamination is
       // whole-doc shingle Jaccard ≥ 0.5 via cross-collection MinHash
@@ -1869,6 +1881,9 @@ object PipelineQueries {
            FROM tok""",
       "q_lang_id" -> langIdSql,
       "q_decontaminate" -> decontaminateSql(n = 8),
+      // the bloom prefilter is output-identical by construction (no false
+      // negatives + exact re-verification) — same oracle, independently run
+      "q_decontaminate_bloom" -> decontaminateSql(n = 8),
       "q_tfidf" -> tfIdfSql(TfIdfK),
       "q_bm25" -> bm25Sql(Bm25Terms, Bm25K1, Bm25B),
       "q_split_hash" ->

@@ -53,6 +53,62 @@ object Decontaminate {
       .where(col("matched_ngrams") >= minHits)
   }
 
+  /** [[report]] behind a BLOOM PREFILTER — output-identical, built for the
+    * 100 TB corpus / MB benchmark ratio.
+    *
+    * [[report]]'s corpus side explodes one row PER TOKEN before the
+    * broadcast join probes it. Here the benchmark grams are folded into a
+    * bloom filter (`fpp` false-positive rate, no false negatives) and the
+    * corpus scan asks ONE question per document — "does any gram hit?" —
+    * via the native [[graft.functions.BloomMightContainAny]] expression
+    * over the doc's gram array: no corpus-side explode, no join rows, no
+    * shuffle. Only candidate docs (true contaminations + `fpp` noise)
+    * reach the exact explode→join→count stage, which re-verifies every
+    * gram, so the result equals [[report]] exactly. The bloom is also
+    * far smaller than the broadcast hash relation (a 10M-gram benchmark
+    * is ~12 MB at fpp 1% vs ~160 MB of join hash table), which matters
+    * when 1000 executors each hold a copy.
+    *
+    * The shingle expression evaluates twice for candidate rows (once in
+    * the filter, once in the exact stage's explode) — candidates are the
+    * contaminated few, so the second pass is noise; the full corpus pays
+    * exactly one shingle+bloom pass.
+    */
+  def reportBloom(corpus: DataFrame, idCol: String, textCol: String,
+                  bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                  n: Int = 8, minHits: Long = 1L,
+                  fpp: Double = 0.01): DataFrame = {
+    val bg = graft.core.Intermediates.track(
+      Dedup.hashedShingleDF(
+          bench.select(col(benchIdCol), col(benchTextCol)),
+          benchIdCol, benchTextCol, n)
+        .select(col("id").as("__bench_id"), explode(col("sh")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bloom = graft.functions.BloomMightContainAny
+      .broadcastBloom(bg.select(col("g")), "g", fpp)
+    val csh = Dedup.hashedShingleDF(corpus.select(col(idCol), col(textCol)),
+      idCol, textCol, n)
+    val cg = csh
+      .where(graft.functions.BloomMightContainAny(col("sh"), bloom))
+      .select(col("id").as(idCol), explode(col("sh")).as("g"))
+    cg.join(broadcast(bg), "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("matched_ngrams"),
+        countDistinct(col("__bench_id")).as("bench_docs"))
+      .where(col("matched_ngrams") >= minHits)
+  }
+
+  /** Bloom-prefiltered [[clean]] — same anti-join posture, candidate
+    * flags from [[reportBloom]]. */
+  def cleanBloom(corpus: DataFrame, idCol: String, textCol: String,
+                 bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                 n: Int = 8, minHits: Long = 1L,
+                 fpp: Double = 0.01): DataFrame = {
+    val flagged = reportBloom(corpus, idCol, textCol,
+      bench, benchIdCol, benchTextCol, n, minHits, fpp).select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** FUZZY decontamination — the near-duplicate complement of [[report]]:
     * a corpus doc is contaminated iff its shingle set has Jaccard ≥
     * `threshold` with SOME benchmark doc (the Llama-style fuzzy policy:

@@ -227,3 +227,72 @@ class GopherRulesSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("keep"))
   }
 }
+
+/** Round-8: bloom-prefiltered exact decontamination. The prefilter must
+  * be INVISIBLE in the output (no false negatives + exact re-verify) and
+  * visible in the plan (the corpus filtered by the native bloom
+  * expression before any explode). */
+class BloomDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 120 distinct filler docs + two planted leaks: a verbatim benchmark
+  // copy and a twin sharing a 9-token run (two overlapping 8-grams)
+  private def bench = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "one two three four five six seven eight nine ten"))
+    .toDF("bid", "btext")
+  private def corpus = {
+    val filler = (0 until 120).map(i =>
+      (100L + i, s"filler_${i}_a word_${i}_b token_${i}_c item_${i}_d " +
+        s"gap_${i}_e noise_${i}_f pad_${i}_g tail_${i}_h end_${i}_i"))
+    val leaks = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "PREFIX one two three four five six seven eight nine SUFFIX"))
+    (filler ++ leaks).toDF("id", "text")
+  }
+
+  test("reportBloom is output-identical to report") {
+    val exact = Decontaminate.report(corpus, "id", "text",
+      bench, "bid", "btext", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = Decontaminate.reportBloom(corpus, "id", "text",
+      bench, "bid", "btext", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "planted leaks must be flagged")
+    assert(exact.map(_._1) == Set(10L, 11L))
+    assert(bloomed == exact)
+  }
+
+  test("cleanBloom equals clean") {
+    val a = Decontaminate.clean(corpus, "id", "text",
+      bench, "bid", "btext", n = 8).select("id").as[Long].collect().toSet
+    val b = Decontaminate.cleanBloom(corpus, "id", "text",
+      bench, "bid", "btext", n = 8).select("id").as[Long].collect().toSet
+    assert(a == b && !a.contains(10L) && !a.contains(11L) &&
+      a.contains(100L))
+  }
+
+  test("the bloom gate sits in the plan and the filter has no false negatives") {
+    // a LocalRelation corpus would let ConvertToLocalRelation evaluate
+    // the bloom filter at optimization time — use the production shape
+    // (a parquet scan) so the gate is visible in the plan
+    val pq = java.nio.file.Files.createTempDirectory("graft_bloom_plan")
+      .resolve("corpus.parquet").toString
+    corpus.write.mode("overwrite").parquet(pq)
+    val plan = Decontaminate.reportBloom(spark.read.parquet(pq), "id", "text",
+      bench, "bid", "btext", n = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_bloom_any"),
+      "corpus must be gated by the native bloom expression")
+    // expression-level: every member long answers true (bloom contract)
+    val grams = graft.dedup.Dedup.hashedShingleDF(
+        bench, "bid", "btext", 8)
+      .select(explode(col("sh")).as("g"))
+    val bloom = graft.functions.BloomMightContainAny
+      .broadcastBloom(grams, "g", fpp = 0.01)
+    val misses = grams.groupBy().agg(collect_list(col("g")).as("gs"))
+      .select(graft.functions.BloomMightContainAny(col("gs"), bloom))
+      .as[Boolean].collect()
+    assert(misses.forall(identity))
+  }
+}
