@@ -68,6 +68,43 @@ object PipelineQueries {
       .union(pert)
   }
 
+  /** doc ids ∪ twin ids (+1e6) for the planted-BMP image queries. */
+  private def plantedImageIds(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    ids.union(ids.select(col("doc_id") + 1000000L)).as[java.lang.Long]
+  }
+
+  /** DuckDB replay of [[graft.multimodal.ImageHash.plantedBmpAssets]] +
+    * [[graft.multimodal.ImageHash.dHash]]: pixel arithmetic → luma (exact
+    * for gray pixels) → adjacent-cell bits → 64-bit pack. Bit 63 is the
+    * BIGINT sign bit (1::BIGINT << 63 overflows), so it lands as a
+    * two's-complement −2^63 addend; the HUGEINT sum casts back exactly. */
+  private def imageHashCte: String =
+    """ids AS (
+         SELECT doc_id AS id, doc_id AS b, FALSE AS pert FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, doc_id, TRUE FROM documents),
+       cells AS (
+         SELECT id, y, x,
+           CASE WHEN pert AND x = b % 9 AND y = b % 8
+                THEN ((b*7 + (1 + b%13)*x*29 + (1 + b%11)*y*53) % 256 + 128) % 256
+                ELSE (b*7 + (1 + b%13)*x*29 + (1 + b%11)*y*53) % 256 END AS v
+         FROM ids, range(0, 8) ty(y), range(0, 9) tx(x)),
+       bits AS (
+         SELECT l.id, l.y * 8 + l.x AS k,
+           CASE WHEN r.v > l.v THEN 1 ELSE 0 END AS bit
+         FROM cells l JOIN cells r
+           ON r.id = l.id AND r.y = l.y AND r.x = l.x + 1
+         WHERE l.x < 8),
+       hashes AS (
+         SELECT id, CAST(SUM(
+             CASE WHEN bit = 0 THEN 0::HUGEINT
+                  WHEN k = 63 THEN (-9223372036854775808)::HUGEINT
+                  ELSE (1::BIGINT << CAST(k AS INT))::HUGEINT END)
+           AS BIGINT) AS dhash
+         FROM bits GROUP BY id)"""
+
   // ---- shared ANN / IVF parameters (query and oracle must agree) ----------
   private val EmbDim = 64 // TESTDATA embeddings dimensionality (all sf)
   private val LshBands = 8
@@ -654,6 +691,31 @@ object PipelineQueries {
       graft.multimodal.Multimodal.sampleFrames(assets, everyMs = 80L)
         .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
           col("width"), col("height"))
+    }),
+    // -- #68 multimodal: perceptual image hash + image near-dup dedup -------
+    // planted 9×8 grayscale BMPs whose every pixel is doc_id arithmetic;
+    // ids ≥ 1e6 are one-pixel-inverted twins (Hamming ≤ 2 from their
+    // base). The engine runs the REAL pipeline — BMP encode → imageio
+    // decode → integer luma → area-average dHash — and the oracle
+    // replays the bits arithmetically, so a disagreement anywhere in the
+    // codec path or the hash packing hash-fails.
+    "q_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.ImageHash.hashAssets(
+          graft.multimodal.ImageHash.plantedBmpAssets(
+            plantedImageIds(s, dir)))
+        .select(col("id").as("doc_id"), col("dhash"))
+    }),
+    // near-dup pairs within Hamming 3 via the pigeonhole-banded join
+    // (exact recall), brute-force replayed by the oracle — the planted
+    // twins plus whatever hash near-collisions the corpus carries
+    "q_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.ImageHash.nearDupPairs(
+        graft.multimodal.ImageHash.hashAssets(
+          graft.multimodal.ImageHash.plantedBmpAssets(
+            plantedImageIds(s, dir))),
+        maxDist = 3)
     }),
     // -- incremental dedup (append path): index old, fold in a delta shard --
     // exact: base = the originals, Δ = the verbatim copies; the folded
@@ -2408,6 +2470,20 @@ object PipelineQueries {
              CAST(unnest(range(0, n, 2)) AS BIGINT) AS frame_idx,
              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
            FROM v""",
+      // perceptual image hash: full decode→luma→dHash replay (see
+      // imageHashCte) — per-doc exact hash compare
+      "q_image_dhash" ->
+        s"""WITH $imageHashCte
+            SELECT id AS doc_id, dhash FROM hashes""",
+      // image near-dup pairs: brute-force Hamming ≤ 3 over the replayed
+      // hashes — the banded engine join must find exactly these (the
+      // pigeonhole split is lossless at maxDist 3)
+      "q_image_dedup" ->
+        s"""WITH $imageHashCte
+            SELECT a.id AS id_a, b.id AS id_b,
+              CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+            FROM hashes a JOIN hashes b ON a.id < b.id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""",
       // incremental exact dedup: the folded index must equal the
       // full-corpus dedup — same SQL as q_dedup_exact
       "q_dedup_incremental" ->
