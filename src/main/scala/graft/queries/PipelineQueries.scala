@@ -68,8 +68,9 @@ object PipelineQueries {
       .union(pert)
   }
 
-  /** doc ids ∪ twin ids (+1e6) for the planted-BMP image queries. */
-  private def plantedImageIds(s: SparkSession, dir: String) = {
+  /** doc ids ∪ twin ids (+1e6) for the planted binary-asset queries
+    * (BMP images, PCM WAVs). */
+  private def plantedAssetIds(s: SparkSession, dir: String) = {
     import s.implicits._
     val ids = t(s, dir, "documents").select(col("doc_id"))
     ids.union(ids.select(col("doc_id") + 1000000L)).as[java.lang.Long]
@@ -103,6 +104,40 @@ object PipelineQueries {
                   WHEN k = 63 THEN (-9223372036854775808)::HUGEINT
                   ELSE (1::BIGINT << CAST(k AS INT))::HUGEINT END)
            AS BIGINT) AS dhash
+         FROM bits GROUP BY id)"""
+
+  /** DuckDB replay of [[graft.multimodal.AudioHash.plantedWavAssets]] +
+    * [[graft.multimodal.AudioHash.envelopeHash]]: per-sample arithmetic →
+    * integer Σ|s| per 32-sample block (65 blocks) → adjacent-block bits →
+    * the same two's-complement 64-bit pack as the image hash. */
+  private def audioHashCte: String =
+    """ids AS (
+         SELECT doc_id AS id, doc_id AS b, FALSE AS twin FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, doc_id, TRUE FROM documents),
+       samp AS (
+         SELECT id, t,
+           CASE WHEN twin THEN
+                  2 * ((b*31 + t*t*7 + (1 + b%19)*t*13) % 2048 - 1024)
+                  + CASE WHEN t = (b % 65) * 32 + b % 32
+                         THEN 500 ELSE 0 END
+                ELSE (b*31 + t*t*7 + (1 + b%19)*t*13) % 2048 - 1024
+           END AS s
+         FROM ids, range(0, 2080) tt(t)),
+       blocks AS (
+         SELECT id, t // 32 AS blk, SUM(ABS(s)) AS e
+         FROM samp GROUP BY 1, 2),
+       bits AS (
+         SELECT l.id, l.blk AS k,
+           CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+         FROM blocks l JOIN blocks r ON r.id = l.id AND r.blk = l.blk + 1
+         WHERE l.blk < 64),
+       hashes AS (
+         SELECT id, CAST(SUM(
+             CASE WHEN bit = 0 THEN 0::HUGEINT
+                  WHEN k = 63 THEN (-9223372036854775808)::HUGEINT
+                  ELSE (1::BIGINT << CAST(k AS INT))::HUGEINT END)
+           AS BIGINT) AS ehash
          FROM bits GROUP BY id)"""
 
   // ---- shared ANN / IVF parameters (query and oracle must agree) ----------
@@ -703,7 +738,7 @@ object PipelineQueries {
       import s.implicits._
       graft.multimodal.ImageHash.hashAssets(
           graft.multimodal.ImageHash.plantedBmpAssets(
-            plantedImageIds(s, dir)))
+            plantedAssetIds(s, dir)))
         .select(col("id").as("doc_id"), col("dhash"))
     }),
     // near-dup pairs within Hamming 3 via the pigeonhole-banded join
@@ -714,7 +749,29 @@ object PipelineQueries {
       graft.multimodal.ImageHash.nearDupPairs(
         graft.multimodal.ImageHash.hashAssets(
           graft.multimodal.ImageHash.plantedBmpAssets(
-            plantedImageIds(s, dir))),
+            plantedAssetIds(s, dir))),
+        maxDist = 3)
+    }),
+    // -- #68 multimodal: audio envelope fingerprint + audio near-dup --------
+    // planted REAL 16-bit PCM WAVs whose every sample is doc_id
+    // arithmetic; twins are the SAME clip at double volume (envelope
+    // hash is volume-invariant) with one sample bumped — Hamming ≤ 2.
+    // Engine: hand-built RIFF bytes → javax.sound decode → integer
+    // Σ|sample| per block → comparison bits; oracle replays it exactly
+    // (integer sums, no float-order hazards).
+    "q_audio_ehash" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.AudioHash.hashAssets(
+          graft.multimodal.AudioHash.plantedWavAssets(
+            plantedAssetIds(s, dir)))
+        .select(col("id").as("doc_id"), col("ehash"))
+    }),
+    "q_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.AudioHash.nearDupPairs(
+        graft.multimodal.AudioHash.hashAssets(
+          graft.multimodal.AudioHash.plantedWavAssets(
+            plantedAssetIds(s, dir))),
         maxDist = 3)
     }),
     // -- incremental dedup (append path): index old, fold in a delta shard --
@@ -2484,6 +2541,18 @@ object PipelineQueries {
               CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
             FROM hashes a JOIN hashes b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""",
+      // audio envelope fingerprint: full decode→envelope→hash replay
+      "q_audio_ehash" ->
+        s"""WITH $audioHashCte
+            SELECT id AS doc_id, ehash FROM hashes""",
+      // audio near-dup pairs: brute-force Hamming ≤ 3 over the replayed
+      // hashes (the banded engine join is lossless at maxDist 3)
+      "q_audio_dedup" ->
+        s"""WITH $audioHashCte
+            SELECT a.id AS id_a, b.id AS id_b,
+              CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming
+            FROM hashes a JOIN hashes b ON a.id < b.id
+            WHERE bit_count(xor(a.ehash, b.ehash)) <= 3""",
       // incremental exact dedup: the folded index must equal the
       // full-corpus dedup — same SQL as q_dedup_exact
       "q_dedup_incremental" ->
