@@ -1246,9 +1246,22 @@ class PigCompiler(spark: SparkSession) {
           bands = p.get("bands").map(_.toInt).getOrElse(16),
           threshold = p.get("threshold").map(_.toDouble).getOrElse(0.5),
           shingleN = p.get("shinglen").map(_.toInt).getOrElse(3))
+        // bloom / bloom_report: output-identical to clean / report but
+        // behind the broadcast-bloom corpus gate (the 100 TB posture —
+        // see Decontaminate.reportBloom)
+        case "bloom" => graft.text.Decontaminate.cleanBloom(corpus, idF, tF,
+          bdf, bId, bT,
+          n = p.get("n").map(_.toInt).getOrElse(8),
+          minHits = p.get("minhits").map(_.toLong).getOrElse(1L),
+          fpp = p.get("fpp").map(_.toDouble).getOrElse(0.01))
+        case "bloom_report" => graft.text.Decontaminate.reportBloom(
+          corpus, idF, tF, bdf, bId, bT,
+          n = p.get("n").map(_.toInt).getOrElse(8),
+          minHits = p.get("minhits").map(_.toLong).getOrElse(1L),
+          fpp = p.get("fpp").map(_.toDouble).getOrElse(0.01))
         case other => sys.error(
           s"unknown DECONTAMINATE method '$other' — expected clean, " +
-            "report or fuzzy")
+            "report, fuzzy, bloom or bloom_report")
       })
 
     case PackStmt(a, in, idF, f, seqLen) =>

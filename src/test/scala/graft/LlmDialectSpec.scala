@@ -128,6 +128,20 @@ class LlmDialectSpec extends SparkSpec {
     // exactly the bench doc's trailing 8-gram — all three leak
     assert(report.select("doc_id").as[Long].collect().toSet ==
       Set(1L, 2L, 3L))
+    // bloom / bloom_report: the prefiltered paths must be output-
+    // identical to their exact counterparts from the script too
+    val bloomClean = PigScript.query(spark,
+      "c = DECONTAMINATE docs BY doc_id, text AGAINST bench BY bid, " +
+        "btext USING bloom(n=8, fpp=0.01);",
+      "c", tables = Map("docs" -> docs, "bench" -> bench))
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomClean == cleaned)
+    val bloomReport = PigScript.query(spark,
+      "r = DECONTAMINATE docs BY doc_id, text AGAINST bench BY bid, " +
+        "btext USING bloom_report(n=8);",
+      "r", tables = Map("docs" -> docs, "bench" -> bench))
+    assert(bloomReport.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
   }
 
   test("PACK lays out the concat-and-chunk stream (string BY token-" +
