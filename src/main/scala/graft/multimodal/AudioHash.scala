@@ -69,10 +69,15 @@ object AudioHash {
   }
 
   /** Near-duplicate audio pairs within `maxDist` Hamming bits — the same
-    * lossless pigeonhole-banded join as the SimHash/ImageHash paths. */
-  def nearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame =
-    graft.dedup.Dedup.simhashPairs(
-      hashes.select(col("id"), col("ehash").as("simhash")), maxDist)
+    * lossless pigeonhole-banded join as the SimHash/ImageHash paths.
+    * Hashes persist before the self-join (decode runs once, not twice —
+    * the [[ImageHash.nearDupPairs]] rationale). */
+  def nearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val cached = graft.core.Intermediates.track(
+      hashes.select(col("id"), col("ehash").as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.dedup.Dedup.simhashPairs(cached, maxDist)
+  }
 
   /** Deterministic REAL 16-bit PCM mono WAV per id (8 kHz, exactly
     * [[MinSamples]] samples) — every sample is pure id arithmetic, so a

@@ -101,10 +101,18 @@ object ImageHash {
   /** Near-duplicate image pairs within `maxDist` Hamming bits — the
     * pigeonhole-banded join from the SimHash text path (the banding is
     * hash-agnostic: any pair within maxDist agrees on ≥1 of maxDist+1
-    * chunks, so recall is exact). Input columns (id, dhash). */
-  def nearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame =
-    graft.dedup.Dedup.simhashPairs(
-      hashes.select(col("id"), col("dhash").as("simhash")), maxDist)
+    * chunks, so recall is exact). Input columns (id, dhash).
+    *
+    * The hash table is persisted before the self-join: the upstream of
+    * `hashes` is a DECODE (ImageIO per payload) and an unpersisted
+    * self-join would run it twice — the 8-byte (id, hash) rows are the
+    * cheapest possible thing to cache. */
+  def nearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val cached = graft.core.Intermediates.track(
+      hashes.select(col("id"), col("dhash").as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.dedup.Dedup.simhashPairs(cached, maxDist)
+  }
 
   /** Deterministic REAL 9×8 grayscale BMP per id — every pixel is pure id
     * arithmetic, so a DuckDB oracle can replay decode→luma→dHash bit for

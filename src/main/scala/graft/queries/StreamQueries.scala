@@ -199,6 +199,29 @@ object StreamQueries {
       runBounded(d, "q_stream_dedup_sink", OutputMode.Append())
         .select(col("user_id"), col("event_type"))
     }),
+    // -- streaming NEAR-dup dedup: each arriving doc flagged against the
+    //    earliest representative of its simhash pigeonhole buckets (the
+    //    ingest-time complement of the batch pair join). Single-file
+    //    bounded replay ⇒ reps are per-bucket min ids — exactly what the
+    //    oracle replays; per-doc verdict = min-rep hit across buckets,
+    //    aggregated on the sink output (one stateful op per stream) ----
+    "q_stream_dedup_simhash" -> ((s, dir) => {
+      val planted = PipelineQueries.plantedDocs(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_sdh_src").toString
+      planted.repartition(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val hits = Streams.streamSimhashDedup(
+        Streams.fileStream(s, staged, schema), "doc_id", "text",
+        maxDist = 3)
+      runBounded(hits.toDF(), "q_stream_dedup_simhash_sink",
+          OutputMode.Append())
+        .groupBy(col("docId").as("doc_id"))
+        .agg(min(struct(col("dupOf"), col("hamming"))).as("m"))
+        .select(col("doc_id"), col("m.dupOf").as("dup_of"),
+          col("m.hamming").as("hamming"))
+    }),
     // -- streaming SESSION windows: per-user sessions closed by watermark ---
     "q_stream_session" -> ((s, dir) => {
       val agg = Streams.sessionAgg(eventStream(s, dir), "ts",
@@ -331,6 +354,49 @@ object StreamQueries {
          SELECT user_id, start_us, end_us FROM cand WHERE rn = 1""",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // streaming simhash dedup: replay the simhash (60-bit token-md5
+    // vote — the same formula the batch q_dedup_simhash oracle proves),
+    // take each pigeonhole bucket's min-id occupant as its
+    // representative, flag later docs within Hamming 3 of a rep, and
+    // keep the min-rep hit per doc — the batch model the single-file
+    // bounded stream must reproduce
+    "q_stream_dedup_simhash" -> {
+      val packed = (0 until 60).map { b =>
+        s"""(CASE WHEN 2 * len(list_filter(h, x -> ((x >> $b) & 1) = 1)) - len(h) > 0
+           THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"""
+      }.mkString(" + ")
+      s"""WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_filter(string_split_regex(text, '\\s+'),
+               x -> x <> '')[2:], ' ') AS text
+           FROM documents),
+         hs AS (SELECT doc_id,
+           list_transform(list_filter(string_split_regex(text, '\\s+'),
+               x -> x <> ''),
+             t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+           FROM docs),
+         sig AS (SELECT doc_id, ($packed) AS sh FROM hs),
+         banded AS (
+           SELECT doc_id, sh, c, (sh >> CAST(c * 16 AS INT)) & 65535 AS cv
+           FROM sig, range(0, 4) t(c)),
+         rep AS (SELECT c, cv, min(doc_id) AS rep_id
+                 FROM banded GROUP BY 1, 2),
+         hits AS (
+           SELECT b.doc_id, r.rep_id AS dup_of,
+             CAST(bit_count(xor(b.sh, s2.sh)) AS INTEGER) AS hamming
+           FROM banded b
+           JOIN rep r ON r.c = b.c AND r.cv = b.cv AND r.rep_id < b.doc_id
+           JOIN sig s2 ON s2.doc_id = r.rep_id
+           WHERE bit_count(xor(b.sh, s2.sh)) <= 3),
+         ranked AS (
+           SELECT doc_id, dup_of, hamming,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY dup_of, hamming) AS rn
+           FROM hits)
+         SELECT doc_id, dup_of, hamming FROM ranked WHERE rn = 1"""
+    },
     // append-mode emission bound: a session emits iff its end (last
     // event + gap) passed the final watermark (max event time - delay)
     "q_stream_session" ->

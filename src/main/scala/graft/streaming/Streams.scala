@@ -91,6 +91,93 @@ object Streams {
       case None => stream.dropDuplicates(keyCols)
     }
 
+  /** One near-dup hit: `docId` is within `hamming` (≤ maxDist) bits of
+    * the earlier representative `dupOf` of one of its chunk buckets. */
+  case class SimDupHit(docId: Long, dupOf: Long, hamming: Int)
+  /** Per-bucket state: the FIRST document that landed in the bucket. */
+  case class SimRep(repId: Long, repSig: Long)
+
+  /** Streaming NEAR-duplicate dedup — the ingest-time complement of the
+    * batch SimHash pair join ([[graft.dedup.Dedup.simhashPairs]]): flag
+    * each arriving document against everything seen so far, without
+    * rescanning history. This is the shape a continuously-fed training
+    * corpus needs (a new crawl shard streams in; near-copies of ANY
+    * prior document are flagged on arrival).
+    *
+    * Mechanics: documents are simhashed (the native expression — same
+    * bits as the batch path), pigeonhole-split into maxDist+1 chunks,
+    * and keyed by (chunk, chunkValue). Each bucket's state holds ONE
+    * representative: the first document to land there. A later document
+    * within `maxDist` Hamming bits of its bucket's representative emits
+    * a [[SimDupHit]]. Any pair within maxDist agrees on ≥1 chunk
+    * (pigeonhole), so a doc within maxDist of a representative is always
+    * flagged — recall vs the representative set is exact, and state is
+    * ONE (id, sig) pair per occupied bucket regardless of stream length.
+    *
+    * Semantics note (deliberate, documented): verdicts are vs bucket
+    * REPRESENTATIVES, not all prior docs — a doc can be a dup of a doc
+    * that was itself flagged (transitive chains collapse to the chain's
+    * first member only if they share buckets). On a bounded in-order
+    * replay this equals the batch model "flag doc d iff ∃ chunk whose
+    * min-id occupant r < d has hamming(r, d) ≤ maxDist" — which is what
+    * the DuckDB oracle replays (q_stream_dedup_simhash). Per-doc
+    * verdicts need a downstream `groupBy(docId)` — run it on the sink
+    * output (a second stateful op in the same stream is unsupported).
+    *
+    * `stateTtlMs` > 0 evicts buckets idle longer than the TTL (the
+    * dedup window of a production stream — same contract as the CEP
+    * scans); 0 keeps buckets forever (bounded replays). */
+  def streamSimhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                         maxDist: Int = 3,
+                         stateTtlMs: Long = 0L): Dataset[SimDupHit] = {
+    require(maxDist >= 1 && maxDist <= 7, s"maxDist in [1,7], got $maxDist")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    // same empty-doc filter as the batch simhash path (blank docs all
+    // hash to 0 — one bucket of pairwise "dups")
+    val sig = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
+        graft.functions.ShingleExpressions.simhash(col(textCol)).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftrightunsigned(col("sig"), c * width)
+            .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("chunk", "cv")))
+      .as[(Long, Long, Int, Long)]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    sig.groupByKey { case (_, _, chunk, cv) => (chunk, cv) }
+      .flatMapGroupsWithState[SimRep, SimDupHit](
+        OutputMode.Append(), timeoutConf) {
+        case (_, it, state: GroupState[SimRep]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // micro-batch arrival order is not guaranteed — sort by id,
+            // the same tiebreak the batch model's min-id rep uses
+            val batch = it.toSeq.sortBy(_._1)
+            var rep = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SimDupHit]
+            batch.foreach { case (id, s, _, _) =>
+              rep match {
+                case None => rep = Some(SimRep(id, s))
+                case Some(r) if id != r.repId =>
+                  val ham = java.lang.Long.bitCount(s ^ r.repSig)
+                  if (ham <= maxDist) out += SimDupHit(id, r.repId, ham)
+                case _ => ()
+              }
+            }
+            rep.foreach { r =>
+              state.update(r)
+              if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Event-time SESSION window aggregation on a stream (gap-based merge,
     * watermarked so closed sessions evict their state). Append mode
     * emits a session only once the watermark passes its end. */
