@@ -82,7 +82,10 @@ object AudioHash {
   /** Deterministic REAL 16-bit PCM mono WAV per id (8 kHz, exactly
     * [[MinSamples]] samples) — every sample is pure id arithmetic, so a
     * DuckDB oracle replays decode→envelope→hash exactly. Base sample
-    * `t`: `s = (b·31 + t²·7 + (1+b%19)·t·13) % 2048 − 1024`. Ids ≥ 1e6
+    * `t`: `s = (b·31 + (1+b%23)·t²·7 + (1+b%19)·t·13) % 2048 − 1024`
+    * (the per-doc quadratic coefficient keeps organic Hamming-≤3
+    * collisions down to ~28 per 2000 clips; a doc-independent t² term
+    * produced ~3.4k — a pair-output artifact at scale). Ids ≥ 1e6
     * are planted twins of id−1e6: the SAME signal at DOUBLE volume
     * (hash-invariant) with ONE sample bumped by +500 — at most the two
     * envelope bits adjacent to that sample's block move, Hamming ≤ 2. */
@@ -97,7 +100,7 @@ object AudioHash {
         val pcm = new Array[Byte](MinSamples * 2)
         var t = 0
         while (t < MinSamples) {
-          val base = (b * 31 + t.toLong * t * 7 +
+          val base = (b * 31 + (1 + b % 23) * t.toLong * t * 7 +
             (1 + b % 19) * t * 13) % 2048 - 1024
           val s = (if (twin) 2 * base + (if (t == t0) 500L else 0L)
                    else base).toInt

@@ -120,8 +120,13 @@ object ImageHash {
     * with ONE pixel inverted (+128 mod 256), which can flip at most the
     * two dHash bits adjacent to that pixel — Hamming ≤ 2, inside every
     * sensible dedup threshold. Base pixel:
-    * `v = (b·7 + (1+b%13)·x·29 + (1+b%11)·y·53) % 256` — the per-doc
-    * gradient coefficients give distinct docs distinct bit patterns.
+    * `v = (b·7 + (1+b%13)·x·29 + (1+b%11)·y·53 + (b²%251)·x·y +
+    * (b%17)·11·x²) % 256` — the per-doc gradient coefficients (linear,
+    * bilinear AND quadratic terms) give distinct docs distinct bit
+    * patterns with enough entropy that organic Hamming-≤3 collisions
+    * are empirically zero per 2000 images (the earlier linear-only
+    * form produced ~7k — a quadratic pair-output artifact at scale,
+    * not a dedup property).
     * Encoding runs per-partition (BMP = lossless, exact round-trip). */
   def plantedBmpAssets(ids: Dataset[java.lang.Long]): Dataset[Multimodal.Asset] = {
     val spark = ids.sparkSession
@@ -139,7 +144,8 @@ object ImageHash {
           var x = 0
           while (x < 9) {
             var v = ((b * 7 + (1 + b % 13) * x * 29 +
-              (1 + b % 11) * y * 53) % 256).toInt
+              (1 + b % 11) * y * 53 + (b * b % 251) * x * y +
+              (b % 17) * 11 * x * x) % 256).toInt
             if (perturbed && x == px && y == py) v = (v + 128) % 256
             img.setRGB(x, y, (v << 16) | (v << 8) | v)
             x += 1

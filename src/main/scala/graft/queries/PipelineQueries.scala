@@ -89,8 +89,8 @@ object PipelineQueries {
        cells AS (
          SELECT id, y, x,
            CASE WHEN pert AND x = b % 9 AND y = b % 8
-                THEN ((b*7 + (1 + b%13)*x*29 + (1 + b%11)*y*53) % 256 + 128) % 256
-                ELSE (b*7 + (1 + b%13)*x*29 + (1 + b%11)*y*53) % 256 END AS v
+                THEN ((b*7 + (1 + b%13)*x*29 + (1 + b%11)*y*53 + (b*b % 251)*x*y + (b%17)*11*x*x) % 256 + 128) % 256
+                ELSE (b*7 + (1 + b%13)*x*29 + (1 + b%11)*y*53 + (b*b % 251)*x*y + (b%17)*11*x*x) % 256 END AS v
          FROM ids, range(0, 8) ty(y), range(0, 9) tx(x)),
        bits AS (
          SELECT l.id, l.y * 8 + l.x AS k,
@@ -118,10 +118,10 @@ object PipelineQueries {
        samp AS (
          SELECT id, t,
            CASE WHEN twin THEN
-                  2 * ((b*31 + t*t*7 + (1 + b%19)*t*13) % 2048 - 1024)
+                  2 * ((b*31 + (1 + b%23)*t*t*7 + (1 + b%19)*t*13) % 2048 - 1024)
                   + CASE WHEN t = (b % 65) * 32 + b % 32
                          THEN 500 ELSE 0 END
-                ELSE (b*31 + t*t*7 + (1 + b%19)*t*13) % 2048 - 1024
+                ELSE (b*31 + (1 + b%23)*t*t*7 + (1 + b%19)*t*13) % 2048 - 1024
            END AS s
          FROM ids, range(0, 2080) tt(t)),
        blocks AS (

@@ -33,7 +33,8 @@ class AudioHashSpec extends SparkSpec {
       Seq(java.lang.Long.valueOf(b)).toDS()).head()
     val sums = new Array[Long](AudioHash.Blocks)
     (0 until AudioHash.MinSamples).foreach { t =>
-      val s = (b * 31 + t.toLong * t * 7 + (1 + b % 19) * t * 13) % 2048 - 1024
+      val s = (b * 31 + (1 + b % 23) * t.toLong * t * 7 +
+        (1 + b % 19) * t * 13) % 2048 - 1024
       sums(t / AudioHash.BlockSamples) += math.abs(s)
     }
     var expected = 0L

@@ -44,7 +44,8 @@ class ImageHashSpec extends SparkSpec {
     val asset = ImageHash.plantedBmpAssets(
       Seq(java.lang.Long.valueOf(b)).toDS()).head()
     def v(x: Int, y: Int) =
-      ((b * 7 + (1 + b % 13) * x * 29 + (1 + b % 11) * y * 53) % 256).toInt
+      ((b * 7 + (1 + b % 13) * x * 29 + (1 + b % 11) * y * 53 +
+        (b * b % 251) * x * y + (b % 17) * 11 * x * x) % 256).toInt
     var expected = 0L
     for (y <- 0 until 8; x <- 0 until 8)
       if (v(x + 1, y) > v(x, y)) expected |= 1L << (y * 8 + x)
