@@ -1158,7 +1158,19 @@ class PigCompiler(spark: SparkSession) {
       def intP(k: String, d: Int) = p.get(k).map(_.toInt).getOrElse(d)
       def dblP(k: String, d: Double) = p.get(k).map(_.toDouble).getOrElse(d)
       import graft.dedup.Dedup
-      env(a) = Rel(() => method match {
+      env(a) = Rel(() => if (df.isStreaming) method match {
+        // STREAMING input: the stateful near-dup scan (each arrival
+        // flagged against its bucket representatives). The relation is
+        // the HIT REPORT (docId, dupOf, hamming) — a stream cannot
+        // retroactively un-emit kept rows, so "corpus minus dups" is a
+        // downstream batch anti-join over the sink, not this operator.
+        case "simhash" => graft.streaming.Streams.streamSimhashDedup(
+          df, idF, cF, maxDist = intP("maxdist", 3),
+          stateTtlMs = p.get("ttlms").map(_.toLong).getOrElse(0L)).toDF()
+        case other => sys.error(
+          s"DEDUP on a streaming relation supports USING simhash only " +
+            s"(got '$other') — batch methods need the bounded corpus")
+      } else method match {
         case "exact" =>
           // winners: rows whose id IS the group's keep_id; null-content
           // rows are unknown content, not duplicates — they pass through

@@ -35,6 +35,37 @@ class LlmDialectSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L), kept.toString)
   }
 
+  test("DEDUP on a streaming relation runs the stateful simhash scan; " +
+      "batch-only methods fail fast") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val hits = PigScript.query(spark,
+      "d = DEDUP docs BY doc_id, text USING simhash(maxdist=3);",
+      "d", tables = Map("docs" -> input.toDF().toDF("doc_id", "text")))
+    assert(hits.isStreaming)
+    val q = graft.streaming.Streams.memorySink(hits, "pig_stream_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    input.addData((1L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "a totally different document"))
+    q.processAllAvailable()
+    input.addData((7L, "the quick brown fox jumps over the lazy dog"))
+    q.processAllAvailable()
+    val rows = spark.table("pig_stream_dedup")
+      .select("docId", "dupOf", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    q.stop()
+    assert(rows == Set((7L, 1L, 0)),
+      "the cross-batch verbatim copy must be flagged against doc 1")
+    val err = intercept[RuntimeException] {
+      PigScript.query(spark,
+        "d = DEDUP docs BY doc_id, text USING exact;",
+        "d", tables = Map("docs" -> input.toDF().toDF("doc_id", "text")))
+        .count()
+    }
+    assert(err.getMessage.contains("streaming relation supports USING simhash"))
+  }
+
   test("QUALITY appends a score; USING gopher appends the keep flag") {
     val q = PigScript.query(spark,
       "q = QUALITY docs BY text;", "q", tables = Map("docs" -> docs))
