@@ -183,4 +183,27 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly 1 aggregate(...) HOF (the excision walk), found " +
         s"$walks — the walk is being re-evaluated per derived column")
   }
+
+  test("q_image_dedup / q_audio_dedup: binary payloads never enter an " +
+      "exchange — only 8-byte hashes shuffle") {
+    Seq("q_image_dedup", "q_audio_dedup").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      val exchanges = lines.filter(_.contains("Exchange"))
+      exchanges.foreach { l =>
+        assert(!l.contains("payload#"),
+          s"$q ships a binary payload through an exchange: ${l.take(200)}")
+      }
+      graft.core.Intermediates.release()
+    }
+  }
+
+  test("q_decontaminate_bloom: the corpus side is gated by the native " +
+      "bloom expression before any explode") {
+    val df = SparkEntry.queries("q_decontaminate_bloom")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_bloom_any"), plan.take(2000))
+    graft.core.Intermediates.release()
+  }
 }
