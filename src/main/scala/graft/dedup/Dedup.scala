@@ -19,6 +19,10 @@ object Dedup {
     * whole pipeline onto as many cores; at real scale scans are already
     * wide and this is a no-op. */
   private[graft] def widen(df: DataFrame): DataFrame = {
+    // a streaming frame has no executedPlan to probe (and its
+    // parallelism is the source's own partitioning) — pass through so
+    // the shingle/simhash helpers compose onto streams
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     df.queryExecution.executedPlan match {
       // an adaptive root means the plan carries exchanges: probing it

@@ -1099,7 +1099,8 @@ object PipelineQueries {
     * gram, per-doc distinct counts). The engine joins on xxhash64(gram);
     * the oracle joins the strings themselves, equal absent 64-bit
     * collisions (none at these corpus sizes). */
-  private def decontaminateSql(n: Int): String = {
+  // package-visible: the streaming variant (StreamQueries) shares it
+  private[queries] def decontaminateSql(n: Int): String = {
     def grams(src: String) =
       s"""SELECT doc_id, unnest(list_distinct(
             CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]

@@ -222,6 +222,46 @@ object StreamQueries {
         .select(col("doc_id"), col("m.dupOf").as("dup_of"),
           col("m.hamming").as("hamming"))
     }),
+    // -- streaming DECONTAMINATION: stream-static broadcast join -----------
+    //    The corpus STREAMS; the benchmark gram table is static and
+    //    broadcast — the enrichment-join mode a live ingest pipeline
+    //    uses. The stream side is one narrow native-shingle scan +
+    //    stateless broadcast join (no stream state at all); matched
+    //    (doc, gram, bench) rows append to a parquet sink and the
+    //    per-doc rollup runs as a batch over the sink (countDistinct is
+    //    not a streamable aggregate — this IS the production shape:
+    //    stream emits matches, periodic batch rolls up). Same oracle as
+    //    the batch q_decontaminate.
+    "q_stream_decontaminate" -> ((s, dir) => {
+      val docs = PipelineQueries.plantedDocs(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val corpus = docs.where(col("doc_id") >= 1000000L)
+      val bench = docs.where(col("doc_id") < 1000000L &&
+        col("doc_id") % 20 === 3)
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_sdc_src").toString
+      corpus.repartition(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = Streams.fileStream(s, staged, schema)
+      import graft.dedup.Dedup
+      val bg = Dedup.hashedShingleDF(bench, "doc_id", "text", 8)
+        .select(col("id").as("__bench_id"), explode(col("sh")).as("g"))
+      val cg = Dedup.hashedShingleDF(stream, "doc_id", "text", 8)
+        .select(col("id").as("doc_id"), explode(col("sh")).as("g"))
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_sdc_out").toString
+      val q = cg.join(broadcast(bg), "g")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }.start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("matched_ngrams"),
+          countDistinct(col("__bench_id")).as("bench_docs"))
+        .where(col("matched_ngrams") >= 1)
+    }),
     // -- streaming SESSION windows: per-user sessions closed by watermark ---
     "q_stream_session" -> ((s, dir) => {
       val agg = Streams.sessionAgg(eventStream(s, dir), "ts",
@@ -354,6 +394,9 @@ object StreamQueries {
          SELECT user_id, start_us, end_us FROM cand WHERE rn = 1""",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // the streamed corpus must reproduce the batch decontamination
+    // report exactly — identical oracle
+    "q_stream_decontaminate" -> PipelineQueries.decontaminateSql(n = 8),
     // streaming simhash dedup: replay the simhash (60-bit token-md5
     // vote — the same formula the batch q_dedup_simhash oracle proves),
     // take each pigeonhole bucket's min-id occupant as its
