@@ -774,6 +774,22 @@ object PipelineQueries {
             plantedAssetIds(s, dir))),
         maxDist = 3)
     }),
+    // -- #68 multimodal: video near-dup via shared frame hashes -------------
+    // planted gradient MJPEG AVIs; twins share all but one frame BYTE
+    // FOR BYTE (deterministic JPEG encode), so shared frames hash
+    // identically through the real decode path and the pair set is pure
+    // id arithmetic: (b, b+1e6) with shared = n−1 = b%5 ≥ 2. The per-id
+    // gradient family keeps organic cross-video collisions at zero
+    // (verified over the full sf0.1 id population); hash VALUES are
+    // spec-pinned (VideoHashSpec), the oracle checks the pair STRUCTURE.
+    "q_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.VideoHash.nearDupPairs(
+        graft.multimodal.VideoHash.frameHashes(
+          graft.multimodal.VideoHash.plantedGradientAvis(
+            plantedAssetIds(s, dir))),
+        minShared = 2)
+    }),
     // -- incremental dedup (append path): index old, fold in a delta shard --
     // exact: base = the originals, Δ = the verbatim copies; the folded
     // index must equal full-corpus exact dedup (the equivalence contract
@@ -2554,6 +2570,13 @@ object PipelineQueries {
               CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming
             FROM hashes a JOIN hashes b ON a.id < b.id
             WHERE bit_count(xor(a.ehash, b.ehash)) <= 3""",
+      // video near-dup: the structural pair set (twins with ≥2 shared
+      // frames — n−1 = doc_id%5 of the planted layout; organic pairs
+      // verified zero over the sf0.1 population)
+      "q_video_dedup" ->
+        """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+             CAST(doc_id % 5 AS BIGINT) AS shared_frames
+           FROM documents WHERE doc_id % 5 >= 2""",
       // incremental exact dedup: the folded index must equal the
       // full-corpus dedup — same SQL as q_dedup_exact
       "q_dedup_incremental" ->
