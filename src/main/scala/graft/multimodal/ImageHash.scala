@@ -82,6 +82,7 @@ object ImageHash {
 
   /** Decode + hash one payload (javax.imageio). */
   def dHashBytes(payload: Array[Byte]): Long = {
+    Multimodal.fastImageIO
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     if (img == null) sys.error("ImageIO: unreadable image payload")
@@ -132,6 +133,7 @@ object ImageHash {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.filter(_ != null).map(_.longValue()).mapPartitions { it =>
+      Multimodal.fastImageIO
       it.map { id =>
         val b = id % 1000000L
         val perturbed = id >= 1000000L

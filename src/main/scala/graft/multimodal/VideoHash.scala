@@ -35,6 +35,7 @@ object VideoHash {
     import spark.implicits._
     assets.filter(a => a.modality == "video" && Avi.isAvi(a.payload))
       .mapPartitions { it =>
+        Multimodal.fastImageIO
         it.flatMap { a =>
           val (_, spans) = Avi.parse(a.payload)
           spans.zipWithIndex.iterator.flatMap { case (span, fi) =>
@@ -88,6 +89,7 @@ object VideoHash {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.filter(_ != null).map(_.longValue()).mapPartitions { it =>
+      Multimodal.fastImageIO
       it.map { id =>
         val b = id % 1000000L
         val twin = id >= 1000000L
