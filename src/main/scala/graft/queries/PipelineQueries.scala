@@ -327,6 +327,16 @@ object PipelineQueries {
         TextOps.normalizeText(planted, "NFC",
           stripAccents = true, caseFold = true).as("norm"))
     }),
+    // -- corpus profiling (audit regime: exact, DuckDB-oracled) ---------------
+    "q_profile" -> ((s, dir) =>
+      graft.core.Profile.exact(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+    // 100 TB regime: one pass, HLL cardinalities + approx quantiles, no
+    // Expand; accuracy spec'd differentially vs exact (ProfileSpec), so
+    // the gate records the weaker rows-only check
+    "q_profile_sketch" -> ((s, dir) =>
+      graft.core.Profile.sketch(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
     // -- the composed end-to-end curation flagship: canonicalize → quality
     //    gate → exact dedup → benchmark decontamination → per-language
     //    quota sample. Every stage is an already-oracled operator; this
@@ -2440,6 +2450,25 @@ object PipelineQueries {
              lower(strip_accents(nfc_normalize(
                text || ' Café naïve Über straße'))) AS norm
            FROM documents""",
+      // one UNION ALL branch per profiled column — the long format the
+      // engine emits from its single-aggregate pass
+      "q_profile" ->
+        """SELECT 'doc_id' AS col_name, count(doc_id) AS n_nonnull,
+             count(*) - count(doc_id) AS n_null,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_val,
+             CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+           UNION ALL SELECT 'lang', count(lang), count(*) - count(lang),
+             count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+             CAST(max(lang) AS VARCHAR) FROM documents
+           UNION ALL SELECT 'source', count(source),
+             count(*) - count(source), count(DISTINCT source),
+             CAST(min(source) AS VARCHAR),
+             CAST(max(source) AS VARCHAR) FROM documents
+           UNION ALL SELECT 'n_chars', count(n_chars),
+             count(*) - count(n_chars), count(DISTINCT n_chars),
+             CAST(min(n_chars) AS VARCHAR),
+             CAST(max(n_chars) AS VARCHAR) FROM documents""",
       // replays Quantize.int8 in the same IEEE op order: vmin, then
       // (vmax-vmin)/255.0, then floor((x-vmin)/vscale) clamped — floor
       // output is integral so DuckDB's rounding int-cast equals Spark's
