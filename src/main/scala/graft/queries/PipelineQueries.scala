@@ -337,6 +337,22 @@ object PipelineQueries {
     "q_profile_sketch" -> ((s, dir) =>
       graft.core.Profile.sketch(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
+    // -- heavy hitters (frequent-items audit; exact regime oracled) ----------
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.core.HeavyHitters.exact(
+        t(s, dir, "documents").select(
+          explode(filter(split(col("text"), "\\s+"),
+            tk => tk =!= "")).as("tok")),
+        col("tok"), 20)),
+    // Misra–Gries regime: per-partition capacity-bounded summaries, one
+    // ≤capacity×partitions-row exchange; bounds spec'd differentially vs
+    // exact (HeavyHittersSpec) → rows-only gate entry
+    "q_heavy_sketch" -> ((s, dir) =>
+      graft.core.HeavyHitters.sketch(
+        t(s, dir, "documents").select(
+          explode(filter(split(col("text"), "\\s+"),
+            tk => tk =!= "")).as("tok")),
+        col("tok"), 20)),
     // -- the composed end-to-end curation flagship: canonicalize → quality
     //    gate → exact dedup → benchmark decontamination → per-language
     //    quota sample. Every stage is an already-oracled operator; this
@@ -2469,6 +2485,15 @@ object PipelineQueries {
              count(*) - count(n_chars), count(DISTINCT n_chars),
              CAST(min(n_chars) AS VARCHAR),
              CAST(max(n_chars) AS VARCHAR) FROM documents""",
+      // deterministic top-k: count desc then value asc — the same
+      // tie-break the engine's TakeOrdered uses, so LIMIT is stable
+      "q_heavy_hitters" ->
+        """SELECT t AS value, cnt FROM (
+             SELECT t, count(*) AS cnt
+             FROM (SELECT unnest(list_filter(
+                     string_split_regex(text, '\s+'), x -> x <> '')) AS t
+                   FROM documents)
+             GROUP BY t ORDER BY cnt DESC, t LIMIT 20)""",
       // replays Quantize.int8 in the same IEEE op order: vmin, then
       // (vmax-vmin)/255.0, then floor((x-vmin)/vscale) clamped — floor
       // output is integral so DuckDB's rounding int-cast equals Spark's
