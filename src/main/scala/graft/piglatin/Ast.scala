@@ -236,4 +236,18 @@ object Ast {
                              textField: String, weights: Option[String],
                              method: String,
                              params: Map[String, String]) extends Stmt
+  /** `b = PROFILE a ON c1, c2 [USING exact|sketch(rsd=…, accuracy=…)]`
+    * — the per-column corpus audit as a relation (one row per column):
+    * exact pays the multi-DISTINCT Expand, sketch is the one-pass
+    * HLL++/approx-quantile regime. */
+  final case class ProfileStmt(alias: String, in: String,
+                               cols: Seq[String], method: String,
+                               params: Map[String, String]) extends Stmt
+  /** `b = HEAVY_HITTERS a BY col TOP 20 [USING exact|
+    * sketch(capacity=4096)]` — top-k frequent values: exact is the
+    * oracled group-count + TakeOrdered; sketch is the per-partition
+    * Misra–Gries regime emitting [est_min, est_max] bounds. */
+  final case class HeavyStmt(alias: String, in: String, field: String,
+                             k: Int, method: String,
+                             params: Map[String, String]) extends Stmt
 }

@@ -1327,6 +1327,27 @@ class PigCompiler(spark: SparkSession) {
           Seq(idF))
       })
 
+    case ProfileStmt(a, in, cs, method, p) =>
+      val df = relation(in)
+      env(a) = Rel(() => method match {
+        case "exact" => graft.core.Profile.exact(df, cs)
+        case "sketch" => graft.core.Profile.sketch(df, cs,
+          rsd = p.get("rsd").map(_.toDouble).getOrElse(0.05),
+          pctAccuracy = p.get("accuracy").map(_.toInt).getOrElse(10000))
+        case other => sys.error(
+          s"unknown PROFILE method '$other' — expected exact or sketch")
+      })
+
+    case HeavyStmt(a, in, f, k, method, p) =>
+      val df = relation(in)
+      env(a) = Rel(() => method match {
+        case "exact" => graft.core.HeavyHitters.exact(df, col(f), k)
+        case "sketch" => graft.core.HeavyHitters.sketch(df, col(f), k,
+          capacity = p.get("capacity").map(_.toInt).getOrElse(4096))
+        case other => sys.error(
+          s"unknown HEAVY_HITTERS method '$other' — expected exact or sketch")
+      })
+
     case VisualizeStmt(in, field, path, ps, w, h, pointsOnly) =>
       val df = relation(in)
       graft.spatial.Visualize.scatter(df, compileExpr(df, field), path,

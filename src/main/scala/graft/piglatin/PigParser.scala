@@ -538,6 +538,27 @@ object PigParser extends RegexParsers {
       case a ~ in ~ idF ~ tF ~ w ~ m ~ p =>
         ScoreStmt(a, in, idF, tF, w, m.toLowerCase, p) }
 
+  /** `b = PROFILE a ON c1, c2 [USING exact|sketch(rsd=…)]` (graft
+    * dialect — the corpus audit pass, scriptable). */
+  private def profileStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("profile")) ~ ident ~
+      (kw("on") ~> rep1sep(ident, ",")) ~
+      opt((kw("using") ~> ident) ~ llmParams) ^^ {
+      case a ~ in ~ cs ~ m =>
+        ProfileStmt(a, in, cs, m.map(_._1.toLowerCase).getOrElse("exact"),
+          m.map(_._2).getOrElse(Map.empty)) }
+
+  /** `b = HEAVY_HITTERS a BY col TOP 20 [USING sketch(capacity=…)]`
+    * (graft dialect). */
+  private def heavyStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("heavy_hitters")) ~ ident ~
+      (kw("by") ~> ident) ~ (kw("top") ~> number) ~
+      opt((kw("using") ~> ident) ~ llmParams) ^^ {
+      case a ~ in ~ f ~ n ~ m =>
+        HeavyStmt(a, in, f, n.toDouble.toInt,
+          m.map(_._1.toLowerCase).getOrElse("exact"),
+          m.map(_._2).getOrElse(Map.empty)) }
+
   private def stmt: Parser[Stmt] =
     (load | store | dump | describe | filter | foreach | group | join |
      cross | union | distinctS | limit | orderBy | sample | split | rank |
@@ -546,7 +567,7 @@ object PigParser extends RegexParsers {
      bgpFilter | spatialFilter | spatialJoin | indexStmt | partitionStmt |
      zipStmt | cacheStmt | delayStmt | skylineStmt | visualizeStmt |
      dedupStmt | qualityStmt | tokenizeStmt | decontaminateStmt |
-     packStmt | splitHashStmt | scoreStmt |
+     packStmt | splitHashStmt | scoreStmt | profileStmt | heavyStmt |
      setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

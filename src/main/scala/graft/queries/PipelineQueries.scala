@@ -353,6 +353,20 @@ object PipelineQueries {
           explode(filter(split(col("text"), "\\s+"),
             tk => tk =!= "")).as("tok")),
         col("tok"), 20)),
+    // the same audits from the .pig front end (graft dialect): PROFILE
+    // and HEAVY_HITTERS compile to the identical engine calls, so the
+    // base queries' oracles carry over verbatim
+    "q_pig_profile" -> ((s, dir) =>
+      graft.piglatin.PigScript.query(s,
+        "p = PROFILE docs ON doc_id, lang, source, n_chars;",
+        "p", tables = Map("docs" -> t(s, dir, "documents")))),
+    "q_pig_heavy" -> ((s, dir) =>
+      graft.piglatin.PigScript.query(s,
+        "h = HEAVY_HITTERS toks BY tok TOP 20 USING exact;",
+        "h", tables = Map("toks" ->
+          t(s, dir, "documents").select(
+            explode(filter(split(col("text"), "\\s+"),
+              tk => tk =!= "")).as("tok"))))),
     // -- the composed end-to-end curation flagship: canonicalize → quality
     //    gate → exact dedup → benchmark decontamination → per-language
     //    quota sample. Every stage is an already-oracled operator; this
@@ -1935,6 +1949,37 @@ object PipelineQueries {
 
   /** Oracles are a def: the IVF entry needs the trained centroids, which
     * exist only after OracleContext is set (Verify does, before dumping). */
+  /** Shared by the direct queries and their .pig-dialect twins — the
+    * statements compile to the same engine calls, so one oracle serves
+    * both gate entries. */
+  private val profileOracle =
+    """SELECT 'doc_id' AS col_name, count(doc_id) AS n_nonnull,
+         count(*) - count(doc_id) AS n_null,
+         count(DISTINCT doc_id) AS n_distinct,
+         CAST(min(doc_id) AS VARCHAR) AS min_val,
+         CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+       UNION ALL SELECT 'lang', count(lang), count(*) - count(lang),
+         count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+         CAST(max(lang) AS VARCHAR) FROM documents
+       UNION ALL SELECT 'source', count(source),
+         count(*) - count(source), count(DISTINCT source),
+         CAST(min(source) AS VARCHAR),
+         CAST(max(source) AS VARCHAR) FROM documents
+       UNION ALL SELECT 'n_chars', count(n_chars),
+         count(*) - count(n_chars), count(DISTINCT n_chars),
+         CAST(min(n_chars) AS VARCHAR),
+         CAST(max(n_chars) AS VARCHAR) FROM documents"""
+
+  /** Deterministic top-k: count desc then value asc — the same
+    * tie-break the engine's TakeOrdered uses, so LIMIT is stable. */
+  private val heavyOracle =
+    """SELECT t AS value, cnt FROM (
+         SELECT t, count(*) AS cnt
+         FROM (SELECT unnest(list_filter(
+                 string_split_regex(text, '\s+'), x -> x <> '')) AS t
+               FROM documents)
+         GROUP BY t ORDER BY cnt DESC, t LIMIT 20)"""
+
   def oracles: Map[String, String] = {
     val static = Map(
       "q_token_count" ->
@@ -2468,32 +2513,11 @@ object PipelineQueries {
            FROM documents""",
       // one UNION ALL branch per profiled column — the long format the
       // engine emits from its single-aggregate pass
-      "q_profile" ->
-        """SELECT 'doc_id' AS col_name, count(doc_id) AS n_nonnull,
-             count(*) - count(doc_id) AS n_null,
-             count(DISTINCT doc_id) AS n_distinct,
-             CAST(min(doc_id) AS VARCHAR) AS min_val,
-             CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
-           UNION ALL SELECT 'lang', count(lang), count(*) - count(lang),
-             count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
-             CAST(max(lang) AS VARCHAR) FROM documents
-           UNION ALL SELECT 'source', count(source),
-             count(*) - count(source), count(DISTINCT source),
-             CAST(min(source) AS VARCHAR),
-             CAST(max(source) AS VARCHAR) FROM documents
-           UNION ALL SELECT 'n_chars', count(n_chars),
-             count(*) - count(n_chars), count(DISTINCT n_chars),
-             CAST(min(n_chars) AS VARCHAR),
-             CAST(max(n_chars) AS VARCHAR) FROM documents""",
-      // deterministic top-k: count desc then value asc — the same
-      // tie-break the engine's TakeOrdered uses, so LIMIT is stable
-      "q_heavy_hitters" ->
-        """SELECT t AS value, cnt FROM (
-             SELECT t, count(*) AS cnt
-             FROM (SELECT unnest(list_filter(
-                     string_split_regex(text, '\s+'), x -> x <> '')) AS t
-                   FROM documents)
-             GROUP BY t ORDER BY cnt DESC, t LIMIT 20)""",
+      "q_profile" -> profileOracle,
+      "q_heavy_hitters" -> heavyOracle,
+      // the dialect statements compile to the identical engine calls
+      "q_pig_profile" -> profileOracle,
+      "q_pig_heavy" -> heavyOracle,
       // replays Quantize.int8 in the same IEEE op order: vmin, then
       // (vmax-vmin)/255.0, then floor((x-vmin)/vscale) clamped — floor
       // output is integral so DuckDB's rounding int-cast equals Spark's

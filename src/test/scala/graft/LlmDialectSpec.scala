@@ -133,6 +133,50 @@ class LlmDialectSpec extends SparkSpec {
         "d", tables = Map("docs" -> docs)).count()
     }
     assert(err3.getMessage.contains("unknown SCORE method"))
+    val err4 = intercept[RuntimeException] {
+      PigScript.query(spark, "p = PROFILE docs ON doc_id USING census;",
+        "p", tables = Map("docs" -> docs)).count()
+    }
+    assert(err4.getMessage.contains("unknown PROFILE method"))
+    val err5 = intercept[RuntimeException] {
+      PigScript.query(spark,
+        "h = HEAVY_HITTERS docs BY text TOP 3 USING cms;",
+        "h", tables = Map("docs" -> docs)).count()
+    }
+    assert(err5.getMessage.contains("unknown HEAVY_HITTERS method"))
+  }
+
+  test("PROFILE emits one audit row per column; USING sketch matches " +
+      "counts and adds quantiles") {
+    val p = PigScript.query(spark,
+      "p = PROFILE docs ON doc_id, text;",
+      "p", tables = Map("docs" -> docs))
+    assert(p.columns.toSeq ===
+      Seq("col_name", "n_nonnull", "n_null", "n_distinct", "min_val",
+        "max_val"))
+    val byCol = p.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byCol("doc_id") === ((5L, 0L, 5L)))
+    assert(byCol("text") === ((4L, 1L, 3L))) // 2 dups the text of 1
+    val sk = PigScript.query(spark,
+      "p = PROFILE docs ON doc_id USING sketch(rsd=0.01);",
+      "p", tables = Map("docs" -> docs)).collect().head
+    assert(sk.getLong(1) === 5L && sk.getDouble(6) === 2.0) // p25 of 1..5
+  }
+
+  test("HEAVY_HITTERS ranks frequent values; USING sketch brackets them") {
+    val toks = docs.where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val top = PigScript.query(spark,
+      "h = HEAVY_HITTERS toks BY tok TOP 2;",
+      "h", tables = Map("toks" -> toks))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head === (("the", 5L))) // docs 1,2: ×2 each; doc 3: ×1
+    val sk = PigScript.query(spark,
+      "h = HEAVY_HITTERS toks BY tok TOP 2 USING sketch(capacity=64);",
+      "h", tables = Map("toks" -> toks))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sk.head._1 === "the" && sk.head._2 === 5L && sk.head._3 === 5L)
   }
 
   test("DECONTAMINATE drops corpus docs leaking benchmark n-grams " +
