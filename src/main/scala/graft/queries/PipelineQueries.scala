@@ -68,6 +68,67 @@ object PipelineQueries {
       .union(pert)
   }
 
+  // ---- planted HTML page (q_html_extract / q_html_links) --------------------
+  /** Deterministic markup wrapped around each document's entity-escaped
+    * text: head+script boilerplate, a nav with two anchors, a comment, an
+    * article body, a footer with entities. [[htmlPlantSql]] is the
+    * character-identical DuckDB twin. */
+  private def plantedHtml: org.apache.spark.sql.Column = {
+    val esc = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    concat(
+      lit("<html><head><title>doc "), col("doc_id"),
+      lit("</title><script>track("), col("doc_id"),
+      lit(");</script></head><body><nav><a href=\"/\">Home</a> &middot; " +
+        "<a href=\"/doc/"), col("doc_id"),
+      lit("\">Self</a></nav><!-- id "), col("doc_id"),
+      lit(" --><article><p>"), esc,
+      lit("</p></article><footer>&copy; 2026 Graft &amp; Co" +
+        "</footer></body></html>"))
+  }
+
+  private def htmlPlantSql: String =
+    "concat('<html><head><title>doc ', doc_id, '</title><script>track(', " +
+    "doc_id, ');</script></head><body><nav><a href=\"/\">Home</a> " +
+    "&middot; <a href=\"/doc/', doc_id, '\">Self</a></nav><!-- id ', " +
+    "doc_id, ' --><article><p>', " +
+    "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), " +
+    "'>', '&gt;'), '</p></article><footer>&copy; 2026 Graft &amp; Co" +
+    "</footer></body></html>')"
+
+  /** DuckDB replay of [[graft.text.Html.extractText]], generated from
+    * the same dropBlocks/blockTags/namedEntities constants. */
+  private def htmlExtractSql(src: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    def rr(c: String, pat: String, repl: String) =
+      s"regexp_replace($c, ${q(pat)}, $repl, 'g')"
+    var c = rr(src, "(?s)<!--.*?-->", "''")
+    for (tg <- graft.text.Html.dropBlocks)
+      c = rr(c, s"(?is)<$tg\\b[^>]*>.*?</$tg>", "''")
+    c = rr(c, s"(?i)</?(${graft.text.Html.blockTags})\\b[^>]*>", "chr(10)")
+    c = rr(c, "<[^>]+>", "''")
+    for ((e, r) <- graft.text.Html.namedEntities)
+      c = s"replace($c, ${q(e)}, ${q(r)})"
+    c = s"replace($c, '&amp;', '&')"
+    c = rr(c, "[ \\t]+", "' '")
+    c = rr(c, " ?\\n ?", "chr(10)")
+    c = rr(c, "\\n{3,}", "chr(10)||chr(10)")
+    rr(c, "^\\s+|\\s+$", "''")
+  }
+
+  /** DuckDB replay of [[graft.text.Html.linkDensity]]. */
+  private def linkDensitySql(h: String): String = {
+    val anchor = "coalesce(list_sum(list_transform(regexp_extract_all(" +
+      h + ", '(?is)<a\\b[^>]*>(.*?)</a>', 1), " +
+      "a -> length(regexp_replace(a, '<[^>]+>', '', 'g')))), 0)"
+    val strip = graft.text.Html.dropBlocks.foldLeft(
+      s"regexp_replace($h, '(?s)<!--.*?-->', '', 'g')") { (c, tg) =>
+        s"regexp_replace($c, '(?is)<$tg\\b[^>]*>.*?</$tg>', '', 'g')" }
+    val total = s"length(regexp_replace($strip, '<[^>]+>', '', 'g'))"
+    s"least(CAST(1.0 AS DOUBLE), CAST($anchor AS DOUBLE) / " +
+      s"greatest(CAST($total AS DOUBLE), CAST(1.0 AS DOUBLE)))"
+  }
+
   /** doc ids ∪ twin ids (+1e6) for the planted binary-asset queries
     * (BMP images, PCM WAVs). */
   private def plantedAssetIds(s: SparkSession, dir: String) = {
@@ -327,6 +388,18 @@ object PipelineQueries {
         TextOps.normalizeText(planted, "NFC",
           stripAccents = true, caseFold = true).as("norm"))
     }),
+    // -- HTML → text extraction (markup planted around the corpus text;
+    //    the oracle replays the identical rule chain, generated from the
+    //    SAME Html.* constants) ---------------------------------------------
+    "q_html_extract" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("page"))
+        .select(col("doc_id"),
+          graft.text.Html.extractText(col("page")).as("clean"),
+          graft.text.Html.linkDensity(col("page")).as("link_density"))),
+    "q_html_links" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("page"))
+        .select(col("doc_id"),
+          explode(graft.text.Html.links(col("page"))).as("href"))),
     // -- corpus profiling (audit regime: exact, DuckDB-oracled) ---------------
     "q_profile" -> ((s, dir) =>
       graft.core.Profile.exact(t(s, dir, "documents"),
@@ -2055,6 +2128,18 @@ object PipelineQueries {
         """SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
            FROM documents""",
+      "q_html_extract" ->
+        s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents)
+           SELECT doc_id, ${htmlExtractSql("page")} AS clean,
+             ${linkDensitySql("page")} AS link_density
+           FROM h""",
+      "q_html_links" ->
+        s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents)
+           SELECT doc_id,
+             unnest(regexp_extract_all(page,
+               '(?is)<a\\b[^>]*?href\\s*=\\s*["'']([^"'']*)["'']', 1))
+               AS href
+           FROM h""",
       "q_pii_scrub" -> {
         // the same pattern chain TextOps.scrubPii folds, built from the
         // same source list (drift would break the hash compare)

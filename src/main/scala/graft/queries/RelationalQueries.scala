@@ -54,6 +54,21 @@ object RelationalQueries {
       Pipe.load(s, s"$deriveDir/store_supplier")
         .generate(col("s_suppkey"), col("s_name"), col("s_acctbal")).df
     }),
+    // -- WARC segment sink + source (Common Crawl container format;
+    //    gzip = one member per record). Write the documents table out as
+    //    .warc.gz segments, read it back distributed, recover (id, text)
+    //    — hash-exact against the original table. -------------------------
+    "q_warc_roundtrip" -> ((s, dir) => {
+      graft.sources.Warc.write(t(s, dir, "documents"),
+        s"$deriveDir/warc_docs",
+        uri = concat(lit("urn:graft:doc:"), col("doc_id")),
+        payload = col("text"), gzip = true)
+      graft.sources.Warc.read(s, s"$deriveDir/warc_docs")
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content").cast("string").as("text"))
+    }),
     // -- FOREACH ... GENERATE (#5) --------------------------------------------
     "q_foreach" -> ((s, dir) =>
       Pipe(t(s, dir, "lineitem")).generate(
@@ -342,6 +357,7 @@ object RelationalQueries {
     "q_load_csv" -> "SELECT r_regionkey, r_name FROM region",
     "q_load_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_store_roundtrip" -> "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    "q_warc_roundtrip" -> "SELECT doc_id, text FROM documents",
     "q_foreach" ->
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1 - l_discount) AS disc_price,

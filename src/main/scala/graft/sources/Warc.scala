@@ -1,0 +1,227 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.input.PortableDataStream
+
+import java.io.{BufferedInputStream, DataOutputStream, EOFException, FilterOutputStream, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** One parsed WARC record (ISO 28500 / IIPC WARC 1.0). `content` is the
+  * raw payload block — opaque bytes, exactly `Content-Length` of them. */
+case class WarcRecord(warc_type: String, record_id: String,
+                      target_uri: String, warc_date: String,
+                      content_type: String, content: Array[Byte])
+
+/** WARC segment source + sink — the container format 100 TB web corpora
+  * actually arrive in (Common Crawl ships ~64k one-gigabyte `.warc.gz`
+  * segments per crawl).
+  *
+  * Not a reference operator (the reference's storage surface is
+  * csv/json/text/bin/jdbc — sparklib Storage.scala); this extends LOAD/
+  * STORE to the de-facto pretraining ingest format, reachable from the
+  * Pig dialect via `USING WarcStorage()`.
+  *
+  * Scale design:
+  *  - WRITE: one `.warc[.gz]` file per partition, streamed record by
+  *    record through the Hadoop `FileSystem` API (local/HDFS/object
+  *    stores alike — the session's non-default Hadoop conf entries are
+  *    shipped to executors, so credentials and FS bindings survive).
+  *    Task-attempt-unique temp name + rename keeps retries idempotent.
+  *    With gzip, EVERY RECORD IS ITS OWN GZIP MEMBER (the Common Crawl
+  *    convention): concatenated members are a valid `.gz` stream, and a
+  *    future offset index can hand single records to readers without
+  *    decompressing the segment prefix.
+  *  - READ: `binaryFiles` + `PortableDataStream` — one task per
+  *    segment (segments are sized ~1 GB precisely so file==task
+  *    parallelism works), parsed as a LAZY iterator off the stream:
+  *    headers line-by-line, payload length-framed by `Content-Length`,
+  *    so peak memory per task is one record, never the file.
+  */
+object Warc {
+
+  // ---- write ----------------------------------------------------------------
+
+  /** Store `df` as a directory of WARC segments. `uri`/`payload` give
+    * WARC-Target-URI and the record body (cast to binary); `date` must
+    * render ISO-8601 per record. Record ids are name-based UUIDs of the
+    * target URI — deterministic, so a re-written corpus is byte-stable
+    * modulo partitioning. */
+  def write(df: DataFrame, path: String, uri: Column, payload: Column,
+            date: Column = lit("2026-01-01T00:00:00Z"),
+            warcType: String = "resource",
+            contentType: String = "text/plain",
+            gzip: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // Configuration is not Serializable: ship the non-default entries and
+    // rebuild on executors (keeps object-store creds / FS bindings).
+    val confEntries = {
+      val it = hconf.iterator(); val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    val ext = if (gzip) ".warc.gz" else ".warc"
+    val rows = df.select(uri.cast("string").as("u"),
+                         payload.cast("binary").as("p"),
+                         date.cast("string").as("d"))
+    val fs0 = hadoopFs(path, hconf)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (fs0.exists(dir)) fs0.delete(dir, true)
+    fs0.mkdirs(dir)
+    val (wt, ct) = (warcType, contentType)
+    rows.queryExecution.toRdd // force analysis before the imperative job
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val fs = hadoopFs(path, conf)
+        val tc = org.apache.spark.TaskContext.get()
+        val fin = new org.apache.hadoop.fs.Path(path,
+          f"part-${tc.partitionId()}%05d$ext")
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          f".part-${tc.partitionId()}%05d-${tc.taskAttemptId()}.tmp")
+        val out = new DataOutputStream(fs.create(tmp, true))
+        try it.foreach { r =>
+          val u = r.getString(0)
+          val p = if (r.isNullAt(1)) Array.emptyByteArray
+                  else r.getAs[Array[Byte]](1)
+          val d = r.getString(2)
+          if (gzip) {
+            // one finished gzip member per record
+            val gz = new GZIPOutputStream(nonClosing(out), 64 * 1024)
+            writeRecord(gz, wt, ct, u, d, p); gz.finish(); gz.close()
+          } else writeRecord(out, wt, ct, u, d, p)
+        } finally out.close()
+        // retry-idempotent publish: first successful attempt wins
+        if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+        ()
+      }
+    }
+    val ok = fs0.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true)
+    ok.close()
+  }
+
+  private def hadoopFs(path: String, conf: org.apache.hadoop.conf.Configuration) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+
+  /** Serialize one record. Header values are sanitized of CR/LF (a URI
+    * containing either would desync the length-framed stream). */
+  private def writeRecord(os: OutputStream, warcType: String, ct: String,
+                          uri: String, date: String, p: Array[Byte]): Unit = {
+    def clean(s: String) = s.replaceAll("[\r\n]", " ")
+    val rid = java.util.UUID.nameUUIDFromBytes(uri.getBytes(UTF_8))
+    val hdr = new StringBuilder
+    hdr ++= "WARC/1.0\r\n"
+    hdr ++= s"WARC-Type: ${clean(warcType)}\r\n"
+    hdr ++= s"WARC-Record-ID: <urn:uuid:$rid>\r\n"
+    hdr ++= s"WARC-Date: ${clean(date)}\r\n"
+    hdr ++= s"WARC-Target-URI: ${clean(uri)}\r\n"
+    hdr ++= s"Content-Type: ${clean(ct)}\r\n"
+    hdr ++= s"Content-Length: ${p.length}\r\n\r\n"
+    os.write(hdr.toString.getBytes(UTF_8))
+    os.write(p)
+    os.write("\r\n\r\n".getBytes(UTF_8))
+  }
+
+  /** An OutputStream view that swallows close() — GZIPOutputStream.close
+    * must not take the shared segment stream down with it. */
+  private def nonClosing(os: OutputStream): OutputStream =
+    new FilterOutputStream(os) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def close(): Unit = out.flush()
+    }
+
+  // ---- read -----------------------------------------------------------------
+
+  /** Load a WARC directory (or glob) as a DataFrame of [[WarcRecord]].
+    * Gzip is detected per file by suffix; Java's GZIPInputStream reads
+    * the concatenated per-record members as one logical stream. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val rdd = spark.sparkContext.binaryFiles(path)
+      .filter { case (name, _) =>
+        name.endsWith(".warc") || name.endsWith(".warc.gz") }
+      .flatMap { case (name, pds) => recordIterator(name, pds) }
+    spark.createDataset(rdd).toDF()
+  }
+
+  /** Lazy per-record iterator over one segment stream. */
+  private[sources] def recordIterator(name: String,
+      pds: PortableDataStream): Iterator[WarcRecord] = {
+    val raw = pds.open()
+    val in: InputStream = new BufferedInputStream(
+      if (name.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024) else raw,
+      64 * 1024)
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private var done = false
+      private def advance(): Unit = {
+        if (!done && nextRec == null) {
+          nextRec = parseRecord(in)
+          if (nextRec == null) { done = true; in.close() }
+        }
+      }
+      def hasNext: Boolean = { advance(); nextRec != null }
+      def next(): WarcRecord = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException("WARC EOF")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** Parse one record off the stream; null at clean EOF. Tolerates any
+    * number of blank lines between records (the spec's two CRLF record
+    * separators, but also hand-edited files). */
+  private def parseRecord(in: InputStream): WarcRecord = {
+    var line = readLine(in)
+    while (line != null && line.isEmpty) line = readLine(in)
+    if (line == null) return null
+    if (!line.startsWith("WARC/"))
+      sys.error(s"WARC: expected version line, got '$line'")
+    var (typ, rid, uri, date, ct) = ("", "", "", "", "")
+    var len = -1L
+    var h = readLine(in)
+    while (h != null && h.nonEmpty) {
+      val i = h.indexOf(':')
+      if (i > 0) {
+        val k = h.substring(0, i).trim.toLowerCase
+        val v = h.substring(i + 1).trim
+        k match {
+          case "warc-type"       => typ = v
+          case "warc-record-id"  => rid = v.stripPrefix("<").stripSuffix(">")
+          case "warc-target-uri" => uri = v
+          case "warc-date"       => date = v
+          case "content-type"    => ct = v
+          case "content-length"  => len = v.toLong
+          case _                 => // ignore unmodeled headers
+        }
+      }
+      h = readLine(in)
+    }
+    if (len < 0) sys.error("WARC: record without Content-Length")
+    val p = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < p.length) {
+      val n = in.read(p, off, p.length - off)
+      if (n < 0) throw new EOFException(
+        s"WARC: payload truncated at $off of $len")
+      off += n
+    }
+    WarcRecord(typ, rid, uri, date, ct, p)
+  }
+
+  /** Read one CRLF/LF-terminated UTF-8 header line; null at EOF before
+    * any byte. Headers are length-unframed, so this is the only
+    * byte-at-a-time loop — it runs over the BufferedInputStream. */
+  private def readLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(80)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { if (b != '\r') buf.write(b); b = in.read() }
+    new String(buf.toByteArray, UTF_8)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+
+class WarcSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select(col("doc_id"), col("text")).orderBy("doc_id")
+
+  private def tmp(name: String) = {
+    val d = new java.io.File(s"target/graft-test/warc-$name")
+    if (d.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(d)
+    }
+    d.getAbsolutePath
+  }
+
+  private def roundtrip(gz: Boolean): Unit = {
+    val path = tmp(if (gz) "gz" else "plain")
+    Warc.write(docs, path,
+      uri = concat(lit("urn:graft:doc:"), col("doc_id")),
+      payload = col("text"), gzip = gz)
+    val back = Warc.read(spark, path)
+      .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+                .cast("long").as("doc_id"),
+              col("content").cast("string").as("text"))
+      .orderBy("doc_id")
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = back.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(b.length == a.length)
+    assert(b.sameElements(a))
+  }
+
+  test("plain WARC round-trips the documents table byte-for-byte") {
+    roundtrip(gz = false)
+  }
+
+  test("gzip (member-per-record) WARC round-trips identically") {
+    roundtrip(gz = true)
+  }
+
+  test("record ids are deterministic name-based UUIDs; headers survive") {
+    val path = tmp("hdr")
+    Warc.write(docs.limit(3), path,
+      uri = concat(lit("http://example.org/d/"), col("doc_id")),
+      payload = col("text"), date = lit("2026-02-03T04:05:06Z"),
+      warcType = "response", contentType = "text/html")
+    val r = Warc.read(spark, path).orderBy("target_uri").collect()
+    assert(r.forall(_.getAs[String]("warc_type") == "response"))
+    assert(r.forall(_.getAs[String]("content_type") == "text/html"))
+    assert(r.forall(_.getAs[String]("warc_date") == "2026-02-03T04:05:06Z"))
+    val rid = r.head.getAs[String]("record_id")
+    val uri = r.head.getAs[String]("target_uri")
+    assert(rid == "urn:uuid:" + java.util.UUID.nameUUIDFromBytes(
+      uri.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    // re-write → identical ids (determinism)
+    val path2 = tmp("hdr2")
+    Warc.write(docs.limit(3), path2,
+      uri = concat(lit("http://example.org/d/"), col("doc_id")),
+      payload = col("text"))
+    val ids2 = Warc.read(spark, path2).select("record_id")
+      .collect().map(_.getString(0)).sorted
+    assert(ids2.sameElements(r.map(_.getAs[String]("record_id")).sorted))
+  }
+
+  test("payloads are length-framed: CRLFs and WARC-looking text survive") {
+    val path = tmp("frame")
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "line1\r\nWARC/1.0\r\nContent-Length: 9999\r\n\r\nnot a header"),
+      (2L, ""),
+      (3L, "\r\n\r\n\r\n"),
+      (4L, "plain")).toDF("doc_id", "text")
+    Warc.write(tricky, path,
+      uri = concat(lit("u:"), col("doc_id")), payload = col("text"))
+    val back = Warc.read(spark, path)
+      .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+                .cast("long").as("doc_id"),
+              col("content").cast("string").as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(1L).contains("not a header"))
+    assert(back(2L) == "")
+    assert(back(3L) == "\r\n\r\n\r\n")
+    assert(back(4L) == "plain")
+  }
+
+  test("header values with CR/LF are sanitized, not stream-corrupting") {
+    val path = tmp("evil")
+    import spark.implicits._
+    val evil = Seq((1L, "body")).toDF("doc_id", "text")
+    Warc.write(evil, path,
+      uri = lit("http://x/\r\nWARC-Date: 1999"), payload = col("text"))
+    val r = Warc.read(spark, path).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("warc_date") != "1999")
+    assert(new String(r.head.getAs[Array[Byte]]("content")) == "body")
+  }
+
+  test("multi-partition write produces one segment per non-empty partition") {
+    val path = tmp("parts")
+    Warc.write(docs.repartition(5), path,
+      uri = concat(lit("u:"), col("doc_id")), payload = col("text"))
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".warc"))
+    assert(files.length >= 2 && files.length <= 5)
+    assert(new java.io.File(path, "_SUCCESS").exists())
+    val n = Warc.read(spark, path).count()
+    assert(n == docs.count())
+  }
+}
