@@ -1340,7 +1340,24 @@ class PigCompiler(spark: SparkSession) {
 
     case HeavyStmt(a, in, f, k, method, p) =>
       val df = relation(in)
-      env(a) = Rel(() => method match {
+      env(a) = Rel(() => if (df.isStreaming) method match {
+        // STREAMING input: the audit runs ON the ingest stream. exact =
+        // unbounded streaming count agg + the same deterministic top-k
+        // (run the query in Complete mode); sketch = bounded Misra–Gries
+        // state — the relation is the per-group SUMMARY stream, reduced
+        // to the final top-k downstream of the sink
+        // (Streams.heavyHittersTopK), because a stream cannot re-sort
+        // its own past emissions.
+        case "exact" =>
+          graft.streaming.Streams.streamHeavyHittersExact(df, col(f), k)
+        case "sketch" =>
+          graft.streaming.Streams.streamHeavyHittersSketch(df, col(f),
+            capacity = p.get("capacity").map(_.toInt).getOrElse(4096),
+            numGroups = p.get("groups").map(_.toInt).getOrElse(32),
+            stateTtlMs = p.get("ttlms").map(_.toLong).getOrElse(0L)).toDF()
+        case other => sys.error(
+          s"unknown HEAVY_HITTERS method '$other' — expected exact or sketch")
+      } else method match {
         case "exact" => graft.core.HeavyHitters.exact(df, col(f), k)
         case "sketch" => graft.core.HeavyHitters.sketch(df, col(f), k,
           capacity = p.get("capacity").map(_.toInt).getOrElse(4096))

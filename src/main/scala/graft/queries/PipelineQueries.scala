@@ -2045,7 +2045,7 @@ object PipelineQueries {
 
   /** Deterministic top-k: count desc then value asc — the same
     * tie-break the engine's TakeOrdered uses, so LIMIT is stable. */
-  private val heavyOracle =
+  private[queries] val heavyOracle =
     """SELECT t AS value, cnt FROM (
          SELECT t, count(*) AS cnt
          FROM (SELECT unnest(list_filter(

@@ -188,6 +188,40 @@ object StreamQueries {
           col("endMicros").as("end_us"))
     }),
     // -- streaming dedup: distinct (user, type) keys off the stream ---------
+    // -- streaming heavy hitters: the frequent-items audit running ON the
+    //    ingest stream. Oracled row = the exact regime (streaming count
+    //    agg + deterministic top-k in Complete mode — the batch
+    //    operator's oracle carries over verbatim). The bounded-state
+    //    Misra–Gries regime is spec'd differentially against the exact
+    //    answer across micro-batch cuts (StreamHeavyHittersSpec). -----------
+    "q_stream_heavy" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_shh_src").toString
+      docs.repartition(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = Streams.fileStream(s, staged, schema)
+      val toks = stream.select(explode(filter(split(col("text"), "\\s+"),
+        tk => tk =!= "")).as("tok"))
+      val top = Streams.streamHeavyHittersExact(toks, col("tok"), 20)
+      runBounded(top, "q_stream_heavy_sink", OutputMode.Complete())
+    }),
+    // the same audit FROM the dialect: HEAVY_HITTERS on a streaming
+    //    relation routes to the streaming exact regime — same oracle
+    "q_pig_stream_heavy" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_pshh_src").toString
+      docs.repartition(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = Streams.fileStream(s, staged, schema)
+      val toks = stream.select(explode(filter(split(col("text"), "\\s+"),
+        tk => tk =!= "")).as("tok"))
+      val top = graft.piglatin.PigScript.query(s,
+        "h = HEAVY_HITTERS toks BY tok TOP 20 USING exact;",
+        "h", tables = Map("toks" -> toks))
+      runBounded(top, "q_pig_stream_heavy_sink", OutputMode.Complete())
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // exact-variant bounded run; the watermarked production variant
       // (dropDuplicatesWithinWatermark) is spec'd in StreamingSpec.
@@ -394,6 +428,9 @@ object StreamQueries {
          SELECT user_id, start_us, end_us FROM cand WHERE rn = 1""",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // the streamed token audit must reproduce the batch top-k exactly
+    "q_stream_heavy" -> PipelineQueries.heavyOracle,
+    "q_pig_stream_heavy" -> PipelineQueries.heavyOracle,
     // the streamed corpus must reproduce the batch decontamination
     // report exactly — identical oracle
     "q_stream_decontaminate" -> PipelineQueries.decontaminateSql(n = 8),

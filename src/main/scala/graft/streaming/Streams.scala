@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -176,6 +176,118 @@ object Streams {
             out.iterator
           }
       }
+  }
+
+  // ---- streaming heavy hitters (companion to core.HeavyHitters) ------------
+  /** One Misra–Gries counter emission: group `g`'s counter for `value`
+    * as of state version `ver` (monotone per group — readers keep each
+    * group's max-`ver` rows; see [[heavyHittersTopK]]). */
+  case class MgHit(g: Int, ver: Long, value: String,
+                   est_min: Long, est_max: Long)
+  /** Per-salt-group sketch state: ≤ capacity counters + the group's
+    * decrement-round total (its uniform undercount bound). */
+  case class MgState(counters: Map[String, Long], dec: Long, ver: Long)
+
+  /** Streaming EXACT heavy hitters: unbounded streaming count
+    * aggregation with the same deterministic (cnt desc, value asc)
+    * top-k as [[graft.core.HeavyHitters.exact]]. Run in Complete mode
+    * (sorting on a stream is only legal there); every trigger re-emits
+    * the current top-k, so the sink always holds the answer so far.
+    * State is one counter per distinct value — the audit regime. The
+    * batch operator's oracle carries over verbatim on a bounded replay. */
+  def streamHeavyHittersExact(stream: DataFrame, valueCol: Column,
+                              k: Int): DataFrame = {
+    require(k > 0, s"streamHeavyHittersExact: k must be positive (got $k)")
+    stream.select(valueCol.cast("string").as("value"))
+      .where(col("value").isNotNull)
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("value").asc)
+      .limit(k)
+  }
+
+  /** Streaming SKETCHED heavy hitters — the 100 TB regime: state is
+    * bounded by `capacity × numGroups` counters NO MATTER how many
+    * distinct values the stream carries (URL streams: billions).
+    *
+    * Values are salted into `numGroups` disjoint groups by xxhash64;
+    * each group runs an independent Misra–Gries sketch over ITS value
+    * subset inside `flatMapGroupsWithState`, merging every micro-batch
+    * into the carried counters — the streaming analog of the batch
+    * per-partition + merge shape ([[graft.core.HeavyHitters.sketch]]).
+    * Per group the classic guarantee holds against the group's stream
+    * prefix: `est_min ≤ n_v ≤ est_max = est_min + dec_g` and
+    * `dec_g ≤ n_g / (capacity + 1)`, so any value with frequency above
+    * that surfaces. Because groups partition the value space, the union
+    * of group summaries is a global summary with the same bounds.
+    *
+    * Each trigger emits the updated groups' full summaries stamped with
+    * a per-group version; [[heavyHittersTopK]] reduces a (possibly
+    * multi-batch) emission log to the final top-k. `stateTtlMs` > 0
+    * evicts idle groups (windowed audits); 0 keeps them (bounded
+    * replays). */
+  def streamHeavyHittersSketch(stream: DataFrame, valueCol: Column,
+                               capacity: Int = 4096, numGroups: Int = 32,
+                               stateTtlMs: Long = 0L): Dataset[MgHit] = {
+    require(capacity > 0 && numGroups > 0,
+      s"streamHeavyHittersSketch: capacity/numGroups must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val salted = stream.select(valueCol.cast("string").as("value"))
+      .where(col("value").isNotNull)
+      .select(pmod(xxhash64(col("value")), lit(numGroups)).cast("int")
+        .as("g"), col("value"))
+      .as[(Int, String)]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    salted.groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, MgHit](
+        OutputMode.Update(), timeoutConf) {
+        case (g, it, state: GroupState[MgState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(MgState(Map.empty, 0L, 0L))
+            val counters =
+              scala.collection.mutable.HashMap.from(prev.counters)
+            var dec = prev.dec
+            it.foreach { case (_, v) =>
+              counters.get(v) match {
+                case Some(c) => counters.update(v, c + 1)
+                case None if counters.size < capacity =>
+                  counters.update(v, 1L)
+                case None => // MG decrement-all round
+                  dec += 1
+                  val dead = scala.collection.mutable.ArrayBuffer
+                    .empty[String]
+                  counters.foreach { case (kk, c) =>
+                    if (c == 1L) dead += kk else counters.update(kk, c - 1)
+                  }
+                  dead.foreach(counters.remove)
+              }
+            }
+            val ver = prev.ver + 1
+            state.update(MgState(counters.toMap, dec, ver))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            counters.iterator.map { case (v, c) =>
+              MgHit(g, ver, v, c, c + dec)
+            }.toSeq.iterator
+          }
+      }
+  }
+
+  /** Reduce a [[streamHeavyHittersSketch]] emission log (static read of
+    * the sink) to the final global top-k: keep each group's latest
+    * version, order by est_min desc with the value tie-break. */
+  def heavyHittersTopK(hits: DataFrame, k: Int): DataFrame = {
+    // max-ver filter via a window, not a self-join (joining a memory-sink
+    // view with its own aggregate trips Catalyst's conflicting-attribute
+    // check); the input is ≤ capacity × numGroups summary rows
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    hits.withColumn("__mx", max(col("ver")).over(w))
+      .where(col("ver") === col("__mx"))
+      .select(col("value"), col("est_min"), col("est_max"))
+      .orderBy(col("est_min").desc, col("value").asc)
+      .limit(k)
   }
 
   /** Event-time SESSION window aggregation on a stream (gap-based merge,
