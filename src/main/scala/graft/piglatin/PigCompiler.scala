@@ -221,6 +221,10 @@ class PigCompiler(spark: SparkSession) {
     name match {
       // scalar builtins (reference: sparklib PigFuncs.scala, udf/UDF.scala)
       case "TOKENIZE" => PigFunctions.TOKENIZE(a0)
+      // HTML layer (graft dialect): boilerplate extraction over crawl text
+      case "EXTRACT_TEXT" => graft.text.Html.extractText(a0)
+      case "HTML_LINKS" => graft.text.Html.links(a0)
+      case "LINK_DENSITY" => graft.text.Html.linkDensity(a0)
       case "STRSPLIT" => split(a0, args(1).asInstanceOf[Lit].v.toString)
       case "LOWER" => lower(a0)
       case "UPPER" => upper(a0)
@@ -454,8 +458,18 @@ class PigCompiler(spark: SparkSession) {
 
     case Store(a, path, loader) =>
       val df = relation(a)
-      val (fmt, opts) = storeFormat(loader)
-      df.write.mode("overwrite").options(opts).format(fmt).save(path)
+      loader match {
+        // STORE rel INTO 'dir' USING WarcStorage('uriField', 'payloadField'
+        // [, 'gzip']) — WARC segments, one per partition
+        case Some(("WarcStorage", wargs)) =>
+          require(wargs.length >= 2, "WarcStorage STORE needs " +
+            "('uriField', 'payloadField' [, 'gzip'])")
+          graft.sources.Warc.write(df, path, col(wargs(0)), col(wargs(1)),
+            gzip = wargs.drop(2).exists(_.equalsIgnoreCase("gzip")))
+        case _ =>
+          val (fmt, opts) = storeFormat(loader)
+          df.write.mode("overwrite").options(opts).format(fmt).save(path)
+      }
       stored(path) = df
 
     case Dump(a, mute) =>
@@ -1553,6 +1567,9 @@ class PigCompiler(spark: SparkSession) {
       case "JsonStorage" => spark.read.json(path)
       case "BinStorage" | "ParquetStorage" => spark.read.parquet(path)
       case "RDFFileStorage" => graft.rdf.Rdf.loadNTriplesRaw(spark, path)
+      // WARC crawl segments (graft dialect): full record schema; project
+      // with FOREACH (payload is `content` binary)
+      case "WarcStorage" => graft.sources.Warc.read(spark, path)
       // reference jdbc.pig: LOAD 'table' USING JdbcStorage(driver, url)
       case "JdbcStorage" =>
         spark.read.format("jdbc")

@@ -85,6 +85,30 @@ object MiscQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Pig Latin scripts end-to-end (#1–30 via the front-end) ---------------
+    // -- WARC round-trip scripted end-to-end (STORE + LOAD USING
+    //    WarcStorage; payload back out of the record's binary content) -----
+    "q_pig_warc" -> ((s, dir) =>
+      PigScript.query(s,
+        s"""STORE docs INTO '$deriveDir/pig_warc'
+              USING WarcStorage('uri', 'text', 'gzip');
+            a = LOAD '$deriveDir/pig_warc' USING WarcStorage();
+            r = FOREACH a GENERATE
+                  TOLONG(REPLACE(target_uri, '^[^0-9]*', '')) AS doc_id,
+                  TOSTRING(content) AS text;""",
+        "r", tables = Map("docs" ->
+          t(s, dir, "documents").select(
+            concat(lit("urn:graft:doc:"), col("doc_id")).as("uri"),
+            col("text"))))),
+    // -- HTML extraction from the dialect (EXTRACT_TEXT / LINK_DENSITY
+    //    builtins; same planted page + oracle as q_html_extract) -----------
+    "q_pig_html" -> ((s, dir) =>
+      PigScript.query(s,
+        """r = FOREACH pages GENERATE doc_id,
+                 EXTRACT_TEXT(page) AS clean,
+                 LINK_DENSITY(page) AS link_density;""",
+        "r", tables = Map("pages" ->
+          t(s, dir, "documents").select(col("doc_id"),
+            PipelineQueries.plantedHtml.as("page"))))),
     "q_pig_load" -> ((s, dir) => {
       ensurePigCsv(s, dir)
       PigScript.query(s,
@@ -260,6 +284,8 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pig_warc" -> "SELECT doc_id, text FROM documents",
+    "q_pig_html" -> PipelineQueries.htmlExtractOracle,
     "q_pig_load" ->
       "SELECT r_regionkey, UPPER(r_name) AS un FROM region WHERE r_regionkey > 1",
     "q_pig_agg" ->

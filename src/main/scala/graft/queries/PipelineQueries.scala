@@ -73,7 +73,7 @@ object PipelineQueries {
     * text: head+script boilerplate, a nav with two anchors, a comment, an
     * article body, a footer with entities. [[htmlPlantSql]] is the
     * character-identical DuckDB twin. */
-  private def plantedHtml: org.apache.spark.sql.Column = {
+  private[queries] def plantedHtml: org.apache.spark.sql.Column = {
     val esc = replace(replace(replace(col("text"),
       lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
     concat(
@@ -115,6 +115,13 @@ object PipelineQueries {
     c = rr(c, "\\n{3,}", "chr(10)||chr(10)")
     rr(c, "^\\s+|\\s+$", "''")
   }
+
+  /** The q_html_extract / q_pig_html oracle (shared with MiscQueries). */
+  private[queries] lazy val htmlExtractOracle: String =
+    s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents)
+       SELECT doc_id, ${htmlExtractSql("page")} AS clean,
+         ${linkDensitySql("page")} AS link_density
+       FROM h"""
 
   /** DuckDB replay of [[graft.text.Html.linkDensity]]. */
   private def linkDensitySql(h: String): String = {
@@ -2128,11 +2135,7 @@ object PipelineQueries {
         """SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
            FROM documents""",
-      "q_html_extract" ->
-        s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents)
-           SELECT doc_id, ${htmlExtractSql("page")} AS clean,
-             ${linkDensitySql("page")} AS link_density
-           FROM h""",
+      "q_html_extract" -> htmlExtractOracle,
       "q_html_links" ->
         s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents)
            SELECT doc_id,

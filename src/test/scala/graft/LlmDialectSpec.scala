@@ -17,6 +17,26 @@ class LlmDialectSpec extends SparkSpec {
     (5L, null.asInstanceOf[String])                       // unknown content
   ).toDF("doc_id", "text")
 
+  test("WarcStorage STORE fails fast without uri/payload fields; " +
+      "EXTRACT_TEXT builtin strips markup in a FOREACH") {
+    val e = intercept[Exception] {
+      PigScript.run(spark,
+        "STORE docs INTO 'target/graft-test/warc-bad' USING WarcStorage();",
+        tables = Map("docs" -> docs))
+    }
+    assert(e.getMessage.contains("WarcStorage"))
+    val pages = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><script>x()</script></body></html>")).as("page"))
+    val out = PigScript.query(spark,
+      "r = FOREACH pages GENERATE doc_id, EXTRACT_TEXT(page) AS t;",
+      "r", tables = Map("pages" -> pages))
+      .select("doc_id", "t").as[(Long, String)].collect().toMap
+    assert(out(1L) == "the quick brown fox jumps over the lazy dog")
+    assert(out(4L) == "an entirely different document about spark engines")
+  }
+
   test("DEDUP USING exact keeps the min-id representative and null text") {
     val kept = PigScript.query(spark,
       "d = DEDUP docs BY doc_id, text USING exact;",
