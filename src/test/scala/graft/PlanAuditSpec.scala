@@ -206,4 +206,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("graft_bloom_any"), plan.take(2000))
     graft.core.Intermediates.release()
   }
+
+  test("q_html_extract: map-only — zero Exchange, codegen'd scan stage, " +
+      "pruned two-column scan") {
+    val df = SparkEntry.queries("q_html_extract")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // the regexp extraction chain is codegen'd with the scan ("*(1)");
+    // the link-density aggregate() HOF is CodegenFallback by design —
+    // still a narrow per-row lambda, never a shuffle
+    assert(plan.contains("*(1)"), plan.take(2000))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && !readSchema.contains("lang"), readSchema)
+  }
 }
