@@ -250,4 +250,9 @@ object Ast {
   final case class HeavyStmt(alias: String, in: String, field: String,
                              k: Int, method: String,
                              params: Map[String, String]) extends Stmt
+  /** `r = PAGERANK e BY src, dst [ITER 10];` — integer fixed-point
+    * PageRank over an edge relation (graft dialect; the link-graph
+    * authority prior of web-corpus curation). */
+  final case class PageRankStmt(alias: String, in: String, srcField: String,
+                                dstField: String, iters: Int) extends Stmt
 }

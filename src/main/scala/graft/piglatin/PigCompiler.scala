@@ -1379,6 +1379,11 @@ class PigCompiler(spark: SparkSession) {
           s"unknown HEAVY_HITTERS method '$other' — expected exact or sketch")
       })
 
+    case PageRankStmt(a, in, s, d, iters) =>
+      val df = relation(in)
+      env(a) = Rel(() =>
+        graft.graph.PageRank.pageRank(df, col(s), col(d), iters))
+
     case VisualizeStmt(in, field, path, ps, w, h, pointsOnly) =>
       val df = relation(in)
       graft.spatial.Visualize.scatter(df, compileExpr(df, field), path,

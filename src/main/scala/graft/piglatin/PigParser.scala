@@ -559,6 +559,14 @@ object PigParser extends RegexParsers {
           m.map(_._1.toLowerCase).getOrElse("exact"),
           m.map(_._2).getOrElse(Map.empty)) }
 
+  /** `r = PAGERANK e BY src, dst [ITER 10];` (graft dialect). */
+  private def pageRankStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("pagerank")) ~ ident ~
+      (kw("by") ~> ident) ~ ("," ~> ident) ~
+      opt(kw("iter") ~> number) ^^ {
+      case a ~ in ~ s ~ d ~ n =>
+        PageRankStmt(a, in, s, d, n.map(_.toDouble.toInt).getOrElse(10)) }
+
   private def stmt: Parser[Stmt] =
     (load | store | dump | describe | filter | foreach | group | join |
      cross | union | distinctS | limit | orderBy | sample | split | rank |
@@ -568,7 +576,7 @@ object PigParser extends RegexParsers {
      zipStmt | cacheStmt | delayStmt | skylineStmt | visualizeStmt |
      dedupStmt | qualityStmt | tokenizeStmt | decontaminateStmt |
      packStmt | splitHashStmt | scoreStmt | profileStmt | heavyStmt |
-     setCmd | register | defineAlias) <~ rep1(";")
+     pageRankStmt | setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)
 

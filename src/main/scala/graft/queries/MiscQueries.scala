@@ -109,6 +109,19 @@ object MiscQueries {
         "r", tables = Map("pages" ->
           t(s, dir, "documents").select(col("doc_id"),
             PipelineQueries.plantedHtml.as("page"))))),
+    // -- PAGERANK from the dialect — same derived edge graph + oracle as
+    //    q_pagerank -----------------------------------------------------------
+    "q_pig_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val edges = docs.crossJoin(broadcast(mx)) // 1-row stat frame
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(1, 2, 3).map(k =>
+            (col("doc_id") * 31 + k * 1009) % (col("mx") + 1)): _*))
+            .as("dst"))
+      PigScript.query(s, "r = PAGERANK e BY src, dst ITER 5;", "r",
+        tables = Map("e" -> edges))
+    }),
     "q_pig_load" -> ((s, dir) => {
       ensurePigCsv(s, dir)
       PigScript.query(s,
@@ -285,6 +298,7 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pig_warc" -> "SELECT doc_id, text FROM documents",
+    "q_pig_pagerank" -> PipelineQueries.pageRankOracle(5),
     "q_pig_html" -> PipelineQueries.htmlExtractOracle,
     "q_pig_load" ->
       "SELECT r_regionkey, UPPER(r_name) AS un FROM region WHERE r_regionkey > 1",

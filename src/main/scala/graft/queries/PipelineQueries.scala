@@ -116,6 +116,33 @@ object PipelineQueries {
     rr(c, "^\\s+|\\s+$", "''")
   }
 
+  /** DuckDB replay of [[graft.graph.PageRank.pageRank]] over the
+    * q_pagerank derived edge graph — the recurrence unrolled one CTE
+    * per iteration (integer `//` floor-division everywhere, so the sum
+    * order never matters). HUGEINT sums cast back to BIGINT at each
+    * rank projection. */
+  private[queries] def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*31 + k*1009) % (m+1) AS dst
+               FROM documents, mx, (SELECT unnest([1,2,3]) AS k)),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         o AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d
+               ON e.src = d.src),
+         nodes AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         r0 AS (SELECT id, 1000000000::BIGINT AS rank FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.id,
+           (150000000 + 85 * coalesce(c.contrib, 0) // 100)::BIGINT AS rank
+         FROM nodes n LEFT JOIN (
+           SELECT o.dst AS id, sum(r.rank // o.deg) AS contrib
+           FROM o JOIN r${i - 1} r ON o.src = r.id GROUP BY 1) c
+         ON n.id = c.id)"""
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT id, rank FROM r$iters"
+  }
+
   /** The q_html_extract / q_pig_html oracle (shared with MiscQueries). */
   private[queries] lazy val htmlExtractOracle: String =
     s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents)
@@ -407,6 +434,21 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("page"))
         .select(col("doc_id"),
           explode(graft.text.Html.links(col("page"))).as("href"))),
+    // -- PageRank over a documents-derived link graph (3 deterministic
+    //    out-edges per doc via modular mixing — real in-degree variance).
+    //    Integer fixed-point: every rank reproduces bit-for-bit in the
+    //    unrolled DuckDB replay. ---------------------------------------------
+    "q_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val edges = docs.crossJoin(broadcast(mx)) // 1-row stat frame
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(1, 2, 3).map(k =>
+            (col("doc_id") * 31 + k * 1009) % (col("mx") + 1)): _*))
+            .as("dst"))
+      graft.graph.PageRank.pageRank(edges, col("src"), col("dst"),
+        iterations = 5)
+    }),
     // -- corpus profiling (audit regime: exact, DuckDB-oracled) ---------------
     "q_profile" -> ((s, dir) =>
       graft.core.Profile.exact(t(s, dir, "documents"),
@@ -2136,6 +2178,7 @@ object PipelineQueries {
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
            FROM documents""",
       "q_html_extract" -> htmlExtractOracle,
+      "q_pagerank" -> pageRankOracle(5),
       "q_html_links" ->
         s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents)
            SELECT doc_id,
