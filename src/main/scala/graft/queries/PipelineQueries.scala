@@ -81,7 +81,9 @@ object PipelineQueries {
       lit("</title><script>track("), col("doc_id"),
       lit(");</script></head><body><nav><a href=\"/\">Home</a> &middot; " +
         "<a href=\"/doc/"), col("doc_id"),
-      lit("\">Self</a></nav><!-- id "), col("doc_id"),
+      lit("\">Self</a> <a href=\"http://mirror"), col("doc_id") % 7,
+      lit(".example.org/doc/"), col("doc_id"),
+      lit("\">Mirror</a></nav><!-- id "), col("doc_id"),
       lit(" --><article><p>"), esc,
       lit("</p></article><footer>&copy; 2026 Graft &amp; Co" +
         "</footer></body></html>"))
@@ -90,8 +92,9 @@ object PipelineQueries {
   private def htmlPlantSql: String =
     "concat('<html><head><title>doc ', doc_id, '</title><script>track(', " +
     "doc_id, ');</script></head><body><nav><a href=\"/\">Home</a> " +
-    "&middot; <a href=\"/doc/', doc_id, '\">Self</a></nav><!-- id ', " +
-    "doc_id, ' --><article><p>', " +
+    "&middot; <a href=\"/doc/', doc_id, '\">Self</a> " +
+    "<a href=\"http://mirror', doc_id % 7, '.example.org/doc/', doc_id, " +
+    "'\">Mirror</a></nav><!-- id ', doc_id, ' --><article><p>', " +
     "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), " +
     "'>', '&gt;'), '</p></article><footer>&copy; 2026 Graft &amp; Co" +
     "</footer></body></html>')"
@@ -434,6 +437,18 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("page"))
         .select(col("doc_id"),
           explode(graft.text.Html.links(col("page"))).as("href"))),
+    // -- the composed crawl audit: pages → links → host → dominant
+    //    domains (rows 70+72 composing — the UT1-blocklist / domain-
+    //    weighting precursor every crawl pipeline runs) --------------------
+    "q_link_hosts" -> ((s, dir) => {
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), plantedHtml.as("page"))
+      val hosts = pages
+        .select(explode(graft.text.Html.links(col("page"))).as("href"))
+        .select(graft.text.Html.urlHost(col("href")).as("host"))
+        .where(col("host") =!= "")
+      graft.core.HeavyHitters.exact(hosts, col("host"), 10)
+    }),
     // -- PageRank over a documents-derived link graph (3 deterministic
     //    out-edges per doc via modular mixing — real in-degree variance).
     //    Integer fixed-point: every rank reproduces bit-for-bit in the
@@ -2179,6 +2194,17 @@ object PipelineQueries {
            FROM documents""",
       "q_html_extract" -> htmlExtractOracle,
       "q_pagerank" -> pageRankOracle(5),
+      "q_link_hosts" ->
+        s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents),
+           l AS (SELECT unnest(regexp_extract_all(page,
+                 '(?is)<a\\b[^>]*?href\\s*=\\s*["'']([^"'']*)["'']', 1))
+                 AS href FROM h),
+           ho AS (SELECT lower(regexp_extract(href,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host
+                 FROM l)
+           SELECT host AS value, count(*) AS cnt FROM ho
+           WHERE host <> '' GROUP BY 1
+           ORDER BY cnt DESC, value LIMIT 10""",
       "q_html_links" ->
         s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents)
            SELECT doc_id,

@@ -81,6 +81,12 @@ object Html {
     regexp_extract_all(html,
       lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
 
+  /** Lower-cased host of an absolute URL ('' for relative links) —
+    * feeds the dominant-domain audit ([[graft.core.HeavyHitters]] over
+    * a link table) and blocklist joins. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+
   /** Anchor-text character mass. */
   private def anchorChars(html: Column): Column =
     aggregate(
