@@ -250,6 +250,11 @@ object Ast {
   final case class HeavyStmt(alias: String, in: String, field: String,
                              k: Int, method: String,
                              params: Map[String, String]) extends Stmt
+  /** `c = CONNECTED_COMPONENTS e BY id_a, id_b [MAXITER 10];` — min-label
+    * components of a pair graph (graft dialect; the cluster resolution
+    * under the near-dup operators, as a relation `(id, label)`). */
+  final case class CcStmt(alias: String, in: String, aField: String,
+                          bField: String, maxIter: Int) extends Stmt
   /** `r = PAGERANK e BY src, dst [ITER 10];` — integer fixed-point
     * PageRank over an edge relation (graft dialect; the link-graph
     * authority prior of web-corpus curation). */

@@ -1379,6 +1379,12 @@ class PigCompiler(spark: SparkSession) {
           s"unknown HEAVY_HITTERS method '$other' — expected exact or sketch")
       })
 
+    case CcStmt(a, in, f1, f2, maxIter) =>
+      val df = relation(in)
+      env(a) = Rel(() => graft.dedup.Dedup.connectedComponents(
+        df.select(col(f1).as("id_a"), col(f2).as("id_b")),
+        maxIter = maxIter))
+
     case PageRankStmt(a, in, s, d, iters) =>
       val df = relation(in)
       env(a) = Rel(() =>

@@ -559,6 +559,14 @@ object PigParser extends RegexParsers {
           m.map(_._1.toLowerCase).getOrElse("exact"),
           m.map(_._2).getOrElse(Map.empty)) }
 
+  /** `c = CONNECTED_COMPONENTS e BY id_a, id_b [MAXITER 10];`. */
+  private def ccStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("connected_components")) ~ ident ~
+      (kw("by") ~> ident) ~ ("," ~> ident) ~
+      opt(kw("maxiter") ~> number) ^^ {
+      case a ~ in ~ f1 ~ f2 ~ n =>
+        CcStmt(a, in, f1, f2, n.map(_.toDouble.toInt).getOrElse(10)) }
+
   /** `r = PAGERANK e BY src, dst [ITER 10];` (graft dialect). */
   private def pageRankStmt: Parser[Stmt] =
     (ident <~ "=" <~ kw("pagerank")) ~ ident ~
@@ -576,7 +584,7 @@ object PigParser extends RegexParsers {
      zipStmt | cacheStmt | delayStmt | skylineStmt | visualizeStmt |
      dedupStmt | qualityStmt | tokenizeStmt | decontaminateStmt |
      packStmt | splitHashStmt | scoreStmt | profileStmt | heavyStmt |
-     pageRankStmt | setCmd | register | defineAlias) <~ rep1(";")
+     pageRankStmt | ccStmt | setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)
 

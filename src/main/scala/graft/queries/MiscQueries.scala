@@ -122,6 +122,15 @@ object MiscQueries {
       PigScript.query(s, "r = PAGERANK e BY src, dst ITER 5;", "r",
         tables = Map("e" -> edges))
     }),
+    // -- CONNECTED_COMPONENTS from the dialect — same chain-block edges
+    //    and closed-form oracle as q_connected_components ------------------
+    "q_pig_cc" -> ((s, dir) =>
+      PigScript.query(s,
+        """e = FILTER docs BY doc_id % 16 != 0;
+           p = FOREACH e GENERATE doc_id AS id_a, doc_id - 1 AS id_b;
+           c = CONNECTED_COMPONENTS p BY id_a, id_b;""",
+        "c", tables = Map("docs" ->
+          t(s, dir, "documents").select(col("doc_id"))))),
     "q_pig_load" -> ((s, dir) => {
       ensurePigCsv(s, dir)
       PigScript.query(s,
@@ -299,6 +308,7 @@ object MiscQueries {
   val oracles: Map[String, String] = Map(
     "q_pig_warc" -> "SELECT doc_id, text FROM documents",
     "q_pig_pagerank" -> PipelineQueries.pageRankOracle(5),
+    "q_pig_cc" -> PipelineQueries.ccOracle,
     "q_pig_html" -> PipelineQueries.htmlExtractOracle,
     "q_pig_load" ->
       "SELECT r_regionkey, UPPER(r_name) AS un FROM region WHERE r_regionkey > 1",

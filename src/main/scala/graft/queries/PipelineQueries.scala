@@ -146,6 +146,15 @@ object PipelineQueries {
     (head +: steps).mkString(",\n") + s"\nSELECT id, rank FROM r$iters"
   }
 
+  /** q_connected_components / q_pig_cc oracle: the 16-chain edge
+    * derivation has closed-form components (no CC replay needed). */
+  private[queries] val ccOracle: String =
+    """WITH e AS (SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+           WHERE doc_id % 16 <> 0),
+       nodes AS (SELECT DISTINCT id FROM
+         (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e))
+       SELECT id, id - id % 16 AS label FROM nodes"""
+
   /** The q_html_extract / q_pig_html oracle (shared with MiscQueries). */
   private[queries] lazy val htmlExtractOracle: String =
     s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents)
@@ -463,6 +472,15 @@ object PipelineQueries {
             .as("dst"))
       graft.graph.PageRank.pageRank(edges, col("src"), col("dst"),
         iterations = 5)
+    }),
+    // -- connected components as a first-class relation (the cluster
+    //    resolution under every near-dup family, exercised here on the
+    //    DISTRIBUTED path: 16-id chain blocks, closed-form truth) -----------
+    "q_connected_components" -> ((s, dir) => {
+      val e = t(s, dir, "documents")
+        .where(col("doc_id") % 16 =!= 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
+      Dedup.connectedComponents(e, driverEdgeThreshold = 0L)
     }),
     // -- corpus profiling (audit regime: exact, DuckDB-oracled) ---------------
     "q_profile" -> ((s, dir) =>
@@ -2194,6 +2212,9 @@ object PipelineQueries {
            FROM documents""",
       "q_html_extract" -> htmlExtractOracle,
       "q_pagerank" -> pageRankOracle(5),
+      // doc_ids are contiguous 0..N-1 (verified at every SF), so chained
+      // 16-blocks have the closed-form component label floor16(id)
+      "q_connected_components" -> ccOracle,
       "q_link_hosts" ->
         s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents),
            l AS (SELECT unnest(regexp_extract_all(page,
