@@ -1344,6 +1344,13 @@ class PigCompiler(spark: SparkSession) {
     case ProfileStmt(a, in, cs, method, p) =>
       val df = relation(in)
       env(a) = Rel(() => method match {
+        // STREAMING input: the sketch regime is mergeable (HLL++ +
+        // approx-percentile partials), so the SAME engine call runs as a
+        // Complete-mode global aggregation; exact's multi-DISTINCT
+        // Expand is not streamable — fail loudly
+        case "exact" if df.isStreaming => sys.error(
+          "PROFILE on a streaming relation supports USING sketch only " +
+            "— exact needs multi-DISTINCT, which is not streamable")
         case "exact" => graft.core.Profile.exact(df, cs)
         case "sketch" => graft.core.Profile.sketch(df, cs,
           rsd = p.get("rsd").map(_.toDouble).getOrElse(0.05),

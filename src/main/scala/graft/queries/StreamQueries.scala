@@ -188,6 +188,22 @@ object StreamQueries {
           col("endMicros").as("end_us"))
     }),
     // -- streaming dedup: distinct (user, type) keys off the stream ---------
+    // -- streaming corpus profile: the sketch regime's aggregates are
+    //    mergeable, so the SAME Profile.sketch call runs as a Complete-
+    //    mode global agg on the stream. Approximate -> rows-only gate
+    //    entry (like q_profile_sketch); exact equality vs the batch
+    //    sketch is spec'd differentially (StreamProfileSpec). --------------
+    "q_stream_profile" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_sprof_q").toString
+      docs.repartition(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = Streams.fileStream(s, staged, schema)
+      val prof = graft.core.Profile.sketch(stream,
+        Seq("doc_id", "lang", "source", "n_chars"))
+      runBounded(prof, "q_stream_profile_sink", OutputMode.Complete())
+    }),
     // -- streaming heavy hitters: the frequent-items audit running ON the
     //    ingest stream. Oracled row = the exact regime (streaming count
     //    agg + deterministic top-k in Complete mode — the batch
