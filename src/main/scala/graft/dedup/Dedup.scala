@@ -413,6 +413,32 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster resolution: instead of [[keepOne]]'s min-id
+    * survivor, keep each duplicate component's highest-`scoreCol` member
+    * (ties → min id, so output is deterministic). This is the policy a
+    * real curation pipeline wants — when a boilerplate cluster holds a
+    * long original and nine truncated mirrors, min-id keeps whichever
+    * crawled first; score keeps the best one. Returns
+    * `(component, keep_id)` — linear in the doc count; join it back to
+    * gate the corpus. The argmax is one partial-aggregated
+    * `max(struct(score, -id))` per component — no window, no second
+    * shuffle beyond the component join. */
+  def keepBestByScore(docs: DataFrame, idCol: String, scoreCol: String,
+                      pairs: DataFrame, maxIter: Int = 10,
+                      driverEdgeThreshold: Long = 2000000L): DataFrame = {
+    val comp = connectedComponents(pairs.select(col("id_a"), col("id_b")),
+      maxIter, None, driverEdgeThreshold)
+    docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__s"))
+      .join(comp, Seq("id"), "left")
+      // docs outside the pair graph are their own singleton component
+      .select(col("id"), col("__s"),
+        coalesce(col("label"), col("id")).as("component"))
+      .groupBy("component")
+      .agg(max(struct(col("__s").as("s"), (-col("id")).as("negid"))).as("m"))
+      .select(col("component"),
+        (-col("m.negid")).cast("long").as("keep_id"))
+  }
+
   /** The curation output of [[semanticPairs]]: the input minus all but
     * one representative (the min id, via [[connectedComponents]] on the
     * within-cluster pair graph) per semantic-duplicate group. */

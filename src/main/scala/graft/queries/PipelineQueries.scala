@@ -420,6 +420,12 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.scrubPii(planted).as("clean"))
     }),
+    // zlib has no cross-engine twin -> rows-only gate entry; the native
+    // expression's contracts are model- and relation-spec'd instead
+    "q_compression" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.DeflateLength(col("text"), 6).as("deflate_len"),
+        TextOps.compressionRatio(col("text")).as("ratio"))),
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -481,6 +487,16 @@ object PipelineQueries {
         .where(col("doc_id") % 16 =!= 0)
         .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
       Dedup.connectedComponents(e, driverEdgeThreshold = 0L)
+    }),
+    // -- quality-aware cluster resolution: keep each dup component's
+    //    best-scored member (ties -> min id) over the same chain-block
+    //    graph; closed-form oracle per 16-block ---------------------------
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.where(col("doc_id") % 16 =!= 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
+      Dedup.keepBestByScore(docs, "doc_id", "n_chars", pairs,
+        driverEdgeThreshold = 0L)
     }),
     // -- corpus profiling (audit regime: exact, DuckDB-oracled) ---------------
     "q_profile" -> ((s, dir) =>
@@ -2215,6 +2231,12 @@ object PipelineQueries {
       // doc_ids are contiguous 0..N-1 (verified at every SF), so chained
       // 16-blocks have the closed-form component label floor16(id)
       "q_connected_components" -> ccOracle,
+      "q_dedup_best" ->
+        """SELECT component, keep_id FROM (
+             SELECT doc_id - doc_id % 16 AS component, doc_id AS keep_id,
+               row_number() OVER (PARTITION BY doc_id - doc_id % 16
+                 ORDER BY n_chars DESC, doc_id ASC) AS rn
+             FROM documents) WHERE rn = 1""",
       "q_link_hosts" ->
         s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents),
            l AS (SELECT unnest(regexp_extract_all(page,

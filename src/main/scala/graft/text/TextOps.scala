@@ -172,6 +172,17 @@ object TextOps {
     }
 
   // --- repetition / boilerplate detection -----------------------------------
+  /** DEFLATE compression ratio (compressed bytes / raw bytes, raw ≥ 1):
+    * templated or repetitive text scores low, prose lands mid-range,
+    * high-entropy noise near (or above) 1. The cheap GLOBAL-redundancy
+    * complement of [[repetitionRatio]]'s windowed n-gram counts — zlib
+    * sees repeats anywhere in its window, not just adjacent n-grams.
+    * Rows-only at the gate (no cross-engine zlib); contracts spec'd
+    * relatively + against a direct Deflater model (CompressionSpec). */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    graft.functions.DeflateLength(text, level).cast("double") /
+      greatest(octet_length(text), lit(1)).cast("double")
+
   /** Fraction of repeated word n-grams in the document: 1 − distinct/total
     * (0 for docs shorter than n tokens). High values flag boilerplate,
     * keyword stuffing and degenerate generations — a standard
