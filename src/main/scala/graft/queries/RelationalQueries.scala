@@ -54,6 +54,22 @@ object RelationalQueries {
       Pipe.load(s, s"$deriveDir/store_supplier")
         .generate(col("s_suppkey"), col("s_name"), col("s_acctbal")).df
     }),
+    // -- WARC offset index + record seek: point-reads out of a corpus
+    //    without scanning segments (filter the columnar index, seek each
+    //    stream to the gzip member, inflate one record) -------------------
+    "q_warc_seek" -> ((s, dir) => {
+      graft.sources.Warc.writeIndexed(t(s, dir, "documents"),
+        s"$deriveDir/warc_idx",
+        uri = concat(lit("urn:graft:doc:"), col("doc_id")),
+        payload = col("text"))
+      graft.sources.Warc.readIndexed(s, s"$deriveDir/warc_idx",
+          regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long") % 37 === 0)
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content").cast("string").as("text"))
+    }),
     // -- WARC segment sink + source (Common Crawl container format;
     //    gzip = one member per record). Write the documents table out as
     //    .warc.gz segments, read it back distributed, recover (id, text)
@@ -358,6 +374,8 @@ object RelationalQueries {
     "q_load_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_store_roundtrip" -> "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
     "q_warc_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "q_warc_seek" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0",
     "q_foreach" ->
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1 - l_discount) AS disc_price,

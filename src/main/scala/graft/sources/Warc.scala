@@ -55,13 +55,9 @@ object Warc {
             gzip: Boolean = false): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
-    // Configuration is not Serializable: ship the non-default entries and
-    // rebuild on executors (keeps object-store creds / FS bindings).
-    val confEntries = {
-      val it = hconf.iterator(); val b = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-      b.result()
-    }
+    // Configuration is not Serializable: ship the entries and rebuild on
+    // executors (keeps object-store creds / FS bindings).
+    val confEntries = serializeConf(hconf)
     val ext = if (gzip) ".warc.gz" else ".warc"
     val rows = df.select(uri.cast("string").as("u"),
                          payload.cast("binary").as("p"),
@@ -71,7 +67,6 @@ object Warc {
     if (fs0.exists(dir)) fs0.delete(dir, true)
     fs0.mkdirs(dir)
     val (wt, ct) = (warcType, contentType)
-    rows.queryExecution.toRdd // force analysis before the imperative job
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val conf = new org.apache.hadoop.conf.Configuration(false)
@@ -141,9 +136,20 @@ object Warc {
     * the concatenated per-record members as one logical stream. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val rdd = spark.sparkContext.binaryFiles(path)
-      .filter { case (name, _) =>
-        name.endsWith(".warc") || name.endsWith(".warc.gz") }
+    // explicit driver-side segment listing: the input may hold sidecars
+    // (_index, _SUCCESS) that a bare directory input would trip over,
+    // and a 64k-segment listing is trivially driver-sized
+    val fs = hadoopFs(path, spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val segs =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(st => st.isFile && {
+          val n = st.getPath.getName
+          n.endsWith(".warc") || n.endsWith(".warc.gz")
+        }).map(_.getPath.toString)
+      else Array(path)
+    if (segs.isEmpty) return spark.emptyDataset[WarcRecord].toDF()
+    val rdd = spark.sparkContext.binaryFiles(segs.mkString(","))
       .flatMap { case (name, pds) => recordIterator(name, pds) }
     spark.createDataset(rdd).toDF()
   }
@@ -176,7 +182,7 @@ object Warc {
   /** Parse one record off the stream; null at clean EOF. Tolerates any
     * number of blank lines between records (the spec's two CRLF record
     * separators, but also hand-edited files). */
-  private def parseRecord(in: InputStream): WarcRecord = {
+  private[sources] def parseRecord(in: InputStream): WarcRecord = {
     var line = readLine(in)
     while (line != null && line.isEmpty) line = readLine(in)
     if (line == null) return null
@@ -212,6 +218,128 @@ object Warc {
       off += n
     }
     WarcRecord(typ, rid, uri, date, ct, p)
+  }
+
+  // ---- offset index + record seek ------------------------------------------
+
+  /** Like [[write]] but gzip-forced (member-per-record is what makes
+    * slices independently decompressible) and with a SIDECAR OFFSET
+    * INDEX: `path/_index` parquet of `(segment, target_uri, offset,
+    * length)` — the compressed byte extent of every record's gzip
+    * member. [[readIndexed]] then serves POINT READS out of a corpus
+    * without scanning segments: filter the (columnar, predicate-pushed)
+    * index, seek each segment stream to the member, inflate just that
+    * record. At 100 TB this is the difference between "fetch these 10k
+    * documents" costing 10k seeks and costing a full corpus scan. */
+  def writeIndexed(df: DataFrame, path: String, uri: Column,
+                   payload: Column,
+                   date: Column = lit("2026-01-01T00:00:00Z"),
+                   warcType: String = "resource",
+                   contentType: String = "text/plain"): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val confEntries = serializeConf(hconf)
+    val rows = df.select(uri.cast("string").as("u"),
+                         payload.cast("binary").as("p"),
+                         date.cast("string").as("d"))
+    val fs0 = hadoopFs(path, hconf)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (fs0.exists(dir)) fs0.delete(dir, true)
+    fs0.mkdirs(dir)
+    val (wt, ct) = (warcType, contentType)
+    import spark.implicits._
+    val idx = rows.rdd.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val fs = hadoopFs(path, conf)
+        val tc = org.apache.spark.TaskContext.get()
+        val segName = f"part-${tc.partitionId()}%05d.warc.gz"
+        val fin = new org.apache.hadoop.fs.Path(path, segName)
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          f".part-${tc.partitionId()}%05d-${tc.taskAttemptId()}.tmp")
+        val raw = fs.create(tmp, true)
+        var written = 0L
+        val counting = new FilterOutputStream(raw) {
+          override def write(b: Int): Unit = { out.write(b); written += 1 }
+          override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+            out.write(b, off, len); written += len
+          }
+        }
+        val entries = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long, Long)]
+        it.foreach { r =>
+          val u = r.getString(0)
+          val p = if (r.isNullAt(1)) Array.emptyByteArray
+                  else r.getAs[Array[Byte]](1)
+          val d = r.getString(2)
+          val start = written
+          val gz = new GZIPOutputStream(nonClosing(counting), 64 * 1024)
+          writeRecord(gz, wt, ct, u, d, p); gz.finish(); gz.close()
+          entries += ((segName, u, start, written - start))
+        }
+        counting.close()
+        if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+        entries.iterator
+      }
+    }.toDF("segment", "target_uri", "offset", "length")
+    // writing the index IS the action that drives the segment writes
+    idx.write.mode("overwrite").parquet(s"$path/_index")
+    val ok = fs0.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true)
+    ok.close()
+  }
+
+  /** Point-read records whose INDEX rows satisfy `predicate` (applied
+    * to the `_index` columns — `target_uri` pushes down to the parquet
+    * scan). Entries are clustered per segment and visited in offset
+    * order, so each task seeks forward through one open stream. */
+  def readIndexed(spark: SparkSession, path: String,
+                  predicate: Column): DataFrame = {
+    import spark.implicits._
+    val confEntries = serializeConf(spark.sparkContext.hadoopConfiguration)
+    val hits = spark.read.parquet(s"$path/_index").where(predicate)
+      .select(col("segment"), col("offset"), col("length"))
+      .as[(String, Long, Long)]
+      .repartition(col("segment"))
+      .sortWithinPartitions(col("segment"), col("offset"))
+    hits.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      val fs = hadoopFs(path, conf)
+      new Iterator[WarcRecord] {
+        private var openSeg: String = null
+        private var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && in != null) { in.close(); in = null } // last segment
+          h
+        }
+        def next(): WarcRecord = {
+          val (seg, off, len) = it.next()
+          if (seg != openSeg) {
+            if (in != null) in.close()
+            in = fs.open(new org.apache.hadoop.fs.Path(path, seg))
+            openSeg = seg
+          }
+          in.seek(off)
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(buf)
+          val rec = parseRecord(new BufferedInputStream(
+            new GZIPInputStream(new java.io.ByteArrayInputStream(buf)), 8192))
+          if (rec == null) throw new EOFException(
+            s"WARC index points at empty member: $seg@$off+$len")
+          rec
+        }
+      }
+    }.toDF()
+  }
+
+  private def serializeConf(hconf: org.apache.hadoop.conf.Configuration)
+      : Seq[(String, String)] = {
+    val it = hconf.iterator(); val b = Seq.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
   }
 
   /** Read one CRLF/LF-terminated UTF-8 header line; null at EOF before

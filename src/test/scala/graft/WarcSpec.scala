@@ -100,6 +100,35 @@ class WarcSpec extends SparkSpec {
     assert(new String(r.head.getAs[Array[Byte]]("content")) == "body")
   }
 
+  test("offset index: seek-reads reproduce exactly the filtered records " +
+       "and extents tile each segment") {
+    val path = tmp("idx")
+    Warc.writeIndexed(docs.repartition(3), path,
+      uri = concat(lit("urn:graft:doc:"), col("doc_id")),
+      payload = col("text"))
+    val idx = spark.read.parquet(s"$path/_index")
+    assert(idx.count() == docs.count())
+    // extents are disjoint and sum to each segment's size
+    idx.groupBy("segment").agg(sum("length").as("tot"))
+      .collect().foreach { r =>
+        val f = new java.io.File(path, r.getString(0))
+        assert(f.length() == r.getLong(1), f.getName)
+      }
+    // point-read a scattered subset
+    val got = Warc.readIndexed(spark, path,
+        regexp_extract(col("target_uri"), "(\\d+)$", 1)
+          .cast("long") % 7 === 3)
+      .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+                .cast("long").as("doc_id"),
+              col("content").cast("string").as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = docs.where(col("doc_id") % 7 === 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.sameElements(want))
+    // the full indexed directory still reads as a normal WARC dir
+    assert(Warc.read(spark, path).count() == docs.count())
+  }
+
   test("multi-partition write produces one segment per non-empty partition") {
     val path = tmp("parts")
     Warc.write(docs.repartition(5), path,
