@@ -146,6 +146,23 @@ object PipelineQueries {
     (head +: steps).mkString(",\n") + s"\nSELECT id, rank FROM r$iters"
   }
 
+  /** Damage suffix for q_mojibake — every family of
+    * [[graft.text.TextOps.mojibakeTable]] appears (incl. the ÃY→ß
+    * control-char pair and the Â+nbsp space). */
+  private[queries] val MojibakePlant: String =
+    " CafÃ© â€” â€œnaÃ¯veâ€¦ 25Â° Ã©lÃ¨ve straÃe MÃ¼ller" +
+      " Â«Ã±Â» climÃ¡tico maÃ§Ã£?" // maçã keeps an unmapped Ã£ intact
+
+  /** The q_mojibake oracle: the identical replace fold, generated from
+    * the same table. */
+  private[queries] lazy val mojibakeOracle: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val folded = graft.text.TextOps.mojibakeTable.foldLeft(
+      s"text || ${q(MojibakePlant)}") { case (c, (bad, good)) =>
+        s"replace($c, ${q(bad)}, ${q(good)})" }
+    s"SELECT doc_id, $folded AS fixed FROM documents"
+  }
+
   /** q_connected_components / q_pig_cc oracle: the 16-chain edge
     * derivation has closed-form components (no CC replay needed). */
   private[queries] val ccOracle: String =
@@ -426,6 +443,13 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.DeflateLength(col("text"), 6).as("deflate_len"),
         TextOps.compressionRatio(col("text")).as("ratio"))),
+    // mojibake repair over deterministically damaged text (the corpus is
+    // ASCII, so the plant carries every table family: Ã-accents, â€-
+    // punctuation, Â-symbols, the ÃY->ß control pair)
+    "q_mojibake" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fixMojibake(concat(col("text"), lit(MojibakePlant)))
+          .as("fixed"))),
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2231,6 +2255,7 @@ object PipelineQueries {
       // doc_ids are contiguous 0..N-1 (verified at every SF), so chained
       // 16-blocks have the closed-form component label floor16(id)
       "q_connected_components" -> ccOracle,
+      "q_mojibake" -> mojibakeOracle,
       "q_dedup_best" ->
         """SELECT component, keep_id FROM (
              SELECT doc_id - doc_id % 16 AS component, doc_id AS keep_id,

@@ -171,6 +171,48 @@ object TextOps {
       regexp_replace(c, pat, rep)
     }
 
+  // --- mojibake repair -------------------------------------------------------
+  /** The common UTF-8-bytes-decoded-as-Latin-1/cp1252 damage patterns →
+    * their intended characters (the ftfy-style core table). Longest
+    * sequences sit first so the 3-char `â€x` family never loses its
+    * prefix to a 2-char rule. `private[graft]` so the DuckDB oracle
+    * folds the IDENTICAL literal replaces. */
+  private[graft] val mojibakeTable: Seq[(String, String)] = Seq(
+    "â€”" -> "—", // â€” → em dash
+    "â€“" -> "–", // â€“ → en dash
+    "â€™" -> "’", // â€™ → right single quote
+    "â€˜" -> "‘", // â€˜ → left single quote
+    "â€œ" -> "“", // â€œ → left double quote
+    "â€¦" -> "…", // â€¦ → ellipsis
+    "Ã©" -> "é", // Ã© → é
+    "Ã¨" -> "è", // Ã¨ → è
+    "Ã¯" -> "ï", // Ã¯ → ï
+    "Ã¼" -> "ü", // Ã¼ → ü
+    "Ã¶" -> "ö", // Ã¶ → ö
+    "Ã¤" -> "ä", // Ã¤ → ä
+    "Ã±" -> "ñ", // Ã± → ñ
+    "Ã§" -> "ç", // Ã§ → ç
+    "Ã¡" -> "á", // Ã¡ → á
+    "Ã³" -> "ó", // Ã³ → ó
+    "Ãº" -> "ú", // Ãº → ú
+    "Ã" -> "ß", // Ã + control → ß
+    "Â " -> " ",      // Â+nbsp → plain space
+    "Â°" -> "°", // Â° → °
+    "Â·" -> "·", // Â· → ·
+    "Â«" -> "«", // Â« → «
+    "Â»" -> "»") // Â» → »
+
+  /** Repair UTF-8-read-as-Latin-1 mojibake (the single most common
+    * encoding damage in web crawls) by literal table substitution —
+    * a pure `replace` fold: codegen'd, cross-engine replayable, and a
+    * no-op on clean text. Not a general transcoder (ftfy's full model
+    * needs chained-encoding inference); the table covers the dominant
+    * Western-European + smart-punctuation cases. */
+  def fixMojibake(text: Column): Column =
+    mojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
   // --- repetition / boilerplate detection -----------------------------------
   /** DEFLATE compression ratio (compressed bytes / raw bytes, raw ≥ 1):
     * templated or repetitive text scores low, prose lands mid-range,
