@@ -488,6 +488,25 @@ object PipelineQueries {
         .where(col("host") =!= "")
       graft.core.HeavyHitters.exact(hosts, col("host"), 10)
     }),
+    // -- the WET flow end-to-end: markup pages stored as a gzip WARC
+    //    archive, read back distributed, boilerplate-extracted — the
+    //    Common Crawl ingest shape in one query. The WARC leg is
+    //    byte-identity, so the q_html_extract oracle carries over. --------
+    "q_wet_pipeline" -> ((s, dir) => {
+      val out = "/root/repo/target/graft-data/wet_docs"
+      graft.sources.Warc.write(
+        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("page")),
+        out, uri = concat(lit("urn:graft:doc:"), col("doc_id")),
+        payload = col("page"), gzip = true)
+      graft.sources.Warc.read(s, out)
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content").cast("string").as("page"))
+        .select(col("doc_id"),
+          graft.text.Html.extractText(col("page")).as("clean"),
+          graft.text.Html.linkDensity(col("page")).as("link_density"))
+    }),
     // -- PageRank over a documents-derived link graph (3 deterministic
     //    out-edges per doc via modular mixing — real in-degree variance).
     //    Integer fixed-point: every rank reproduces bit-for-bit in the
@@ -2251,6 +2270,7 @@ object PipelineQueries {
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
            FROM documents""",
       "q_html_extract" -> htmlExtractOracle,
+      "q_wet_pipeline" -> htmlExtractOracle,
       "q_pagerank" -> pageRankOracle(5),
       // doc_ids are contiguous 0..N-1 (verified at every SF), so chained
       // 16-blocks have the closed-form component label floor16(id)
