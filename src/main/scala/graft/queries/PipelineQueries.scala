@@ -488,6 +488,23 @@ object PipelineQueries {
         .where(col("host") =!= "")
       graft.core.HeavyHitters.exact(hosts, col("host"), 10)
     }),
+    // -- UT1-style domain blocklist over the link table: broadcast
+    //    anti-join, corpus never shuffles -------------------------------
+    "q_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), plantedHtml.as("page"))
+      val hosts = pages
+        .select(col("doc_id"),
+          explode(graft.text.Html.links(col("page"))).as("href"))
+        .select(col("doc_id"),
+          graft.text.Html.urlHost(col("href")).as("host"))
+        .where(col("host") =!= "")
+      val blocklist = Seq("mirror0.example.org", "mirror3.example.org",
+        "spam.example.net").toDF("bad_host")
+      graft.text.Html.filterByHostBlocklist(hosts, col("host"),
+        blocklist, "bad_host")
+    }),
     // -- the WET flow end-to-end: markup pages stored as a gzip WARC
     //    archive, read back distributed, boilerplate-extracted — the
     //    Common Crawl ingest shape in one query. The WARC leg is
@@ -2271,6 +2288,17 @@ object PipelineQueries {
            FROM documents""",
       "q_html_extract" -> htmlExtractOracle,
       "q_wet_pipeline" -> htmlExtractOracle,
+      "q_url_filter" ->
+        s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents),
+           l AS (SELECT doc_id, unnest(regexp_extract_all(page,
+                 '(?is)<a\\b[^>]*?href\\s*=\\s*["'']([^"'']*)["'']', 1))
+                 AS href FROM h),
+           ho AS (SELECT doc_id, lower(regexp_extract(href,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host
+                 FROM l)
+           SELECT doc_id, host FROM ho WHERE host <> ''
+             AND host NOT IN ('mirror0.example.org',
+               'mirror3.example.org', 'spam.example.net')""",
       "q_pagerank" -> pageRankOracle(5),
       // doc_ids are contiguous 0..N-1 (verified at every SF), so chained
       // 16-blocks have the closed-form component label floor16(id)

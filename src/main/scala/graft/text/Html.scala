@@ -105,6 +105,19 @@ object Html {
         greatest(total.cast("double"), lit(1.0)))
   }
 
+  /** Drop rows whose `hostCol` sits on the blocklist — the UT1-style
+    * domain filter every crawl pipeline runs. Blocklists are small
+    * (≤ a few million hosts) against a corpus of billions: BROADCAST
+    * anti-join, so the corpus never shuffles. */
+  def filterByHostBlocklist(df: org.apache.spark.sql.DataFrame,
+                            hostCol: Column,
+                            blocked: org.apache.spark.sql.DataFrame,
+                            blockedCol: String): org.apache.spark.sql.DataFrame =
+    df.join(
+      broadcast(blocked.select(col(blockedCol).as("__blocked_host"))
+        .distinct()),
+      hostCol === col("__blocked_host"), "left_anti")
+
   /** Gate a corpus of raw markup into clean text: extract, drop pages
     * whose link density exceeds `maxLinkDensity` or whose extracted
     * text is shorter than `minChars`. Map-only; composes ahead of the

@@ -37,6 +37,19 @@ class LlmDialectSpec extends SparkSpec {
     assert(out(4L) == "an entirely different document about spark engines")
   }
 
+  test("FIX_MOJIBAKE and COMPRESSION_RATIO builtins work in a FOREACH") {
+    val d = Seq((1L, "CafÃ© â€” ok"), (2L, "aaaa aaaa aaaa aaaa aaaa"))
+      .toDF("id", "t")
+    val out = PigScript.query(spark,
+      """r = FOREACH d GENERATE id, FIX_MOJIBAKE(t) AS f,
+           COMPRESSION_RATIO(t) AS cr;""",
+      "r", tables = Map("d" -> d))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L)._1 == "Café — ok")
+    assert(out(2L)._2 < 1.0) // repetitive text compresses
+  }
+
   test("DEDUP USING exact keeps the min-id representative and null text") {
     val kept = PigScript.query(spark,
       "d = DEDUP docs BY doc_id, text USING exact;",

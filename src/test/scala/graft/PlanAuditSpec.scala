@@ -221,4 +221,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchema.contains("doc_id") && readSchema.contains("text")
       && !readSchema.contains("lang"), readSchema)
   }
+
+  test("q_mojibake / q_compression: narrow map-only passes, no Exchange") {
+    Seq("q_mojibake", "q_compression").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q: ${plan.take(1500)}")
+    }
+  }
+
+  test("q_url_filter: the blocklist applies as a BROADCAST anti-join — " +
+      "the corpus side never shuffles") {
+    val plan = SparkEntry.queries("q_url_filter")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
