@@ -70,6 +70,28 @@ object RelationalQueries {
             .cast("long").as("doc_id"),
           col("content").cast("string").as("text"))
     }),
+    // -- 'response'-type WARC records: payloads carry real HTTP/1.1
+    //    framing; the reader unfards status/headers/body back out. The
+    //    closed-form oracle holds because unframe(frame(x)) ≡ x and the
+    //    planted status/content-type are constants — any framing or
+    //    parsing defect breaks the hash. ---------------------------------
+    "q_warc_http" -> ((s, dir) => {
+      graft.sources.Warc.write(t(s, dir, "documents"),
+        s"$deriveDir/warc_http",
+        uri = concat(lit("http://docs.example.org/"), col("doc_id")),
+        payload = graft.sources.Warc.httpResponse(col("text"),
+          status = 200, contentType = "text/plain"),
+        warcType = "response",
+        contentType = "application/http; msgtype=response", gzip = true)
+      val recs = graft.sources.Warc.read(s, s"$deriveDir/warc_http")
+      recs.select(
+        regexp_extract(col("target_uri"), "(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        graft.sources.Warc.httpStatus(col("content")).as("status"),
+        graft.sources.Warc.httpHeader(col("content"), "Content-Type")
+          .as("ctype"),
+        graft.sources.Warc.httpBody(col("content")).as("text"))
+    }),
     // -- WARC segment sink + source (Common Crawl container format;
     //    gzip = one member per record). Write the documents table out as
     //    .warc.gz segments, read it back distributed, recover (id, text)
@@ -376,6 +398,9 @@ object RelationalQueries {
     "q_warc_roundtrip" -> "SELECT doc_id, text FROM documents",
     "q_warc_seek" ->
       "SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0",
+    "q_warc_http" ->
+      """SELECT doc_id, 200 AS status, 'text/plain' AS ctype, text
+         FROM documents""",
     "q_foreach" ->
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1 - l_discount) AS disc_price,

@@ -220,6 +220,42 @@ object Warc {
     WarcRecord(typ, rid, uri, date, ct, p)
   }
 
+  // ---- HTTP response framing (Common Crawl 'response' records) ------------
+  /** Wrap a payload as the HTTP/1.1 response block that lives inside a
+    * crawl's `response`-type records: status line + minimal headers +
+    * CRLFCRLF + body. Column-level so it composes straight into
+    * [[write]]/[[writeIndexed]] payloads. */
+  def httpResponse(body: Column, status: Int = 200,
+                   contentType: String = "text/html"): Column =
+    concat(
+      lit(s"HTTP/1.1 $status OK\r\nContent-Type: $contentType\r\n" +
+        "Content-Length: "),
+      octet_length(body).cast("string"), lit("\r\n\r\n"), body)
+
+  /** The body after the first blank line — the inverse of
+    * [[httpResponse]]; payloads without HTTP framing pass through
+    * whole. (Headers never contain a blank line, so a body carrying
+    * its own CRLFCRLF is safe.) */
+  def httpBody(payload: Column): Column = {
+    val s = payload.cast("string")
+    val at = instr(s, "\r\n\r\n")
+    when(s.startsWith("HTTP/") && at > 0,
+      s.substr(at + 4, length(s))).otherwise(s)
+  }
+
+  /** Status code of an HTTP-framed payload (null when unframed). */
+  def httpStatus(payload: Column): Column =
+    nullif(regexp_extract(payload.cast("string"),
+      "^HTTP/[0-9.]+ ([0-9]+)", 1), lit("")).cast("int")
+
+  /** A response header's value (first match, case-insensitive; null
+    * when absent). `name` must be a literal header token. */
+  def httpHeader(payload: Column, name: String): Column = {
+    require(name.matches("[A-Za-z0-9-]+"), s"bad header token: $name")
+    nullif(regexp_extract(payload.cast("string"),
+      s"(?im)^$name:\\s*([^\\r\\n]*)", 1), lit(""))
+  }
+
   // ---- offset index + record seek ------------------------------------------
 
   /** Like [[write]] but gzip-forced (member-per-record is what makes

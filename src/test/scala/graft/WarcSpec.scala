@@ -129,6 +129,35 @@ class WarcSpec extends SparkSpec {
     assert(Warc.read(spark, path).count() == docs.count())
   }
 
+  test("HTTP response framing round-trips; unframed payloads pass through") {
+    import spark.implicits._
+    val df = Seq("plain body", "body with\r\n\r\nits own blank line", "")
+      .toDF("b")
+    val framed = df.select(col("b"),
+      Warc.httpResponse(col("b"), 404, "application/json").as("p"))
+    val back = framed.select(col("b"),
+        Warc.httpBody(col("p")).as("body"),
+        Warc.httpStatus(col("p")).as("st"),
+        Warc.httpHeader(col("p"), "content-type").as("ct"),
+        Warc.httpHeader(col("p"), "X-Missing").as("missing"))
+      .collect()
+    back.foreach { r =>
+      assert(r.getString(1) == r.getString(0)) // body round-trips
+      assert(r.getInt(2) == 404)
+      assert(r.getString(3) == "application/json") // case-insensitive
+      assert(r.isNullAt(4))
+    }
+    // unframed: body passes through whole, status is null
+    val un = df.select(Warc.httpBody(col("b")).as("body"),
+        Warc.httpStatus(col("b")).as("st")).collect()
+    un.zip(Seq("plain body", "body with\r\n\r\nits own blank line", ""))
+      .foreach { case (r, want) =>
+        assert(r.getString(0) == want); assert(r.isNullAt(1)) }
+    intercept[IllegalArgumentException] {
+      Warc.httpHeader(col("b"), "bad token")
+    }
+  }
+
   test("multi-partition write produces one segment per non-empty partition") {
     val path = tmp("parts")
     Warc.write(docs.repartition(5), path,
