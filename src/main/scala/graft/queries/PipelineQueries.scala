@@ -163,6 +163,39 @@ object PipelineQueries {
     s"SELECT doc_id, $folded AS fixed FROM documents"
   }
 
+  /** q_script oracle — the same per-script strip counts (RE2 spells the
+    * property `\p{Latin}` where Java says `\p{IsLatin}` — same Script
+    * semantics) and the same priority-ordered dominance CASE chain,
+    * generated from TextOps.scriptNames. */
+  private[queries] lazy val scriptOracle: String = {
+    def cnt(src: String, sc: String) =
+      s"length(regexp_replace($src, '[^\\p{$sc}]', '', 'g'))"
+    val names = graft.text.TextOps.scriptNames
+    val maxAll = "greatest(" +
+      names.map(sc => cnt("sfx", sc)).mkString(", ") + ")"
+    val dom = "CASE " + names.map { sc =>
+      s"WHEN ${cnt("sfx", sc)} > 0 AND ${cnt("sfx", sc)} = $maxAll " +
+        s"THEN '${sc.toLowerCase}'"
+    }.mkString(" ") + " ELSE 'none' END"
+    s"""WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 1 THEN 'привет мир святой'
+                WHEN doc_id % 4 = 2 THEN 'γειά σου κόσμος'
+                WHEN doc_id % 4 = 3 THEN '你好世界汉字'
+                ELSE '' END AS sfx,
+           text || ' ' || CASE WHEN doc_id % 4 = 1 THEN 'привет мир святой'
+                WHEN doc_id % 4 = 2 THEN 'γειά σου κόσμος'
+                WHEN doc_id % 4 = 3 THEN '你好世界汉字'
+                ELSE '' END AS p
+         FROM documents)
+       SELECT doc_id,
+         ${cnt("p", "Latin")} AS latin_chars,
+         ${cnt("p", "Cyrillic")} AS cyrillic_chars,
+         ${cnt("p", "Greek")} AS greek_chars,
+         ${cnt("p", "Han")} AS han_chars,
+         $dom AS suffix_script
+       FROM d"""
+  }
+
   /** q_connected_components / q_pig_cc oracle: the 16-chain edge
     * derivation has closed-form components (no CC replay needed). */
   private[queries] val ccOracle: String =
@@ -443,6 +476,23 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.DeflateLength(col("text"), 6).as("deflate_len"),
         TextOps.compressionRatio(col("text")).as("ratio"))),
+    // script profiling: per-script char counts over text planted with a
+    // deterministic non-Latin suffix, plus the dominant script of that
+    // suffix (the corpus itself is ASCII → always latin-dominant)
+    "q_script" -> ((s, dir) => {
+      val suffix = when(col("doc_id") % 4 === 1,
+          lit("привет мир святой"))
+        .when(col("doc_id") % 4 === 2, lit("γειά σου κόσμος"))
+        .when(col("doc_id") % 4 === 3, lit("你好世界汉字"))
+        .otherwise(lit(""))
+      val planted = concat(col("text"), lit(" "), suffix)
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.scriptChars(planted, "Latin").as("latin_chars"),
+        TextOps.scriptChars(planted, "Cyrillic").as("cyrillic_chars"),
+        TextOps.scriptChars(planted, "Greek").as("greek_chars"),
+        TextOps.scriptChars(planted, "Han").as("han_chars"),
+        TextOps.dominantScript(suffix).as("suffix_script"))
+    }),
     // mojibake repair over deterministically damaged text (the corpus is
     // ASCII, so the plant carries every table family: Ã-accents, â€-
     // punctuation, Â-symbols, the ÃY->ß control pair)
@@ -2304,6 +2354,7 @@ object PipelineQueries {
       // 16-blocks have the closed-form component label floor16(id)
       "q_connected_components" -> ccOracle,
       "q_mojibake" -> mojibakeOracle,
+      "q_script" -> scriptOracle,
       "q_dedup_best" ->
         """SELECT component, keep_id FROM (
              SELECT doc_id - doc_id % 16 AS component, doc_id AS keep_id,

@@ -171,6 +171,31 @@ object TextOps {
       regexp_replace(c, pat, rep)
     }
 
+  // --- script detection ------------------------------------------------------
+  /** The Unicode scripts profiled, in DOMINANCE-TIE priority order.
+    * Java spells the property `\p{IsLatin}`, RE2/DuckDB `\p{Latin}` —
+    * same Script property, so counts agree cross-engine. */
+  private[graft] val scriptNames: Seq[String] =
+    Seq("Latin", "Cyrillic", "Greek", "Han", "Arabic", "Hebrew", "Hangul")
+
+  /** Per-script character count: chars OUTSIDE the script stripped,
+    * length of what remains. One codegen'd regexp pass per script. */
+  def scriptChars(text: Column, script: String): Column = {
+    require(scriptNames.contains(script), s"unknown script: $script")
+    length(regexp_replace(text, s"[^\\p{Is$script}]", ""))
+  }
+
+  /** Dominant script by count — a fixed `when` chain in `scriptNames`
+    * order, so ties resolve deterministically (and identically in the
+    * SQL replay's CASE chain). "none" when no profiled script appears. */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptNames.map(s => s -> scriptChars(text, s))
+    val maxAll = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("none")) { case ((name, c), tail) =>
+      when(c > 0 && c === maxAll, lit(name.toLowerCase)).otherwise(tail)
+    }
+  }
+
   // --- mojibake repair -------------------------------------------------------
   /** The common UTF-8-bytes-decoded-as-Latin-1/cp1252 damage patterns →
     * their intended characters (the ftfy-style core table). Longest
