@@ -188,6 +188,22 @@ object StreamQueries {
           col("endMicros").as("end_us"))
     }),
     // -- streaming dedup: distinct (user, type) keys off the stream ---------
+    // -- streaming WARC ingestion: segments land, records micro-batch in
+    //    (binaryFile file-stream → per-segment parse); the bounded
+    //    replay must reproduce the table the archive was written from --
+    "q_stream_warc" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_swarc").toString
+      graft.sources.Warc.write(s.read.parquet(s"$dir/documents.parquet"),
+        out, uri = concat(lit("urn:graft:doc:"), col("doc_id")),
+        payload = col("text"), gzip = true)
+      val recs = graft.sources.Warc.readStream(s, out)
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content").cast("string").as("text"))
+      runBounded(recs, "q_stream_warc_sink", OutputMode.Append())
+    }),
     // -- streaming corpus profile: the sketch regime's aggregates are
     //    mergeable, so the SAME Profile.sketch call runs as a Complete-
     //    mode global agg on the stream. Approximate -> rows-only gate
@@ -447,6 +463,7 @@ object StreamQueries {
     // the streamed token audit must reproduce the batch top-k exactly
     "q_stream_heavy" -> PipelineQueries.heavyOracle,
     "q_pig_stream_heavy" -> PipelineQueries.heavyOracle,
+    "q_stream_warc" -> "SELECT doc_id, text FROM documents",
     // the streamed corpus must reproduce the batch decontamination
     // report exactly — identical oracle
     "q_stream_decontaminate" -> PipelineQueries.decontaminateSql(n = 8),

@@ -156,8 +156,11 @@ object Warc {
 
   /** Lazy per-record iterator over one segment stream. */
   private[sources] def recordIterator(name: String,
-      pds: PortableDataStream): Iterator[WarcRecord] = {
-    val raw = pds.open()
+      pds: PortableDataStream): Iterator[WarcRecord] =
+    recordIterator(name, pds.open())
+
+  private[sources] def recordIterator(name: String,
+      raw: InputStream): Iterator[WarcRecord] = {
     val in: InputStream = new BufferedInputStream(
       if (name.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024) else raw,
       64 * 1024)
@@ -218,6 +221,35 @@ object Warc {
       off += n
     }
     WarcRecord(typ, rid, uri, date, ct, p)
+  }
+
+  // ---- streaming ingestion --------------------------------------------------
+
+  /** STREAMING WARC ingestion: each segment file that LANDS under `dir`
+    * becomes a micro-batch of parsed records — the shape of a live
+    * crawl feeding the curation pipeline incrementally (new `.warc.gz`
+    * uploads are discovered by the file-stream source; every downstream
+    * streaming operator — dedup, heavy hitters, profile, CEP —
+    * composes on top). Built on the `binaryFile` file-stream source, so
+    * a task holds ONE segment's bytes; size segments accordingly (the
+    * ~1 GB crawl convention). */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        recordIterator(name, new java.io.ByteArrayInputStream(bytes)) }
+      .toDF()
   }
 
   // ---- HTTP response framing (Common Crawl 'response' records) ------------

@@ -158,6 +158,29 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingestion: one segment per micro-batch reproduces the " +
+       "batch read") {
+    val path = tmp("stream")
+    Warc.write(docs.repartition(3), path,
+      uri = concat(lit("urn:graft:doc:"), col("doc_id")),
+      payload = col("text"), gzip = true)
+    val src = Warc.readStream(spark, path)
+    assert(src.isStreaming)
+    val q = src.writeStream.queryName("warc_stream_sink")
+      .outputMode("append").format("memory")
+      .option("maxFilesPerTrigger", 1)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("warc_stream_sink")
+      .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+        .cast("long").as("id"), col("content").cast("string").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(got.sameElements(want))
+  }
+
   test("multi-partition write produces one segment per non-empty partition") {
     val path = tmp("parts")
     Warc.write(docs.repartition(5), path,
