@@ -52,13 +52,25 @@ object Warc {
             date: Column = lit("2026-01-01T00:00:00Z"),
             warcType: String = "resource",
             contentType: String = "text/plain",
-            gzip: Boolean = false): Unit = {
+            gzip: Boolean = false,
+            codec: String = ""): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     // Configuration is not Serializable: ship the entries and rebuild on
     // executors (keeps object-store creds / FS bindings).
     val confEntries = serializeConf(hconf)
-    val ext = if (gzip) ".warc.gz" else ".warc"
+    // codec: "" defers to the gzip flag; "zstd" writes one zstd FRAME per
+    // record (zstd-jni ships with Spark) — the same record-seekable
+    // layout as the gzip member convention, ~3-5× faster to inflate
+    val effCodec =
+      if (codec.nonEmpty) codec else if (gzip) "gzip" else "none"
+    require(Seq("none", "gzip", "zstd").contains(effCodec),
+      s"Warc.write: unknown codec '$effCodec'")
+    val ext = effCodec match {
+      case "gzip" => ".warc.gz"
+      case "zstd" => ".warc.zst"
+      case _      => ".warc"
+    }
     val rows = df.select(uri.cast("string").as("u"),
                          payload.cast("binary").as("p"),
                          date.cast("string").as("d"))
@@ -83,11 +95,16 @@ object Warc {
           val p = if (r.isNullAt(1)) Array.emptyByteArray
                   else r.getAs[Array[Byte]](1)
           val d = r.getString(2)
-          if (gzip) {
-            // one finished gzip member per record
-            val gz = new GZIPOutputStream(nonClosing(out), 64 * 1024)
-            writeRecord(gz, wt, ct, u, d, p); gz.finish(); gz.close()
-          } else writeRecord(out, wt, ct, u, d, p)
+          effCodec match {
+            case "gzip" => // one finished gzip member per record
+              val gz = new GZIPOutputStream(nonClosing(out), 64 * 1024)
+              writeRecord(gz, wt, ct, u, d, p); gz.finish(); gz.close()
+            case "zstd" => // one zstd frame per record
+              val zs = new com.github.luben.zstd.ZstdOutputStream(
+                nonClosing(out))
+              writeRecord(zs, wt, ct, u, d, p); zs.close()
+            case _ => writeRecord(out, wt, ct, u, d, p)
+          }
         } finally out.close()
         // retry-idempotent publish: first successful attempt wins
         if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
@@ -145,7 +162,8 @@ object Warc {
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(st => st.isFile && {
           val n = st.getPath.getName
-          n.endsWith(".warc") || n.endsWith(".warc.gz")
+          n.endsWith(".warc") || n.endsWith(".warc.gz") ||
+            n.endsWith(".warc.zst")
         }).map(_.getPath.toString)
       else Array(path)
     if (segs.isEmpty) return spark.emptyDataset[WarcRecord].toDF()
@@ -161,9 +179,15 @@ object Warc {
 
   private[sources] def recordIterator(name: String,
       raw: InputStream): Iterator[WarcRecord] = {
-    val in: InputStream = new BufferedInputStream(
-      if (name.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024) else raw,
-      64 * 1024)
+    val decoded: InputStream =
+      if (name.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024)
+      else if (name.endsWith(".zst")) {
+        // continuous: read ACROSS the per-record frames as one stream
+        val z = new com.github.luben.zstd.ZstdInputStream(raw)
+        z.setContinuous(true)
+        z
+      } else raw
+    val in: InputStream = new BufferedInputStream(decoded, 64 * 1024)
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = null
       private var done = false

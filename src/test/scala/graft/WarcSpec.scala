@@ -43,6 +43,24 @@ class WarcSpec extends SparkSpec {
     roundtrip(gz = true)
   }
 
+  test("zstd (frame-per-record) WARC round-trips identically") {
+    val path = tmp("zst")
+    Warc.write(docs, path,
+      uri = concat(lit("urn:graft:doc:"), col("doc_id")),
+      payload = col("text"), codec = "zstd")
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".warc.zst"))
+    assert(files.nonEmpty)
+    val back = Warc.read(spark, path)
+      .select(regexp_extract(col("target_uri"), "(\\d+)$", 1)
+                .cast("long").as("doc_id"),
+              col("content").cast("string").as("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.sameElements(a))
+  }
+
   test("record ids are deterministic name-based UUIDs; headers survive") {
     val path = tmp("hdr")
     Warc.write(docs.limit(3), path,
