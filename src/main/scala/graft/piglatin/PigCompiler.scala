@@ -1588,7 +1588,12 @@ class PigCompiler(spark: SparkSession) {
       case "BinStorage" | "ParquetStorage" => spark.read.parquet(path)
       case "RDFFileStorage" => graft.rdf.Rdf.loadNTriplesRaw(spark, path)
       // WARC crawl segments (graft dialect): full record schema; project
-      // with FOREACH (payload is `content` binary)
+      // with FOREACH (payload is `content` binary). 'stream' makes the
+      // relation a live file-stream over landing segments — downstream
+      // statements already route by isStreaming (DEDUP/HEAVY_HITTERS/
+      // PROFILE/MATCH_EVENT)
+      case "WarcStorage" if args.exists(_.equalsIgnoreCase("stream")) =>
+        graft.sources.Warc.readStream(spark, path)
       case "WarcStorage" => graft.sources.Warc.read(spark, path)
       // reference jdbc.pig: LOAD 'table' USING JdbcStorage(driver, url)
       case "JdbcStorage" =>

@@ -50,6 +50,32 @@ class LlmDialectSpec extends SparkSpec {
     assert(out(2L)._2 < 1.0) // repetitive text compresses
   }
 
+  test("LOAD USING WarcStorage('stream') yields a streaming relation " +
+      "that composes with the streaming audit statements") {
+    val dir = new java.io.File("target/graft-test/warc-dialect-stream")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    if (dir.exists()) rm(dir)
+    graft.sources.Warc.write(docs.where(col("text").isNotNull),
+      dir.getAbsolutePath,
+      uri = concat(lit("u:"), col("doc_id")), payload = col("text"),
+      gzip = true)
+    val rel = PigScript.query(spark,
+      s"""w = LOAD '${dir.getAbsolutePath}' USING WarcStorage('stream');
+          t = FOREACH w GENERATE TOSTRING(content) AS doc;
+          h = HEAVY_HITTERS t BY doc TOP 3 USING exact;""",
+      "h")
+    assert(rel.isStreaming)
+    val q = rel.writeStream.queryName("warc_dialect_stream")
+      .outputMode("complete").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("warc_dialect_stream").count()
+    assert(got == 3)
+  }
+
   test("DEDUP USING exact keeps the min-id representative and null text") {
     val kept = PigScript.query(spark,
       "d = DEDUP docs BY doc_id, text USING exact;",

@@ -27,7 +27,12 @@ class ParserFuzzSpec extends AnyFunSuite with TimeLimits {
       "skip_till_next_match within 10 seconds;",
     "store d into 'out' using PigStorage(';');",
     "dump d mute;",
-    "split a into p if x > 0, q otherwise;")
+    "split a into p if x > 0, q otherwise;",
+    "r = pagerank e by src, dst iter 10;",
+    "c2 = connected_components e by id_a, id_b maxiter 12;",
+    "w = load 'seg' using WarcStorage();",
+    "h2 = heavy_hitters a by y top 5 using sketch(capacity=64);",
+    "p2 = profile a on x, y using sketch(rsd=0.05);")
 
   private def tryParse(s: String): Unit =
     try PigParser.parseScript(s)
