@@ -70,6 +70,20 @@ object RelationalQueries {
             .cast("long").as("doc_id"),
           col("content").cast("string").as("text"))
     }),
+    // -- tar.gz archive sink + source (the exchange format of code/
+    //    document corpora): one archive per partition out, one task per
+    //    archive back in, member ids recovered from entry paths --------
+    "q_tar_roundtrip" -> ((s, dir) => {
+      graft.sources.Archives.writeTar(t(s, dir, "documents"),
+        s"$deriveDir/tar_docs",
+        entry = concat(lit("corpus/doc-"), col("doc_id"), lit(".txt")),
+        payload = col("text"))
+      graft.sources.Archives.readTar(s, s"$deriveDir/tar_docs")
+        .select(
+          regexp_extract(col("entry"), "(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("content").cast("string").as("text"))
+    }),
     // -- 'response'-type WARC records: payloads carry real HTTP/1.1
     //    framing; the reader unfards status/headers/body back out. The
     //    closed-form oracle holds because unframe(frame(x)) ≡ x and the
@@ -398,6 +412,7 @@ object RelationalQueries {
     "q_warc_roundtrip" -> "SELECT doc_id, text FROM documents",
     "q_warc_seek" ->
       "SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0",
+    "q_tar_roundtrip" -> "SELECT doc_id, text FROM documents",
     "q_warc_http" ->
       """SELECT doc_id, 200 AS status, 'text/plain' AS ctype, text
          FROM documents""",
