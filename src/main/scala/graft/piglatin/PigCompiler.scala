@@ -468,6 +468,13 @@ class PigCompiler(spark: SparkSession) {
             "('uriField', 'payloadField' [, 'gzip'])")
           graft.sources.Warc.write(df, path, col(wargs(0)), col(wargs(1)),
             gzip = wargs.drop(2).exists(_.equalsIgnoreCase("gzip")))
+        // STORE rel INTO 'dir' USING TarStorage('entryField',
+        // 'payloadField') — one tar.gz per partition
+        case Some(("TarStorage", targs)) =>
+          require(targs.length >= 2, "TarStorage STORE needs " +
+            "('entryField', 'payloadField')")
+          graft.sources.Archives.writeTar(df, path,
+            col(targs(0)), col(targs(1)))
         case _ =>
           val (fmt, opts) = storeFormat(loader)
           df.write.mode("overwrite").options(opts).format(fmt).save(path)
@@ -1595,6 +1602,9 @@ class PigCompiler(spark: SparkSession) {
       case "WarcStorage" if args.exists(_.equalsIgnoreCase("stream")) =>
         graft.sources.Warc.readStream(spark, path)
       case "WarcStorage" => graft.sources.Warc.read(spark, path)
+      // tar/tgz/zip corpora (graft dialect): (archive, entry, size,
+      // content) rows, one task per archive
+      case "TarStorage" => graft.sources.Archives.readTar(spark, path)
       // reference jdbc.pig: LOAD 'table' USING JdbcStorage(driver, url)
       case "JdbcStorage" =>
         spark.read.format("jdbc")

@@ -109,6 +109,20 @@ object MiscQueries {
         "r", tables = Map("pages" ->
           t(s, dir, "documents").select(col("doc_id"),
             PipelineQueries.plantedHtml.as("page"))))),
+    // -- tar round-trip scripted end-to-end (STORE + LOAD USING
+    //    TarStorage) ------------------------------------------------------
+    "q_pig_tar" -> ((s, dir) =>
+      PigScript.query(s,
+        s"""STORE docs INTO '$deriveDir/pig_tar' USING
+              TarStorage('entry', 'text');
+            a = LOAD '$deriveDir/pig_tar' USING TarStorage();
+            r = FOREACH a GENERATE
+                  TOLONG(REPLACE(entry, '[^0-9]', '')) AS doc_id,
+                  TOSTRING(content) AS text;""",
+        "r", tables = Map("docs" ->
+          t(s, dir, "documents").select(
+            concat(lit("c/d-"), col("doc_id"), lit(".txt")).as("entry"),
+            col("text"))))),
     // -- PAGERANK from the dialect — same derived edge graph + oracle as
     //    q_pagerank -----------------------------------------------------------
     "q_pig_pagerank" -> ((s, dir) => {
@@ -307,6 +321,7 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pig_warc" -> "SELECT doc_id, text FROM documents",
+    "q_pig_tar" -> "SELECT doc_id, text FROM documents",
     "q_pig_pagerank" -> PipelineQueries.pageRankOracle(5),
     "q_pig_cc" -> PipelineQueries.ccOracle,
     "q_pig_html" -> PipelineQueries.htmlExtractOracle,
