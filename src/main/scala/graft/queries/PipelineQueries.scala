@@ -476,6 +476,12 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.DeflateLength(col("text"), 6).as("deflate_len"),
         TextOps.compressionRatio(col("text")).as("ratio"))),
+    // sentence stats: heuristic segmentation (RE2-safe pattern, replayed
+    // verbatim) + the degenerate-prose signals
+    "q_sentences" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.sentenceCount(col("text")).as("n_sentences"),
+        TextOps.meanSentenceChars(col("text")).as("mean_sentence_chars"))),
     // script profiling: per-script char counts over text planted with a
     // deterministic non-Latin suffix, plus the dominant script of that
     // suffix (the corpus itself is ASCII → always latin-dominant)
@@ -2355,6 +2361,17 @@ object PipelineQueries {
       "q_connected_components" -> ccOracle,
       "q_mojibake" -> mojibakeOracle,
       "q_script" -> scriptOracle,
+      "q_sentences" ->
+        """WITH sp AS (SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(text, '[^.!?]+[.!?]*'),
+               x -> trim(x)), x -> x <> '') AS s
+           FROM documents)
+           SELECT doc_id, len(s) AS n_sentences,
+             CAST(coalesce(list_sum(list_transform(s, x -> length(x))), 0)
+                  AS DOUBLE) /
+               CAST(greatest(len(s), 1) AS DOUBLE) AS mean_sentence_chars
+           FROM sp""",
       "q_dedup_best" ->
         """SELECT component, keep_id FROM (
              SELECT doc_id - doc_id % 16 AS component, doc_id AS keep_id,

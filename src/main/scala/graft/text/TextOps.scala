@@ -171,6 +171,29 @@ object TextOps {
       regexp_replace(c, pat, rep)
     }
 
+  // --- sentence statistics ----------------------------------------------------
+  /** Heuristic sentence segmentation: maximal runs of non-terminators
+    * plus their trailing `.!?` cluster, trimmed, empties dropped. The
+    * pattern deliberately avoids lookbehind (RE2 — and therefore the
+    * cross-engine oracle — has none). */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+
+  /** Per-document sentence count — with [[sentences]] mean length this
+    * is the classic "degenerate prose" gate (one-sentence walls of
+    * text, telegraphic fragment spam). */
+  def sentenceCount(text: Column): Column = size(sentences(text))
+
+  /** Mean sentence length in characters (0.0 for sentence-free docs). */
+  def meanSentenceChars(text: Column): Column = {
+    val s = sentences(text)
+    aggregate(transform(s, x => length(x)), lit(0), (a, x) => a + x)
+      .cast("double") / greatest(size(s), lit(1)).cast("double")
+  }
+
   // --- script detection ------------------------------------------------------
   /** The Unicode scripts profiled, in DOMINANCE-TIE priority order.
     * Java spells the property `\p{IsLatin}`, RE2/DuckDB `\p{Latin}` —
