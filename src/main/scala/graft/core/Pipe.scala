@@ -751,6 +751,27 @@ final case class Pipe(df: DataFrame) {
     if (format == "jdbc") w.save() else w.save(path)
   }
 
+  /** GLOBALLY-ORDERED shard export — the training-data delivery shape:
+    * curriculum-ordered (or doc-id-ordered) shards of bounded size that
+    * a trainer streams in sequence. `repartitionByRange` gives disjoint
+    * cross-shard key ranges WITHOUT a single-partition global sort;
+    * `sortWithinPartitions` orders inside each range; `maxRecordsPerFile`
+    * rolls files at the cap, and a task's rolled files are written in
+    * order — so concatenating shards by their minimum key replays the
+    * corpus fully sorted. Scales: the sort is per-partition, the only
+    * shuffle is the range exchange. */
+  def storeSorted(path: String, ordering: Seq[Column],
+                  maxRecordsPerFile: Long = 0L,
+                  format: String = "parquet"): Unit = {
+    require(ordering.nonEmpty, "storeSorted: no ordering columns")
+    val w = df.repartitionByRange(ordering: _*)
+      .sortWithinPartitions(ordering: _*)
+      .write.mode(SaveMode.Overwrite).format(format)
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).save(path)
+  }
+
   /** Bucketed STORE: pre-shuffles on the bucket keys at write time so every
     * later equi-join/aggregation between tables bucketed the same way runs
     * WITHOUT an exchange — the piglet-era "co-located join" that its RDD

@@ -70,6 +70,16 @@ object RelationalQueries {
             .cast("long").as("doc_id"),
           col("content").cast("string").as("text"))
     }),
+    // -- globally-ordered shard export (curriculum delivery): range-
+    //    partitioned + size-capped files whose concatenation by min key
+    //    is the fully sorted corpus; content round-trips hash-exact ------
+    "q_store_sorted" -> ((s, dir) => {
+      Pipe(t(s, dir, "documents"))
+        .storeSorted(s"$deriveDir/sorted_docs",
+          Seq(col("n_chars"), col("doc_id")), maxRecordsPerFile = 64)
+      Pipe.load(s, s"$deriveDir/sorted_docs")
+        .generate(col("doc_id"), col("n_chars")).df
+    }),
     // -- tar.gz archive sink + source (the exchange format of code/
     //    document corpora): one archive per partition out, one task per
     //    archive back in, member ids recovered from entry paths --------
@@ -413,6 +423,7 @@ object RelationalQueries {
     "q_warc_seek" ->
       "SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0",
     "q_tar_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "q_store_sorted" -> "SELECT doc_id, n_chars FROM documents",
     "q_warc_http" ->
       """SELECT doc_id, 200 AS status, 'text/plain' AS ctype, text
          FROM documents""",
