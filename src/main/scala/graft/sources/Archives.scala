@@ -102,6 +102,15 @@ object Archives {
       raw: java.io.InputStream): Iterator[ArchiveEntry] = {
     import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
     import org.apache.commons.compress.archivers.zip.ZipArchiveInputStream
+    // a downstream limit can abandon the iterator mid-archive: close the
+    // underlying stream at task end rather than leaking it (no-op off-task)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) {
+      tc.addTaskCompletionListener[Unit] { _ =>
+        try raw.close() catch { case _: java.io.IOException => () }
+      }
+      ()
+    }
     val base = new java.io.BufferedInputStream(raw, 64 * 1024)
     val ar: org.apache.commons.compress.archivers.ArchiveInputStream[
       _ <: org.apache.commons.compress.archivers.ArchiveEntry] =

@@ -177,8 +177,22 @@ object Warc {
       pds: PortableDataStream): Iterator[WarcRecord] =
     recordIterator(name, pds.open())
 
+  /** Close `c` when the running task completes — a downstream `limit`
+    * can abandon an iterator mid-stream, and without this the segment
+    * stream would leak until executor GC. No-op off-task (tests). */
+  private def closeOnTaskEnd(c: java.io.Closeable): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) {
+      tc.addTaskCompletionListener[Unit] { _ =>
+        try c.close() catch { case _: java.io.IOException => () }
+      }
+      ()
+    }
+  }
+
   private[sources] def recordIterator(name: String,
       raw: InputStream): Iterator[WarcRecord] = {
+    closeOnTaskEnd(raw)
     val decoded: InputStream =
       if (name.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024)
       else if (name.endsWith(".zst")) {
@@ -412,6 +426,7 @@ object Warc {
           if (seg != openSeg) {
             if (in != null) in.close()
             in = fs.open(new org.apache.hadoop.fs.Path(path, seg))
+            closeOnTaskEnd(in)
             openSeg = seg
           }
           in.seek(off)
