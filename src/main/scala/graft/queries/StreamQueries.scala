@@ -204,6 +204,22 @@ object StreamQueries {
           col("content").cast("string").as("text"))
       runBounded(recs, "q_stream_warc_sink", OutputMode.Append())
     }),
+    // -- streaming archive ingestion: landed tarballs micro-batch their
+    //    members in — the tar twin of q_stream_warc ----------------------
+    "q_stream_tar" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_star").toString
+      graft.sources.Archives.writeTar(
+        s.read.parquet(s"$dir/documents.parquet"), out,
+        entry = concat(lit("c/d-"), col("doc_id"), lit(".txt")),
+        payload = col("text"))
+      val recs = graft.sources.Archives.readTarStream(s, out)
+        .select(
+          regexp_extract(col("entry"), "(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("content").cast("string").as("text"))
+      runBounded(recs, "q_stream_tar_sink", OutputMode.Append())
+    }),
     // -- streaming corpus profile: the sketch regime's aggregates are
     //    mergeable, so the SAME Profile.sketch call runs as a Complete-
     //    mode global agg on the stream. Approximate -> rows-only gate
@@ -464,6 +480,7 @@ object StreamQueries {
     "q_stream_heavy" -> PipelineQueries.heavyOracle,
     "q_pig_stream_heavy" -> PipelineQueries.heavyOracle,
     "q_stream_warc" -> "SELECT doc_id, text FROM documents",
+    "q_stream_tar" -> "SELECT doc_id, text FROM documents",
     // the streamed corpus must reproduce the batch decontamination
     // report exactly — identical oracle
     "q_stream_decontaminate" -> PipelineQueries.decontaminateSql(n = 8),

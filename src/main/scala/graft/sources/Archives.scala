@@ -94,6 +94,29 @@ object Archives {
     ok.close()
   }
 
+  /** STREAMING archive ingestion: each archive that lands under `dir`
+    * becomes a micro-batch of members — the tarball twin of
+    * [[Warc.readStream]], same `binaryFile` file-stream mechanics. */
+  def readTarStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.{tar,tar.gz,tgz,zip}")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        entryIterator(name, new java.io.ByteArrayInputStream(bytes)) }
+      .toDF()
+  }
+
   private def suffixOk(n: String): Boolean =
     n.endsWith(".tar") || n.endsWith(".tar.gz") || n.endsWith(".tgz") ||
       n.endsWith(".zip")
