@@ -605,26 +605,66 @@ class PigCompiler(spark: SparkSession) {
 
     case Join(a, ins, joinType) =>
       val prefixed = ins.map { case (in, keys) =>
-        val df = relation(in)
+        val df0 = relation(in)
+        // a WINDOW'd streaming relation carries w_start: watermark it so
+        // the stream-stream join's per-window state is evictable (the
+        // window equality below then gives Spark a state-key watermark —
+        // delay 0 because the reference's DStream windows admit no late
+        // data; ref: codegen/flink/emitter/StreamJoinEmitter.scala)
+        val df = if (df0.isStreaming && df0.columns.contains("w_start"))
+          df0.withWatermark("w_start", "0 seconds") else df0
         val renamed = df.columns.foldLeft(df)((d, c) =>
           d.withColumnRenamed(c, s"$in::$c"))
         val keyCols = keys.map(k => compileExpr(renamed, k match {
           case FieldRef(p) => FieldRef(p); case x => x }))
-        (renamed, keyCols)
+        val wStart = if (renamed.columns.contains(s"$in::w_start"))
+          Some(renamed(s"$in::w_start")) else None
+        (renamed, keyCols, wStart)
       }
-      env(a) = Rel(() => prefixed.reduceLeft[(DataFrame, Seq[Column])] {
-        case ((l, lk), (r, rk)) =>
-          val cond = lk.zip(rk).map { case (x, y) => x === y }.reduce(_ && _)
-          (l.join(r, cond, joinType), rk)
-      }._1)
+      prefixed.find { case (df, _, w) => df.isStreaming && w.isEmpty }
+        .foreach { case (_, _, _) => sys.error(
+          "JOIN on streaming relations requires WINDOW'd inputs (the " +
+            "reference joins streams per tumbling window — apply " +
+            "`w = WINDOW rel RANGE n UNIT SLIDE RANGE n UNIT;` to " +
+            "each side first)") }
+      env(a) = Rel(() => prefixed
+        .reduceLeft[(DataFrame, Seq[Column], Option[Column])] {
+          case ((l, lk, lw), (r, rk, rw)) =>
+            val keyCond = lk.zip(rk).map { case (x, y) => x === y }
+            // both sides windowed → the reference's per-window join:
+            // rows pair only inside the SAME window instance
+            val cond = (keyCond ++ (for (x <- lw; y <- rw)
+              yield x === y)).reduce(_ && _)
+            (l.join(r, cond, joinType), rk, lw.orElse(rw))
+        }._1)
 
     // NOTE every statement resolves its input aliases EAGERLY (outside
     // the Rel thunk): Pig allows alias reassignment, so a lazy
     // relation(in) would rewire earlier-defined relations to the LATER
     // binding — and `a = DISTINCT a;` would recurse into itself
     case Cross(a, ins) =>
-      val dfs = ins.map(relation)
-      env(a) = Rel(() => dfs.reduceLeft(_.crossJoin(_)))
+      val dfs = ins.map(in => (in, relation(in)))
+      if (dfs.exists(_._2.isStreaming)) {
+        // streaming CROSS = the reference's per-window cross product
+        // (ref: it/windowCross.pig on the Flink streaming backend):
+        // WINDOW'd sides pair within the same window instance — an
+        // equi-join on w_start, which Structured Streaming CAN run
+        // (a true unbounded cross of streams is unexecutable anywhere)
+        val prefixed = dfs.map { case (in, df0) =>
+          require(df0.columns.contains("w_start"),
+            "CROSS on streaming relations requires WINDOW'd inputs " +
+              "(pairs form within a window, not across the unbounded " +
+              "streams)")
+          val df = df0.withWatermark("w_start", "0 seconds")
+          val renamed = df.columns.foldLeft(df)((d, c) =>
+            d.withColumnRenamed(c, s"$in::$c"))
+          (renamed, renamed(s"$in::w_start"))
+        }
+        env(a) = Rel(() => prefixed.reduceLeft[(DataFrame, Column)] {
+          case ((l, lw), (r, rw)) => (l.join(r, lw === rw), lw)
+        }._1)
+      } else
+        env(a) = Rel(() => dfs.map(_._2).reduceLeft(_.crossJoin(_)))
 
     case Union(a, ins, onSchema) =>
       // plain Pig UNION is POSITIONAL (same arity, the left relation's

@@ -187,6 +187,43 @@ object StreamQueries {
           col("startMicros").as("start_us"),
           col("endMicros").as("end_us"))
     }),
+    // -- stream-stream JOIN: the reference's tumbling-window join (ref
+    //    StreamJoinEmitter / it/windowJoin.pig) — views paired with same-
+    //    user purchases in the SAME 1h tumbling window. Both sides are
+    //    REAL streams (same replayed file source read twice); inner-join
+    //    rows emit as they match, so the bounded run is deterministic ----
+    "q_stream_join" -> ((s, dir) => {
+      val views = eventStream(s, dir).where(col("event_type") === "view")
+        .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+          col("event_id").as("view_id"))
+      val buys = eventStream(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+          col("event_id").as("purchase_id"))
+      val j = Streams.tumblingWindowJoin(views, buys, "l_ts", "r_ts",
+        keys = Seq(("l_user", "r_user")), windowDur = "1 hour",
+        watermarkDelay = "30 minutes")
+      runBounded(j, "q_stream_join_sink", OutputMode.Append())
+        .select(col("l_user").as("user_id"), col("view_id"),
+          col("purchase_id"),
+          unix_timestamp(col("window.start")).as("ws"))
+    }),
+    // -- the same join FROM the dialect: JOIN of two WINDOW'd streaming
+    //    relations routes to the watermarked tumbling-window join -------
+    "q_pig_stream_join" -> ((s, dir) => {
+      val j = graft.piglatin.PigScript.query(s,
+        """v = FILTER ev1 BY event_type == 'view';
+          |p = FILTER ev2 BY event_type == 'purchase';
+          |vw = WINDOW v RANGE 1 hours SLIDE RANGE 1 hours;
+          |pw = WINDOW p RANGE 1 hours SLIDE RANGE 1 hours;
+          |x = JOIN vw BY user_id, pw BY user_id;""".stripMargin,
+        "x", tables = Map("ev1" -> eventStream(s, dir),
+          "ev2" -> eventStream(s, dir)))
+      runBounded(j, "q_pig_stream_join_sink", OutputMode.Append())
+        .select(col("vw::user_id").as("user_id"),
+          col("vw::event_id").as("view_id"),
+          col("pw::event_id").as("purchase_id"),
+          unix_timestamp(col("vw::w_start")).as("ws"))
+    }),
     // -- streaming dedup: distinct (user, type) keys off the stream ---------
     // -- streaming WARC ingestion: segments land, records micro-batch in
     //    (binaryFile file-stream → per-segment parse); the bounded
@@ -476,6 +513,22 @@ object StreamQueries {
          SELECT user_id, start_us, end_us FROM cand WHERE rn = 1""",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // tumbling-window join: pairs iff same user AND same 1h window —
+    // the batch answer the bounded stream-stream join must reproduce
+    "q_stream_join" ->
+      """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+           CAST(floor(epoch(a.ts) / 3600) * 3600 AS BIGINT) AS ws
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND floor(epoch(a.ts) / 3600) = floor(epoch(b.ts) / 3600)
+         WHERE a.event_type = 'view' AND b.event_type = 'purchase'""",
+    "q_pig_stream_join" ->
+      """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+           CAST(floor(epoch(a.ts) / 3600) * 3600 AS BIGINT) AS ws
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND floor(epoch(a.ts) / 3600) = floor(epoch(b.ts) / 3600)
+         WHERE a.event_type = 'view' AND b.event_type = 'purchase'""",
     // the streamed token audit must reproduce the batch top-k exactly
     "q_stream_heavy" -> PipelineQueries.heavyOracle,
     "q_pig_stream_heavy" -> PipelineQueries.heavyOracle,

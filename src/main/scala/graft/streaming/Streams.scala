@@ -474,6 +474,41 @@ object Streams {
         r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions.expr(s"INTERVAL $maxGap"))
   }
 
+  /** Tumbling-window stream-stream equi-join — the reference's streaming
+    * JOIN semantics exactly (ref: codegen/flink/emitter/StreamJoinEmitter
+    * .scala:11 — `.window(TumblingTimeWindows.of(...))`, it/windowJoin.pig):
+    * rows pair iff their keys match AND they fall in the SAME tumbling
+    * window. Both sides are watermarked on their event-time column; the
+    * join condition carries both the window equality (the semantics) and
+    * an explicit event-time range bound (the handle Spark's state-eviction
+    * analysis uses), so per-side join state is bounded by
+    * delay + windowDur — at 1000 executors the state store holds one
+    * window generation per key, not the stream's history.
+    *
+    * Inputs must already be column-disambiguated (no shared names besides
+    * nothing — callers rename before joining, as with any self-join). */
+  def tumblingWindowJoin(left: DataFrame, right: DataFrame,
+                         leftTs: String, rightTs: String,
+                         keys: Seq[(String, String)],
+                         windowDur: String,
+                         watermarkDelay: String): DataFrame = {
+    // exactly ONE event-time column per side: the watermark goes on a
+    // scalar window-start projection (tagging the raw ts AND a derived
+    // window column trips Spark's one-event-time-column rule); equating
+    // the two watermarked columns gives the join its state-key watermark
+    val l = left
+      .withColumn("window", window(col(leftTs), windowDur))
+      .withColumn("__lws", col("window.start"))
+      .withWatermark("__lws", watermarkDelay)
+    val r = right
+      .withColumn("__rws", window(col(rightTs), windowDur)
+        .getField("start"))
+      .withWatermark("__rws", watermarkDelay)
+    val keyCond = keys.map { case (lk, rk) => l(lk) === r(rk) }
+    val cond = (keyCond :+ (l("__lws") === r("__rws"))).reduce(_ && _)
+    l.join(r, cond).drop("__lws", "__rws")
+  }
+
   // ---- streaming CEP (reference: op/Matcher.scala on DStreams) -------------
   /** 2-step SEQ pattern (A then B within `withinMicros`) on a stream,
     * via flatMapGroupsWithState: per-key open-starts state with

@@ -245,6 +245,87 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, "L1", "R-in"))) // 200s is outside the 10s gap
   }
 
+  test("tumblingWindowJoin pairs rows in the SAME tumbling window only, " +
+      "across micro-batches (reference StreamJoinEmitter semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val ri = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val joined = Streams.tumblingWindowJoin(
+      li.toDF().toDF("lts", "lk", "lv"), ri.toDF().toDF("rts", "rk", "rv"),
+      "lts", "rts", keys = Seq(("lk", "rk")),
+      windowDur = "10 seconds", watermarkDelay = "0 seconds")
+    val q = Streams.memorySink(joined.select("lk", "lv", "rv"), "twj",
+      OutputMode.Append())
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // window [10,20): L at 12 — right side arrives in a LATER batch;
+    // R at 19 shares the window, R at 21 is 2s away but a window over
+    li.addData((ts(12), 1L, "L1"))
+    ri.addData((ts(19), 1L, "R-same"))
+    q.processAllAvailable()
+    ri.addData((ts(21), 1L, "R-next"), (ts(14), 2L, "R-otherkey"))
+    q.processAllAvailable()
+    val rows = spark.table("twj").as[(Long, String, String)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, "L1", "R-same")))
+  }
+
+  test("dialect JOIN of WINDOW'd streams routes to the per-window join; " +
+      "un-windowed streaming JOIN fails fast") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val ri = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val l = li.toDF().toDF("ts", "k", "lv")
+    val r = ri.toDF().toDF("ts", "k", "rv")
+    val j = graft.piglatin.PigScript.query(spark,
+      """lw = WINDOW l RANGE 10 seconds SLIDE RANGE 10 seconds;
+        |rw = WINDOW r RANGE 10 seconds SLIDE RANGE 10 seconds;
+        |x = JOIN lw BY k, rw BY k;""".stripMargin,
+      "x", tables = Map("l" -> l, "r" -> r))
+    assert(j.isStreaming)
+    val q = Streams.memorySink(
+      j.select(col("lw::lv"), col("rw::rv")), "pig_twj",
+      OutputMode.Append())
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    li.addData((ts(12), 1L, "L1"))
+    ri.addData((ts(19), 1L, "R-same"), (ts(21), 1L, "R-next"))
+    q.processAllAvailable()
+    val rows = spark.table("pig_twj").as[(String, String)].collect().toSet
+    q.stop()
+    assert(rows == Set(("L1", "R-same")))
+    val err = intercept[RuntimeException] {
+      graft.piglatin.PigScript.query(spark,
+        "x = JOIN l BY k, r BY k;", "x",
+        tables = Map("l" -> l, "r" -> r))
+    }
+    assert(err.getMessage.contains("requires WINDOW'd inputs"))
+  }
+
+  test("dialect CROSS of WINDOW'd streams forms per-window pairs " +
+      "(reference windowCross.pig semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(java.sql.Timestamp, String)]
+    val ri = MemoryStream[(java.sql.Timestamp, String)]
+    val l = li.toDF().toDF("ts", "lv")
+    val r = ri.toDF().toDF("ts", "rv")
+    val x = graft.piglatin.PigScript.query(spark,
+      """lw = WINDOW l RANGE 10 seconds SLIDE RANGE 10 seconds;
+        |rw = WINDOW r RANGE 10 seconds SLIDE RANGE 10 seconds;
+        |x = CROSS lw, rw;""".stripMargin,
+      "x", tables = Map("l" -> l, "r" -> r))
+    assert(x.isStreaming)
+    val q = Streams.memorySink(
+      x.select(col("lw::lv"), col("rw::rv")), "pig_twc",
+      OutputMode.Append())
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    li.addData((ts(12), "L1"), (ts(13), "L2"))
+    ri.addData((ts(19), "R1"), (ts(21), "R-next"))
+    q.processAllAvailable()
+    val rows = spark.table("pig_twc").as[(String, String)].collect().toSet
+    q.stop()
+    // every same-window (L,R) pair, no key: L1/L2 x R1; R-next is [20,30)
+    assert(rows == Set(("L1", "R1"), ("L2", "R1")))
+  }
+
   test("windowApply runs an arbitrary relational subplan per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Long)]
