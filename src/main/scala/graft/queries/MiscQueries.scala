@@ -84,6 +84,13 @@ object MiscQueries {
       "n_nationkey", "urn:nation")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- edit-distance similarity join: deletion-neighborhood candidates
+    //    + levenshtein refine — record linkage over entity names (the
+    //    customer table's one-digit-apart names are the classic shape).
+    //    Exact recall (FastSS pigeonhole), never the n² cross product ----
+    "q_fuzzy_join" -> ((s, dir) =>
+      graft.text.EditDistance.fuzzySelfJoin(
+        t(s, dir, "customer"), "c_name", maxDist = 1)),
     // -- Pig Latin scripts end-to-end (#1–30 via the front-end) ---------------
     // -- WARC round-trip scripted end-to-end (STORE + LOAD USING
     //    WarcStorage; payload back out of the record's binary content) -----
@@ -320,6 +327,14 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the all-pairs replay the engine must NEVER run — candidate
+    // generation has exact recall, so the bucketed join reproduces it
+    "q_fuzzy_join" ->
+      """SELECT a.c_name AS a, b.c_name AS b,
+           levenshtein(a.c_name, b.c_name) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_name < b.c_name
+          AND levenshtein(a.c_name, b.c_name) = 1""",
     "q_pig_warc" -> "SELECT doc_id, text FROM documents",
     "q_pig_tar" -> "SELECT doc_id, text FROM documents",
     "q_pig_pagerank" -> PipelineQueries.pageRankOracle(5),

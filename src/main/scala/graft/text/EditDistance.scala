@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) similarity join — the record-linkage /
+  * typo-clustering operator a curation pipeline runs over entity names,
+  * URLs and OCR'd tokens. All-pairs Levenshtein is O(n²) and dies at any
+  * scale; this is the FastSS deletion-neighborhood scheme (Bocek et al.
+  * 2007, public): if ed(a,b) = k ≤ d, deleting from each side the ≤k
+  * characters its alignment substitutes/inserts/deletes leaves the SAME
+  * matched subsequence — so a and b share a member of their ≤d-deletion
+  * neighborhoods, and an equi-join on neighborhood variants has EXACT
+  * recall. Precision comes from a native `levenshtein` refine (codegen'd,
+  * threshold form, early-abandon) on the candidate pairs only.
+  *
+  * Scale shape: each row explodes into O(len^d) variants, the candidate
+  * join is a hash equi-join on a 64-bit variant hash (shuffles longs, not
+  * variant strings), and the refine touches candidate pairs only — never
+  * the n² cross product. At 100 TB the variant join buckets like any
+  * other key join; nothing is driver-side.
+  */
+object EditDistance {
+
+  /** Deletion-neighborhood of `c` up to radius `d` (the string itself,
+    * plus every string reachable by deleting ≤ d characters), as a
+    * deduplicated array column built from codegen-friendly HOFs. */
+  def deletionVariants(c: Column, d: Int): Column = {
+    require(d >= 1 && d <= 2,
+      s"edit-distance join supports maxDist 1 or 2 (got $d) — the " +
+        "variant blowup is len^d per row; beyond 2 use a different " +
+        "filter (n-gram or sketch) first")
+    def delOne(s: Column): Column =
+      transform(sequence(lit(1), length(s)),
+        i => concat(substring(s, lit(1), i - 1),
+          substring(s, i + 1, length(s))))
+    val d1 = array_distinct(concat(array(c), delOne(c)))
+    if (d == 1) d1
+    else array_distinct(flatten(transform(d1,
+      s => concat(array(s), delOne(s)))))
+  }
+
+  /** Similarity join: pairs (l, r) with levenshtein ≤ maxDist. Output
+    * columns `a`, `b`, `dist`, one row per pair. `selfPairs` keeps only
+    * a < b (the self-join convention: unordered distinct pairs, no
+    * identity rows). */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                lCol: String, rCol: String, maxDist: Int,
+                selfPairs: Boolean = false): DataFrame = {
+    val lv = left.select(col(lCol).as("a")).where(col("a").isNotNull)
+      .distinct()
+      .select(col("a"),
+        explode(deletionVariants(col("a"), maxDist)).as("__v"))
+      .select(col("a"), xxhash64(col("__v")).as("__vh"))
+    val rv = right.select(col(rCol).as("b")).where(col("b").isNotNull)
+      .distinct()
+      .select(col("b"),
+        explode(deletionVariants(col("b"), maxDist)).as("__v"))
+      .select(col("b"), xxhash64(col("__v")).as("__vh"))
+    val ordered = if (selfPairs) lv("a") < rv("b") else lit(true)
+    lv.join(rv, lv("__vh") === rv("__vh") && ordered)
+      .select(col("a"), col("b")).distinct()
+      // threshold form early-abandons rows whose distance exceeds
+      // maxDist (returns -1) — the refine is len·maxDist per pair, not
+      // len² ; length gap > maxDist can't be within distance, skip free
+      .where(abs(length(col("a")) - length(col("b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("a"), col("b"), maxDist))
+      .where(col("dist") >= 0 && (if (selfPairs) col("dist") >= 1
+        else lit(true)))
+  }
+
+  /** Unordered distinct near-pairs within one relation's column. */
+  def fuzzySelfJoin(df: DataFrame, c: String, maxDist: Int): DataFrame =
+    fuzzyJoin(df, df, c, c, maxDist, selfPairs = true)
+}
