@@ -225,6 +225,7 @@ class PigCompiler(spark: SparkSession) {
       case "EXTRACT_TEXT" => graft.text.Html.extractText(a0)
       case "COMPRESSION_RATIO" => graft.text.TextOps.compressionRatio(a0)
       case "FIX_MOJIBAKE" => graft.text.TextOps.fixMojibake(a0)
+      case "CANONICAL_URL" => graft.text.Url.canonicalizeUrl(a0)
       case "HTML_LINKS" => graft.text.Html.links(a0)
       case "LINK_DENSITY" => graft.text.Html.linkDensity(a0)
       case "STRSPLIT" => split(a0, args(1).asInstanceOf[Lit].v.toString)

@@ -99,6 +99,46 @@ object PipelineQueries {
     "'>', '&gt;'), '</p></article><footer>&copy; 2026 Graft &amp; Co" +
     "</footer></body></html>')"
 
+  // ---- planted messy URLs (q_url_canon) -------------------------------------
+  /** Deterministic messy URL per doc, cycling through the rule classes
+    * [[graft.text.Url.canonicalizeUrl]] must handle: mixed-case scheme/
+    * host, default + non-default ports, fragments, tracker params in
+    * every position, scheme-less passthrough, empty paths. Variant (id,
+    * SQL twin) pairs are ONE list so engine and oracle cannot drift. */
+  private val urlVariants: Seq[(org.apache.spark.sql.Column, String)] = Seq(
+    (concat(lit("HTTP://Example.COM:80/path/Page?id="), col("doc_id"),
+      lit("&utm_source=x&utm_medium=y#frag")),
+      "'HTTP://Example.COM:80/path/Page?id=' || doc_id || " +
+        "'&utm_source=x&utm_medium=y#frag'"),
+    (concat(lit("https://WWW.Example.org:443/?gclid=abc&q="), col("doc_id")),
+      "'https://WWW.Example.org:443/?gclid=abc&q=' || doc_id"),
+    (concat(lit("http://example.net/a/b/"), col("doc_id")),
+      "'http://example.net/a/b/' || doc_id"),
+    (concat(lit("https://sub.Example.com/p?a="), col("doc_id"),
+      lit("&fbclid=zz&b=2")),
+      "'https://sub.Example.com/p?a=' || doc_id || '&fbclid=zz&b=2'"),
+    (concat(lit("http://example.com:8080/Keep:Port?x="), col("doc_id")),
+      "'http://example.com:8080/Keep:Port?x=' || doc_id"),
+    (concat(lit("  example.com/no-scheme?utm_campaign=c&i="),
+      col("doc_id"), lit("  ")),
+      "'  example.com/no-scheme?utm_campaign=c&i=' || doc_id || '  '"),
+    (lit("http://Example.com#only-frag"),
+      "'http://Example.com#only-frag'"),
+    (concat(lit("https://example.com/p?utm_source=a&utm_term="),
+      col("doc_id"), lit("&utm_content=c")),
+      "'https://example.com/p?utm_source=a&utm_term=' || doc_id || " +
+        "'&utm_content=c'"))
+
+  private[queries] def plantedUrl: org.apache.spark.sql.Column =
+    urlVariants.zipWithIndex.foldLeft(
+        org.apache.spark.sql.functions.when(lit(false), lit(""))) {
+      case (acc, ((c, _), i)) => acc.when(col("doc_id") % 8 === i, c)
+    }.otherwise(lit(""))
+
+  private def urlPlantSql: String =
+    "(CASE " + urlVariants.zipWithIndex.map { case ((_, sql), i) =>
+      s"WHEN doc_id % 8 = $i THEN $sql" }.mkString(" ") + " ELSE '' END)"
+
   /** DuckDB replay of [[graft.text.Html.extractText]], generated from
     * the same dropBlocks/blockTags/namedEntities constants. */
   private def htmlExtractSql(src: String): String = {
@@ -544,6 +584,12 @@ object PipelineQueries {
         .where(col("host") =!= "")
       graft.core.HeavyHitters.exact(hosts, col("host"), 10)
     }),
+    // -- URL canonicalization: the key-normalize step before URL dedup /
+    //    frontier merge — one codegen'd expression, map-only ---------------
+    "q_url_canon" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), plantedUrl.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.text.Url.canonicalizeUrl(col("url")).as("canon"))),
     // -- UT1-style domain blocklist over the link table: broadcast
     //    anti-join, corpus never shuffles -------------------------------
     "q_url_filter" -> ((s, dir) => {
@@ -2344,6 +2390,11 @@ object PipelineQueries {
            FROM documents""",
       "q_html_extract" -> htmlExtractOracle,
       "q_wet_pipeline" -> htmlExtractOracle,
+      "q_url_canon" ->
+        s"""WITH u AS (SELECT doc_id, $urlPlantSql AS url FROM documents)
+           SELECT doc_id, url,
+             ${graft.text.Url.canonicalizeUrlSql("url")} AS canon
+           FROM u""",
       "q_url_filter" ->
         s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents),
            l AS (SELECT doc_id, unnest(regexp_extract_all(page,
