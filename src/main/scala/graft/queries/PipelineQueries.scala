@@ -723,6 +723,14 @@ object PipelineQueries {
           Map("en" -> 40), defaultPercent = 80, col("doc_id"))
         .generate(col("doc_id"), col("lang")).df
     }),
+    "q_embed_project" -> ((s, dir) =>
+      // JL random projection 64→16 dims, unnested per position so the
+      // oracle hash-compares every coordinate (identical sign literals
+      // + identical left-fold IEEE order on both sides)
+      t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(graft.sim.RandomProjection.project(
+          col("embedding"), d = 64, k = 16)))
+        .toDF("vec_id", "pos", "value")),
     "q_embed_quantize" -> ((s, dir) => {
       // int8 scalar quantization, unnested per position so the oracle
       // hash-compares codes AND the (vmin, vscale) doubles — identical
@@ -2914,6 +2922,11 @@ object PipelineQueries {
       // (vmax-vmin)/255.0, then floor((x-vmin)/vscale) clamped — floor
       // output is integral so DuckDB's rounding int-cast equals Spark's
       // truncating one
+      "q_embed_project" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+           ${graft.sim.RandomProjection.projectSql("v", d = 64, k = 16)}
+           SELECT vec_id, pos, value FROM p""",
       "q_embed_quantize" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
