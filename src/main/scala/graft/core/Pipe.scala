@@ -84,6 +84,21 @@ final case class Pipe(df: DataFrame) {
     Pipe(df.where(Pipe.hashBucket(keys) < pct))
   }
 
+  /** Exact-quota sampling: at most `k` rows per group, chosen by the
+    * deterministic md5 hash order over `keys` — the "cap every domain at
+    * N documents / balance languages by count" curation idiom where a
+    * RATE cannot express the bound (a 1M-doc host and a 200-doc host
+    * both cap at k). Same key encoding as [[sampleByHash]], so the
+    * chosen rows reproduce across engines, retries and repartitionings,
+    * and stay STABLE under corpus growth (a kept row is only ever
+    * displaced by a new row hashing ahead of it, never by reshuffling).
+    * Rides the partial top-k operator: map-side bounded heaps prune to
+    * ≤ k rows per group per partition BEFORE the exchange — at 100 TB
+    * the shuffle carries ≤ k·partitions rows per group, not the group. */
+  def quotaSampleByHash(group: Column, k: Int, keys: Column*): Pipe =
+    topPerGroupPartial(k, Seq(group),
+      Seq(Pipe.hashOrderKey(keys).asc, Pipe.hashKeyEncoding(keys).asc))
+
   /** Mixture sampling toward a TARGET composition (the pre-training
     * data-mixing idiom: "the output should be 50% en / 25% de / 25% fr"
     * regardless of what the corpus composition is). Per-stratum
@@ -849,14 +864,24 @@ object Pipe {
     * composite keys containing ordinary text cannot alias each other.
     * Replicate the same encoding in any cross-engine oracle (see
     * q_sample / q_stratified_sample SQL). */
-  private[graft] def hashBucket(keys: Seq[Column]): Column = {
-    val encoded = keys.map(k => coalesce(
-      k.cast(org.apache.spark.sql.types.StringType), lit("\u001E")))
+  private[graft] def hashBucket(keys: Seq[Column]): Column =
     conv(substring(md5(
-      concat_ws("\u001F", encoded: _*)
+      hashKeyEncoding(keys)
         .cast(org.apache.spark.sql.types.BinaryType)),
       1, 8), 16, 10).cast(org.apache.spark.sql.types.LongType) % 100
-  }
+
+  /** The shared null-sentinel / unit-separator key encoding behind
+    * hashBucket and hashOrderKey. */
+  private[graft] def hashKeyEncoding(keys: Seq[Column]): Column =
+    concat_ws("\u001F", keys.map(k => coalesce(
+      k.cast(org.apache.spark.sql.types.StringType), lit("\u001E"))): _*)
+
+  /** Full-width deterministic order key: the md5 hex string of the
+    * encoded keys (lowercase hex in Spark AND DuckDB, so lexicographic
+    * order reproduces cross-engine — see q_quota_sample's SQL). */
+  private[graft] def hashOrderKey(keys: Seq[Column]): Column =
+    md5(hashKeyEncoding(keys)
+      .cast(org.apache.spark.sql.types.BinaryType))
 
   /** LOAD — reference: op/Load.scala; formats per sparklib Storage.scala
     * (PigStorage=csv, TextLoader=text, JsonStorage=json, BinStorage→parquet,

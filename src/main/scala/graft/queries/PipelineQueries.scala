@@ -470,6 +470,15 @@ object PipelineQueries {
           // contract would diverge on null-text inputs
           coalesce(graft.text.Bpe.tokenCount(col("text"), bpeMergesFor(s, dir)),
             lit(0L)).as("n_bpe"))),
+    // BPE round-trip: decode(encode(text)) must reproduce the whitespace-
+    // normalized text byte-for-byte — the detokenize guarantee; the
+    // oracle computes the normalization WITHOUT touching token space
+    "q_bpe_roundtrip" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.text.Bpe.decode(graft.text.Bpe.encode(col("text"),
+            bpeMergesFor(s, dir))).as("rt"))),
     // Gopher rule filter (Rae et al. 2021 A1.1): per-rule measurements +
     // keep conjunction, one narrow codegen pass, every double a single
     // integer divide — replayed bit-exactly by the oracle. The corpus
@@ -2343,6 +2352,12 @@ object PipelineQueries {
            FROM q""",
       // Gopher rules: toks/lines CTE once, each ratio a single integer
       // divide (bit-exact), keep the same literal-threshold conjunction
+      // whitespace-normalize without token space: the round-trip's truth
+      "q_bpe_roundtrip" ->
+        """SELECT doc_id,
+             array_to_string(list_filter(
+               string_split_regex(text, '\s+'), x -> x <> ''), ' ') AS rt
+           FROM documents WHERE text IS NOT NULL""",
       "q_gopher_rules" -> {
         val gopherList =
           TextOps.gopherStops.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -275,6 +275,13 @@ object RelationalQueries {
           Map("1-URGENT" -> 50, "2-HIGH" -> 20), defaultPercent = 5,
           col("o_orderkey"))
         .generate(col("o_orderkey"), col("o_orderpriority")).df),
+    // exact-quota sampling: at most k rows PER GROUP by deterministic
+    // hash order — the per-domain/per-language cap a rate can't express.
+    // Rides the partial top-k operator (map-side bounded heaps).
+    "q_quota_sample" -> ((s, dir) =>
+      Pipe(t(s, dir, "documents"))
+        .quotaSampleByHash(col("lang"), 50, col("doc_id"))
+        .generate(col("doc_id"), col("lang")).df),
     // -- SPLIT INTO (#19) ------------------------------------------------------------------------------
     "q_split" -> ((s, dir) => {
       val branches = Pipe(t(s, dir, "orders")).splitInto(
@@ -416,6 +423,13 @@ object RelationalQueries {
          WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 100
            < CASE WHEN o_orderpriority = '1-URGENT' THEN 50
                   WHEN o_orderpriority = '2-HIGH' THEN 20 ELSE 5 END""",
+    // quota sampler: row_number over the SAME md5 order (lowercase hex
+    // both engines, so lexicographic order agrees) capped at k
+    "q_quota_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
+           FROM documents) t WHERE rn <= 50""",
     "q_load_csv" -> "SELECT r_regionkey, r_name FROM region",
     "q_load_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_store_roundtrip" -> "SELECT s_suppkey, s_name, s_acctbal FROM supplier",

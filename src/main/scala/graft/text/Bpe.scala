@@ -127,6 +127,18 @@ object Bpe {
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(encode(text, merges)).cast("long")
 
+  /** Inverse of [[encode]]: every token stream concatenates back to the
+    * original words because merges only ever concatenate adjacent
+    * symbols — the `</w>` terminal marker (one per input word, possibly
+    * merged into its last token) maps back to the single-space join.
+    * `decode(encode(t))` therefore equals t's whitespace-normalized form
+    * exactly — the detokenize guarantee a training pipeline needs before
+    * it can round-trip corpora through token space. Precondition: the
+    * text itself does not contain the literal marker (no natural corpus
+    * does; encode would conflate it with a word boundary anyway). */
+  def decode(tokens: Column): Column =
+    rtrim(replace(array_join(tokens, ""), lit("</w>"), lit(" ")))
+
   /** Deterministic token→id table: id 0 is reserved for `<unk>`
     * (char-level BPE has OOV at apply time — any codepoint absent from
     * the training sample; byte-level BPE would close that hole at the

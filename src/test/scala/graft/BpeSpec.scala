@@ -80,6 +80,21 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("decode inverts encode to the whitespace-normalized text, " +
+      "including hostile spacing and multi-line input") {
+    val texts = Seq("quick brown fox", "  leading and   runs\t of\nmix ",
+      "single", "", "   ", "a𝔘b c")
+    val rows = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+    val got = rows.select(col("id"),
+        Bpe.decode(Bpe.encode(col("text"), merges)).as("rt"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = t.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(got(i) == want, s"text '$t'")
+    }
+  }
+
   test("astral-plane codepoints stay whole symbols") {
     val w = "a𝔘b" // a 𝔘 b
     val toks = spark.range(1)

@@ -286,6 +286,34 @@ class PipeSpec extends SparkSpec {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("quota sample caps every group at k, deterministically across " +
+      "partitionings, and stays stable under corpus growth") {
+    val df = (1 to 900).map(i =>
+      (i.toLong, Seq("tiny", "mid", "big")(i % 10 min 2))).toDF("id", "grp")
+    // big ≈ 720 rows, mid ≈ 90, tiny = 90 — cap at 100: big truncates to
+    // exactly 100, the others keep everything
+    val out = Pipe(df).quotaSampleByHash(col("grp"), 100, col("id")).df
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp("big") == 100L)
+    assert(byGrp.filter(_._1 != "big").values.forall(_ <= 100L))
+    assert(out.count() == byGrp.values.sum)
+    val ids = out.select("id").as[Long].collect().toSet
+    // identical choice on a hostile partitioning
+    val again = Pipe(df.repartition(17)).quotaSampleByHash(
+      col("grp"), 100, col("id")).df.select("id").as[Long].collect().toSet
+    assert(again == ids)
+    // growth stability: adding rows never RESELECTS the survivors — a
+    // previously kept row only leaves if a new row hashes ahead of it,
+    // so the grown selection's top-k prefix is a subset relation, not a
+    // reshuffle. Verify: kept rows of the grown corpus that existed
+    // before are exactly the old survivors minus displaced ones.
+    val grown = df.union((901 to 1000).map(i =>
+      (i.toLong, "big")).toDF("id", "grp"))
+    val keptOld = Pipe(grown).quotaSampleByHash(col("grp"), 100, col("id"))
+      .df.select("id").as[Long].collect().toSet.filter(_ <= 900L)
+    assert(keptOld.subsetOf(ids))
+  }
+
   test("skyline keeps exactly the Pareto-optimal set, any partitioning") {
     // (1,5)..(5,1) form the Pareto front; the rest are dominated
     val rows = Seq((1, 1.0, 5.0), (2, 2.0, 4.0), (3, 3.0, 3.0),
