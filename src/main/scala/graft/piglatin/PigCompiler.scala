@@ -226,6 +226,19 @@ class PigCompiler(spark: SparkSession) {
       case "COMPRESSION_RATIO" => graft.text.TextOps.compressionRatio(a0)
       case "FIX_MOJIBAKE" => graft.text.TextOps.fixMojibake(a0)
       case "CANONICAL_URL" => graft.text.Url.canonicalizeUrl(a0)
+      // multi-pattern literal scan: MATCH_ANY(col, 'p1', 'p2', ...) /
+      // MATCH_COUNT(col, 'p1', ...) — one Aho–Corasick pass per row
+      case "MATCH_ANY" => graft.text.MultiMatch.matchAny(a0,
+        args.tail.map(_.asInstanceOf[Lit].v.toString))
+      case "MATCH_COUNT" => graft.text.MultiMatch.matchCount(a0,
+        args.tail.map(_.asInstanceOf[Lit].v.toString))
+      // content-defined chunking: CDC_CHUNKS(col[, min, maskBits, max])
+      case "CDC_CHUNKS" =>
+        if (args.length == 1) graft.dedup.Cdc.chunks(a0)
+        else graft.dedup.Cdc.chunks(a0,
+          args(1).asInstanceOf[Lit].v.toString.toInt,
+          args(2).asInstanceOf[Lit].v.toString.toInt,
+          args(3).asInstanceOf[Lit].v.toString.toInt)
       case "HTML_LINKS" => graft.text.Html.links(a0)
       case "LINK_DENSITY" => graft.text.Html.linkDensity(a0)
       case "STRSPLIT" => split(a0, args(1).asInstanceOf[Lit].v.toString)

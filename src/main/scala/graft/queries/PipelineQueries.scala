@@ -99,6 +99,18 @@ object PipelineQueries {
     "'>', '&gt;'), '</p></article><footer>&copy; 2026 Graft &amp; Co" +
     "</footer></body></html>')"
 
+  // ---- multi-pattern scan patterns (q_contains_any) ------------------------
+  /** Literal pattern set for the Aho–Corasick scan, chosen to exercise
+    * every automaton feature against the documents vocabulary: nested
+    * patterns ("hash join" ⊃ "join"), patterns sharing borders ("scan
+    * slow" / "slow"), a pattern that is a proper substring of another's
+    * interior ("ash jo"), and one guaranteed absent ("spark sql xyz").
+    * ONE constant shared by engine and oracle — declaration order is the
+    * output order on both sides. */
+  private val scanPatterns: Seq[String] = Seq(
+    "hash join", "join", "ash jo", "scan slow", "slow", "merge sort",
+    "table value", "value", "spark sql xyz")
+
   // ---- planted messy URLs (q_url_canon) -------------------------------------
   /** Deterministic messy URL per doc, cycling through the rule classes
     * [[graft.text.Url.canonicalizeUrl]] must handle: mixed-case scheme/
@@ -599,6 +611,33 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"), plantedUrl.as("url"))
         .select(col("doc_id"), col("url"),
           graft.text.Url.canonicalizeUrl(col("url")).as("canon"))),
+    // -- multi-pattern literal scan: ONE Aho–Corasick pass over each doc
+    //    for the whole pattern set (blocklist / contamination screening);
+    //    the naive shape re-scans the corpus once per pattern ------------
+    //    (matched list rendered as a '|'-joined string: the gate's
+    //    pandas compare can't sort raw array columns)
+    "q_contains_any" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.MultiMatch.matchAny(col("text"), scanPatterns)
+          .as("m"))
+        .select(col("doc_id"), array_join(col("m"), "|").as("matched"),
+          size(col("m")).cast("long").as("n_matched"))),
+    // -- content-defined chunking round-trip: docs → gear-hash chunk
+    //    table → ordered reassembly. The oracle is the ORIGINAL table
+    //    (losslessness is the checkable contract; boundary placement,
+    //    size bounds and shift-resistance are CdcSpec properties — the
+    //    q_bpe_roundtrip posture). Chunk params sized so sf docs split
+    //    into several chunks each. ---------------------------------------
+    "q_cdc_roundtrip" -> ((s, dir) => {
+      val ct = graft.dedup.Cdc.chunkTable(t(s, dir, "documents"),
+        col("doc_id"), col("text"), minSize = 16, maskBits = 6,
+        maxSize = 256)
+      ct.groupBy(col("id"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk"))).as("text"))
+        .select(col("id").as("doc_id"), col("text"))
+    }),
     // -- UT1-style domain blocklist over the link table: broadcast
     //    anti-join, corpus never shuffles -------------------------------
     "q_url_filter" -> ((s, dir) => {
@@ -2418,6 +2457,15 @@ object PipelineQueries {
            SELECT doc_id, url,
              ${graft.text.Url.canonicalizeUrlSql("url")} AS canon
            FROM u""",
+      "q_contains_any" ->
+        s"""SELECT doc_id,
+             coalesce(array_to_string(
+               ${graft.text.MultiMatch.matchAnySql("text", scanPatterns)},
+               '|'), '') AS matched,
+             len(${graft.text.MultiMatch.matchAnySql("text", scanPatterns)})
+               ::BIGINT AS n_matched
+           FROM documents""",
+      "q_cdc_roundtrip" -> "SELECT doc_id, text FROM documents",
       "q_url_filter" ->
         s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents),
            l AS (SELECT doc_id, unnest(regexp_extract_all(page,

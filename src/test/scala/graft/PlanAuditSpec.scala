@@ -118,6 +118,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("q_contains_any: the multi-pattern scan is map-only — no " +
+      "Exchange, no Join (one automaton pass per row)") {
+    val plan = planOf("q_contains_any")
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("q_cdc_roundtrip: chunking never shuffles payload twice — exactly " +
+      "one Exchange (the per-doc reassembly), no Join") {
+    val plan = planOf("q_cdc_roundtrip")
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("q_bpe_tokens: narrow encode — at most the widen exchange, no " +
       "Join, no aggregation") {
     val plan = planOf("q_bpe_tokens")
