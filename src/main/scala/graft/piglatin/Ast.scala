@@ -250,6 +250,13 @@ object Ast {
   final case class HeavyStmt(alias: String, in: String, field: String,
                              k: Int, method: String,
                              params: Map[String, String]) extends Stmt
+  /** `b = CLUSTER a BY vec INTO 8 [USING kmeans(iters=…, seed=…,
+    * sample=…)];` — spherical k-means assignment over an embedding
+    * column (graft dialect; the topic-clustering step in front of
+    * mixture balancing and cluster-scoped curation). */
+  final case class ClusterStmt(alias: String, in: String, field: String,
+                               k: Int, method: String,
+                               params: Map[String, String]) extends Stmt
   /** `c = CONNECTED_COMPONENTS e BY id_a, id_b [MAXITER 10];` — min-label
     * components of a pair graph (graft dialect; the cluster resolution
     * under the near-dup operators, as a relation `(id, label)`). */

@@ -1449,6 +1449,17 @@ class PigCompiler(spark: SparkSession) {
           s"unknown HEAVY_HITTERS method '$other' — expected exact or sketch")
       })
 
+    case ClusterStmt(a, in, f, k, method, p) =>
+      val df = relation(in)
+      env(a) = Rel(() => method match {
+        case "kmeans" => graft.ml.KMeans.assign(df, f, k,
+          iters = p.get("iters").map(_.toInt).getOrElse(10),
+          seed = p.get("seed").map(_.toLong).getOrElse(42L),
+          sampleSize = p.get("sample").map(_.toInt).getOrElse(2048))
+        case other => sys.error(
+          s"unknown CLUSTER method '$other' — expected kmeans")
+      })
+
     case CcStmt(a, in, f1, f2, maxIter) =>
       val df = relation(in)
       env(a) = Rel(() => graft.dedup.Dedup.connectedComponents(

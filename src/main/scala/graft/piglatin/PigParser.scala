@@ -559,6 +559,18 @@ object PigParser extends RegexParsers {
           m.map(_._1.toLowerCase).getOrElse("exact"),
           m.map(_._2).getOrElse(Map.empty)) }
 
+  /** `b = CLUSTER a BY vec INTO 8 [USING kmeans(iters=10, seed=42,
+    * sample=2048)];` (graft dialect) — k-means topic/domain clustering
+    * over an embedding column. */
+  private def clusterStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("cluster")) ~ ident ~
+      (kw("by") ~> ident) ~ (kw("into") ~> number) ~
+      opt((kw("using") ~> ident) ~ llmParams) ^^ {
+      case a ~ in ~ f ~ n ~ m =>
+        ClusterStmt(a, in, f, n.toDouble.toInt,
+          m.map(_._1.toLowerCase).getOrElse("kmeans"),
+          m.map(_._2).getOrElse(Map.empty)) }
+
   /** `c = CONNECTED_COMPONENTS e BY id_a, id_b [MAXITER 10];`. */
   private def ccStmt: Parser[Stmt] =
     (ident <~ "=" <~ kw("connected_components")) ~ ident ~
@@ -584,7 +596,8 @@ object PigParser extends RegexParsers {
      zipStmt | cacheStmt | delayStmt | skylineStmt | visualizeStmt |
      dedupStmt | qualityStmt | tokenizeStmt | decontaminateStmt |
      packStmt | splitHashStmt | scoreStmt | profileStmt | heavyStmt |
-     pageRankStmt | ccStmt | setCmd | register | defineAlias) <~ rep1(";")
+     clusterStmt | pageRankStmt | ccStmt | setCmd | register |
+     defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)
 

@@ -393,6 +393,19 @@ object PipelineQueries {
         md, s"ivf-$IvfCells-$LshSeed", corpus)(train))
     })
 
+  /** k-means centroids for q_kmeans, memoized per sfDir for the same
+    * query/oracle-identity reason as [[ivfCentroidsFor]] (the oracle
+    * embeds these as literals). Trains over the FULL embeddings table —
+    * clustering is a whole-corpus operation, unlike the IVF quantizer's
+    * corpus/query split. */
+  private val KmK = 8
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Double]]]
+  def kmeansCentroidsFor(s: SparkSession, dir: String): Seq[Array[Double]] =
+    kmeansCache.getOrElseUpdate(dir, graft.ml.KMeans.fit(
+      t(s, dir, "embeddings").select(col("embedding").as("vec")),
+      "vec", KmK, seed = LshSeed))
+
   /** PQ codebooks, memoized per sfDir for the same query/oracle-identity
     * reason as [[ivfCentroidsFor]]. */
   private val pqCache =
@@ -1268,6 +1281,26 @@ object PipelineQueries {
           "grp", "embedding", "vec_id")
         .select(col("grp"), posexplode(col("centroid")).as(Seq("pos", "m")))),
 
+    // -- first-class k-means clustering: topic/domain assignment in
+    //    front of mixture balancing and cluster-scoped curation. Train
+    //    on a bounded seeded sample driver-side; assignment is a narrow
+    //    map with centroid literals (zero shuffle at any corpus size).
+    //    The oracle replays argmax-dot with min-index ties over the
+    //    IDENTICAL memoized centroids. -------------------------------------
+    "q_kmeans" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        graft.ml.KMeans.assignTo(col("embedding"),
+          kmeansCentroidsFor(s, dir)).as("cluster"))),
+
+    // -- CLUSTER from the dialect — same defaults (seed/sample/iters) and
+    //    the same content-keyed seeded sample as KMeans.fit, so the
+    //    script's clusters match the memoized-centroid oracle exactly ------
+    "q_pig_kmeans" -> ((s, dir) =>
+      graft.piglatin.PigScript.query(s,
+        """c = CLUSTER e BY embedding INTO 8;
+           r = FOREACH c GENERATE vec_id, cluster;""",
+        "r", tables = Map("e" -> t(s, dir, "embeddings")))),
+
     // -- similarity search (#62–63) ---------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2125,6 +2158,24 @@ object PipelineQueries {
     * the centroids as literals, replays nearest-cell assignment (argmin
     * of -dot, ties to the lowest index — the engine's struct sort), the
     * nProbe cell probing, and the per-query cosine rank. */
+  /** q_kmeans oracle: argmax dot (= argmin of -dot) with min-index ties
+    * over the memoized centroid literals — the NearestCells rule. */
+  private def kmeansSql(centroids: Seq[Array[Double]]): String = {
+    val n = centroids.length
+    val ndDefs = centroids.zipWithIndex.map { case (c, i) =>
+      s"(0.0 - list_dot_product(v, ${doubleList(c.toSeq)})) AS nd$i"
+    }.mkString(", ")
+    val assign = (0 until n).map { i =>
+      val conds = ((i + 1) until n).map(j => s"nd$i <= nd$j")
+      if (conds.isEmpty) s"ELSE $i"
+      else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString(" ")
+    s"""WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+       cd AS (SELECT vec_id, $ndDefs FROM c0)
+       SELECT vec_id, CASE $assign END AS cluster FROM cd"""
+  }
+
   private def ivfAnnSql(centroids: Seq[Array[Double]]): String = {
     val n = centroids.length
     val ndDefs = centroids.zipWithIndex.map { case (c, i) =>
@@ -3181,6 +3232,8 @@ object PipelineQueries {
       case Some((s, dir)) =>
         static +
           ("q_ann_ivf" -> ivfAnnSql(ivfCentroidsFor(s, dir))) +
+          ("q_kmeans" -> kmeansSql(kmeansCentroidsFor(s, dir))) +
+          ("q_pig_kmeans" -> kmeansSql(kmeansCentroidsFor(s, dir))) +
           ("q_ann_pq" -> pqAnnSql(pqCodebooksFor(s, dir))) +
           ("q_ann_ivfpq_res" -> pqResAnnSql(ivfCentroidsFor(s, dir),
             pqResCodebooksFor(s, dir))) +

@@ -118,6 +118,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("q_kmeans: assignment with centroid literals is map-only — no " +
+      "Exchange, no Join (training is the bounded driver-side sample)") {
+    val plan = planOf("q_kmeans")
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("q_contains_any: the multi-pattern scan is map-only — no " +
       "Exchange, no Join (one automaton pass per row)") {
     val plan = planOf("q_contains_any")
