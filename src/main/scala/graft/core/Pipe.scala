@@ -152,6 +152,47 @@ final case class Pipe(df: DataFrame) {
       .drop("__grp", "__pct"))
   }
 
+  /** Temperature-weighted group rebalancing (the multilingual-LM
+    * `n^α` rule: sampling mass ∝ groupSize^α, α∈[0,1] — α=1 keeps the
+    * natural distribution, α=0 is uniform over groups, α≈0.3–0.7 is the
+    * usual upweight-the-tail regime). Derived rates: the largest-rate
+    * group is kept in full and every other group keeps
+    * floor(100·(n_min_ratio)^(1−α))% — the same in-plan rate table,
+    * bounded broadcast and md5 bucket as [[mixtureSampleByHash]], so the
+    * corpus gets one narrow scan + filter and results are reproducible
+    * across engines/retries/partitionings. Strata count is the only
+    * aggregated state (≤ #groups rows). */
+  def temperatureSampleByHash(strata: Column, alpha: Double,
+                              keys: Column*): Pipe = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperatureSampleByHash: alpha must be in [0,1], got $alpha")
+    val clash = df.columns.toSet.intersect(Set("__grp", "__n", "__t", "__pct"))
+    require(clash.isEmpty,
+      s"temperatureSampleByHash: input already has reserved column(s) " +
+        clash.mkString(", "))
+    val counts = df
+      .groupBy(strata.cast(org.apache.spark.sql.types.StringType).as("__grp"))
+      .agg(count(lit(1))
+        .cast(org.apache.spark.sql.types.DoubleType).as("__n"))
+    // single-partition window is SAFE: ≤ #groups rows, never the corpus
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // group keeps floor(100·(n_min/n)^(1−α))% — kept mass ∝ n^α. ONE pow
+    // on the ratio (not n^α·n_min^(1−α)/n): the smallest group's ratio is
+    // exactly 1.0, so its rate is exactly 100 — no fp 99-vs-100 flip, and
+    // the oracle replays the identical expression
+    val rates = counts
+      .withColumn("__t", min(col("__n")).over(wAll))
+      .select(col("__grp"),
+        floor(lit(100.0) * pow(col("__t") / col("__n"), 1.0 - alpha))
+          .cast(org.apache.spark.sql.types.IntegerType).as("__pct"))
+    Pipe(df
+      .join(broadcast(rates),
+        strata.cast(org.apache.spark.sql.types.StringType) === col("__grp"))
+      .where(Pipe.hashBucket(keys) < col("__pct"))
+      .drop("__grp", "__pct"))
+  }
+
   /** Deterministic train/validation/test assignment over the same md5
     * bucket as [[sampleByHash]]: `splits` are ordered (name, percent)
     * pairs summing to 100; a row whose bucket falls in a split's
@@ -781,6 +822,48 @@ final case class Pipe(df: DataFrame) {
     require(ordering.nonEmpty, "storeSorted: no ordering columns")
     val w = df.repartitionByRange(ordering: _*)
       .sortWithinPartitions(ordering: _*)
+      .write.mode(SaveMode.Overwrite).format(format)
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).save(path)
+  }
+
+  /** Z-order clustered STORE — multi-column data layout for a corpus
+    * that is filtered on MORE THAN ONE column (a linear sort prunes
+    * file-level min/max stats for its leading column only; interleaving
+    * quantile-bin bits gives EVERY layout column locality, so a
+    * predicate on any of them skips most files). Quantile (equi-depth)
+    * binning, not min/max scaling: skew can collapse uniform bins to
+    * one bucket. Scale shape: one approxQuantile pass (driver holds
+    * cols × (2^bits − 1) doubles), a narrow z-value map
+    * ([[graft.functions.ZValueExpr]], one compiled pass), and the range
+    * exchange — the same cost as [[storeSorted]]. */
+  def storeZOrdered(path: String, zCols: Seq[String], bits: Int = 8,
+                    maxRecordsPerFile: Long = 0L,
+                    format: String = "parquet"): Unit = {
+    require(zCols.nonEmpty, "storeZOrdered: no layout columns")
+    require(!df.columns.contains("__z"),
+      "storeZOrdered: input already has reserved column __z")
+    val nBins = 1 << bits
+    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val asD = zCols.map(c => col(c).cast(
+      org.apache.spark.sql.types.DoubleType).as(s"__zq_$c"))
+    val bounds = df.select(asD: _*).stat
+      .approxQuantile(zCols.map(c => s"__zq_$c").toArray, probs, 0.001)
+      .map { bs =>
+        // approxQuantile drops nulls; an all-null column yields an empty
+        // array — degrade to a constant bin (that column contributes no
+        // layout bits, the others still do)
+        if (bs.isEmpty) Array.fill(nBins - 1)(0.0)
+        else { java.util.Arrays.sort(bs); bs }
+      }.toSeq
+    val z = graft.functions.ZValueExpr(
+      zCols.map(c => col(c).cast(org.apache.spark.sql.types.DoubleType)),
+      bounds, bits)
+    val w = df.withColumn("__z", z)
+      .repartitionByRange(col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode(SaveMode.Overwrite).format(format)
     (if (maxRecordsPerFile > 0)
        w.option("maxRecordsPerFile", maxRecordsPerFile)

@@ -878,6 +878,34 @@ object PipelineQueries {
           t(s, dir, "documents").select(col("doc_id"), col("lang")))
         .mixtureSampleByHash(col("lang"), MixtureTargets, col("doc_id"))
         .df.select(col("doc_id"), col("lang"))),
+    // -- z-order clustered store round-trip: multi-column layout write
+    //    (quantile-binned Morton interleave) then read-back — content
+    //    equality is the oracle contract; the PRUNING property (every
+    //    layout column gets file-level min/max skipping) is
+    //    ZOrderLayoutSpec's measured assertion -----------------------------
+    "q_store_zorder" -> ((s, dir) => {
+      val out = "/root/repo/target/graft-data/zorder_rt"
+      graft.core.Pipe(t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value")))
+        .storeZOrdered(out, Seq("user_id", "value"), bits = 8)
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
+    // -- vocabulary extraction: token frequency table with min-count
+    //    prune + deterministic top-k (the word-level companion to BPE
+    //    training). Partial-agg shape: the exchange carries (token,
+    //    count) pairs, never the token stream. ---------------------------
+    "q_vocab" -> ((s, dir) =>
+      graft.text.Vocab.topTokens(t(s, dir, "documents"), col("text"),
+        minCount = 5L, k = 200)),
+    // -- temperature rebalancing (the multilingual n^α rule): sampling
+    //    mass ∝ groupSize^α — no target table, the rates derive from the
+    //    group counts in-plan; same md5 bucket as every sampler -----------
+    "q_temperature_sample" -> ((s, dir) =>
+      graft.core.Pipe(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")))
+        .temperatureSampleByHash(col("lang"), 0.5, col("doc_id"))
+        .df.select(col("doc_id"), col("lang"))),
 
     // -- sequence layout / LM scoring -------------------------------------------
     // GPT-style concat-and-chunk packing: the global token prefix sum
@@ -3190,7 +3218,30 @@ object PipelineQueries {
             WHERE id_b >= 1000000""",
       "q_decontaminate_fuzzy" ->
         fuzzyDecontaminateSql(n = 3, threshold = 0.5),
+      "q_store_zorder" ->
+        "SELECT event_id, user_id, value FROM events",
+      "q_vocab" ->
+        """WITH toks AS (SELECT lower(unnest(list_filter(
+               string_split_regex(text, '\s+'), x -> x <> ''))) AS token
+             FROM documents),
+           c AS (SELECT token, count(*) AS cnt FROM toks
+                 GROUP BY token HAVING count(*) >= 5
+                 ORDER BY cnt DESC, token LIMIT 200)
+           SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+                  token, cnt
+           FROM c""",
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
+      // identical single-pow rate expression (floor(100·(n_min/n)^(1−α)))
+      // — the smallest group's ratio is exactly 1.0 on both engines
+      "q_temperature_sample" ->
+        """WITH c AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
+                      FROM documents GROUP BY lang),
+           r AS (SELECT grp, CAST(floor(CAST(100.0 AS DOUBLE) *
+                   pow((SELECT min(n) FROM c) / n, 0.5)) AS INT) AS pct
+                 FROM c)
+           SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.grp
+           WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                 < r.pct""",
       "q_dedup_minhash" -> jaccardPairsSql(n = 3, threshold = 0.5),
       "q_dedup_jaccard" -> jaccardPairsSql(n = 5, threshold = 0.5),
       "q_dedup_simhash" -> simhashPairsSql(maxDist = 3),

@@ -53,6 +53,44 @@ class MixtureSampleSpec extends SparkSpec {
     assert(a.forall(ids))
   }
 
+  test("temperature rebalancing: α=1 keeps all, α=0 flattens toward the " +
+      "smallest group, smallest group always kept whole") {
+    // α=1: every rate is floor(100·ratio^0) = 100 → identity
+    val all = Pipe(corpus)
+      .temperatureSampleByHash(col("lang"), 1.0, col("id")).df
+    assert(all.count() == corpus.count())
+    // α=0: rate_g = floor(100·n_min/n_g) → every group ≈ n_min rows
+    val flat = Pipe(corpus)
+      .temperatureSampleByHash(col("lang"), 0.0, col("id")).df
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(flat("zz") == 30L, "smallest group must be kept in full")
+    // en keeps floor(100·30/400)=7% of 400 = ~28, de floor(30)=30% of
+    // 100 = ~30 — md5-bucket noise bands
+    assert(flat("en") > 12 && flat("en") < 48, flat.toString)
+    assert(flat("de") > 15 && flat("de") < 45, flat.toString)
+    // α=0.5 sits between natural and flat for the largest group
+    val half = Pipe(corpus)
+      .temperatureSampleByHash(col("lang"), 0.5, col("id")).df
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(half("zz") == 30L)
+    assert(half("en") > flat("en") && half("en") < 400L, half.toString)
+    // determinism + subset
+    val again = Pipe(corpus)
+      .temperatureSampleByHash(col("lang"), 0.5, col("id")).df
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == half)
+  }
+
+  test("temperature rejects bad alpha and reserved columns") {
+    intercept[IllegalArgumentException] {
+      Pipe(corpus).temperatureSampleByHash(col("lang"), 1.5, col("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Pipe(corpus.withColumnRenamed("lang", "__grp"))
+        .temperatureSampleByHash(col("__grp"), 0.5, col("id"))
+    }
+  }
+
   test("mixture rejects bad targets and reserved columns") {
     intercept[IllegalArgumentException] {
       Pipe(corpus).mixtureSampleByHash(col("lang"), Map.empty, col("id"))
