@@ -152,6 +152,41 @@ final case class Pipe(df: DataFrame) {
       .drop("__grp", "__pct"))
   }
 
+  /** Per-group top-fraction filter (quality pruning that a GLOBAL
+    * threshold can't express: "keep the best pct% of every language/
+    * domain" — a global cutoff would wipe out whole low-scoring groups).
+    * Keeps the `pct`% highest-`score` rows of each group, k_g =
+    * ⌈pct·n_g/100⌉ computed in INTEGER arithmetic ((pct·n+99) div 100 —
+    * no fp ceil(0.3·10)=4-style boundary flips), ties broken by
+    * `tieKeys` — callers must pass a totalizing tie key (an id) for
+    * cross-engine determinism.
+    * Shape: one exchange on the group key + per-partition sort (the
+    * q_rank window shape); count rides the same window, so the corpus
+    * is scanned once. For small pct over huge groups the bounded-heap
+    * [[topPerGroupPartial]] with a precomputed per-group k is the
+    * cheaper path — this is the exact, oracle-replayable default. */
+  def topFracByGroup(group: Column, pct: Int, score: Column,
+                     tieKeys: Column*): Pipe = {
+    require(pct >= 1 && pct <= 100,
+      s"topFracByGroup: pct must be in [1,100], got $pct")
+    require(tieKeys.nonEmpty,
+      "topFracByGroup: pass a totalizing tie key (e.g. the id column)")
+    val clash = df.columns.toSet.intersect(Set("__rk", "__n"))
+    require(clash.isEmpty,
+      s"topFracByGroup: input already has reserved column(s) " +
+        clash.mkString(", "))
+    val order = score.desc +: tieKeys.map(_.asc)
+    val w = Window.partitionBy(group).orderBy(order: _*)
+    val wAll = Window.partitionBy(group)
+    // rk ≤ ⌈pct·n/100⌉ ⇔ rk·100 ≤ pct·n + 99 for integer rk — all-long
+    // arithmetic, no division (Spark's `/` would lift to double)
+    Pipe(df
+      .withColumn("__rk", row_number().over(w).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__rk") * 100L <= col("__n") * pct + 99L)
+      .drop("__rk", "__n"))
+  }
+
   /** Temperature-weighted group rebalancing (the multilingual-LM
     * `n^α` rule: sampling mass ∝ groupSize^α, α∈[0,1] — α=1 keeps the
     * natural distribution, α=0 is uniform over groups, α≈0.3–0.7 is the

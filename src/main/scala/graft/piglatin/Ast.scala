@@ -226,6 +226,18 @@ object Ast {
   final case class SplitHashStmt(alias: String, in: String,
                                  keyFields: Seq[String],
                                  splits: Seq[(String, Int)]) extends Stmt
+  /** `b = TEMPERATURE a BY lang ALPHA 0.5 KEY doc_id[, …];` — n^α
+    * group rebalancing over the shared md5 bucket (smallest group kept
+    * whole, kept mass ∝ groupSize^α). */
+  final case class TemperatureStmt(alias: String, in: String,
+                                   strata: String, alpha: Double,
+                                   keyFields: Seq[String]) extends Stmt
+  /** `b = TOP_FRAC a BY lang PCT 25 SCORE n_chars KEY doc_id[, …];` —
+    * keep the best pct% of every group by score (integer-exact
+    * per-group quota, ties by the key fields). */
+  final case class TopFracStmt(alias: String, in: String, strata: String,
+                               pct: Int, scoreField: String,
+                               keyFields: Seq[String]) extends Stmt
   /** `b = SCORE a BY id, text [WITH weights] USING classifier(labels=y,
     * buckets=1024)` — margin + prediction per doc under a trained
     * linear model: WITH applies a previously-computed (bucket, w)

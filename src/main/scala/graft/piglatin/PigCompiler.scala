@@ -1374,6 +1374,17 @@ class PigCompiler(spark: SparkSession) {
       env(a) = Rel(() =>
         graft.core.Pipe(df).splitByHash(splits, keys.map(col): _*).df)
 
+    case TemperatureStmt(a, in, strata, alpha, keys) =>
+      val df = relation(in)
+      env(a) = Rel(() => graft.core.Pipe(df)
+        .temperatureSampleByHash(col(strata), alpha, keys.map(col): _*).df)
+
+    case TopFracStmt(a, in, strata, pct, scoreF, keys) =>
+      val df = relation(in)
+      env(a) = Rel(() => graft.core.Pipe(df)
+        .topFracByGroup(col(strata), pct, col(scoreF),
+          keys.map(col): _*).df)
+
     case ScoreStmt(a, in, idF, tF, weightsAlias, method, p) =>
       val df = relation(in)
       require(Set("classifier", "nb", "perceptron").contains(method),

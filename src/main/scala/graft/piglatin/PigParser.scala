@@ -559,6 +559,24 @@ object PigParser extends RegexParsers {
           m.map(_._1.toLowerCase).getOrElse("exact"),
           m.map(_._2).getOrElse(Map.empty)) }
 
+  /** `b = TEMPERATURE a BY lang ALPHA 0.5 KEY doc_id[, …];` (graft
+    * dialect) — n^α group rebalancing. */
+  private def temperatureStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("temperature")) ~ ident ~
+      (kw("by") ~> ident) ~ (kw("alpha") ~> number) ~
+      (kw("key") ~> rep1sep(ident, ",")) ^^ {
+      case a ~ in ~ f ~ al ~ ks =>
+        TemperatureStmt(a, in, f, al.toDouble, ks) }
+
+  /** `b = TOP_FRAC a BY lang PCT 25 SCORE n_chars KEY doc_id[, …];`
+    * (graft dialect) — best pct% of every group by score. */
+  private def topFracStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("top_frac")) ~ ident ~
+      (kw("by") ~> ident) ~ (kw("pct") ~> number) ~
+      (kw("score") ~> ident) ~ (kw("key") ~> rep1sep(ident, ",")) ^^ {
+      case a ~ in ~ f ~ p ~ sc ~ ks =>
+        TopFracStmt(a, in, f, p.toDouble.toInt, sc, ks) }
+
   /** `b = CLUSTER a BY vec INTO 8 [USING kmeans(iters=10, seed=42,
     * sample=2048)];` (graft dialect) — k-means topic/domain clustering
     * over an embedding column. */
@@ -596,8 +614,8 @@ object PigParser extends RegexParsers {
      zipStmt | cacheStmt | delayStmt | skylineStmt | visualizeStmt |
      dedupStmt | qualityStmt | tokenizeStmt | decontaminateStmt |
      packStmt | splitHashStmt | scoreStmt | profileStmt | heavyStmt |
-     clusterStmt | pageRankStmt | ccStmt | setCmd | register |
-     defineAlias) <~ rep1(";")
+     clusterStmt | temperatureStmt | topFracStmt | pageRankStmt | ccStmt |
+     setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)
 

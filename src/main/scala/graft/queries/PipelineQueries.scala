@@ -891,6 +891,18 @@ object PipelineQueries {
       s.read.parquet(out)
         .select(col("event_id"), col("user_id"), col("value"))
     }),
+    // -- the same two filters from the dialect (TEMPERATURE / TOP_FRAC
+    //    statements), riding the identical oracles ------------------------
+    "q_pig_temperature" -> ((s, dir) =>
+      graft.piglatin.PigScript.query(s,
+        "b = TEMPERATURE d BY lang ALPHA 0.5 KEY doc_id;",
+        "b", tables = Map("d" ->
+          t(s, dir, "documents").select(col("doc_id"), col("lang"))))),
+    "q_pig_topfrac" -> ((s, dir) =>
+      graft.piglatin.PigScript.query(s,
+        "b = TOP_FRAC d BY lang PCT 25 SCORE n_chars KEY doc_id;",
+        "b", tables = Map("d" -> t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))))),
     // -- vocabulary extraction: token frequency table with min-count
     //    prune + deterministic top-k (the word-level companion to BPE
     //    training). Partial-agg shape: the exchange carries (token,
@@ -898,6 +910,15 @@ object PipelineQueries {
     "q_vocab" -> ((s, dir) =>
       graft.text.Vocab.topTokens(t(s, dir, "documents"), col("text"),
         minCount = 5L, k = 200)),
+    // -- per-group top-fraction quality filter: keep the best 25% of
+    //    every language by length score — the per-group threshold a
+    //    global cutoff can't express (it would wipe out whole groups).
+    //    Integer-exact quota: rk·100 ≤ pct·n + 99. ------------------------
+    "q_top_frac" -> ((s, dir) =>
+      graft.core.Pipe(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")))
+        .topFracByGroup(col("lang"), 25, col("n_chars"), col("doc_id"))
+        .df.select(col("doc_id"), col("lang"), col("n_chars"))),
     // -- temperature rebalancing (the multilingual n^α rule): sampling
     //    mass ∝ groupSize^α — no target table, the rates derive from the
     //    group counts in-plan; same md5 bucket as every sampler -----------
@@ -3231,6 +3252,31 @@ object PipelineQueries {
                   token, cnt
            FROM c""",
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
+      "q_pig_temperature" ->
+        """WITH c AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
+                      FROM documents GROUP BY lang),
+           r AS (SELECT grp, CAST(floor(CAST(100.0 AS DOUBLE) *
+                   pow((SELECT min(n) FROM c) / n, 0.5)) AS INT) AS pct
+                 FROM c)
+           SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.grp
+           WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                 < r.pct""",
+      "q_pig_topfrac" ->
+        """WITH r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+           SELECT doc_id, lang, n_chars FROM r
+           WHERE rk * 100 <= n * 25 + 99""",
+      "q_top_frac" ->
+        """WITH r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+           SELECT doc_id, lang, n_chars FROM r
+           WHERE rk * 100 <= n * 25 + 99""",
       // identical single-pow rate expression (floor(100·(n_min/n)^(1−α)))
       // — the smallest group's ratio is exactly 1.0 on both engines
       "q_temperature_sample" ->

@@ -81,6 +81,34 @@ class MixtureSampleSpec extends SparkSpec {
     assert(again == half)
   }
 
+  test("topFracByGroup keeps exactly ceil(pct*n/100) best rows per group") {
+    // scores = id so the kept set is checkable exactly; group sizes 7 and
+    // 10 exercise the ceil boundary (25% of 7 = 1.75 → 2)
+    val df = ((0 until 7).map(i => (i.toLong, "a", i.toLong)) ++
+      (0 until 10).map(i => (100L + i, "b", i.toLong)))
+      .toDF("id", "grp", "score")
+    val out = Pipe(df).topFracByGroup(col("grp"), 25, col("score"),
+        col("id")).df
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // a: ceil(7·25/100)=2 → top scores 6,5; b: ceil(10·25/100)=3 → 9,8,7
+    assert(out == Set(("a", 6L), ("a", 5L),
+      ("b", 109L), ("b", 108L), ("b", 107L)), out.toString)
+    // pct=100 is the identity
+    assert(Pipe(df).topFracByGroup(col("grp"), 100, col("score"),
+      col("id")).df.count() == 17L)
+    // ties resolve by the tie key: equal scores keep the LOWEST ids
+    val tied = (0 until 8).map(i => (i.toLong, "t", 1L)).toDF("id", "grp", "score")
+    val kept = Pipe(tied).topFracByGroup(col("grp"), 50, col("score"),
+      col("id")).df.select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      Pipe(df).topFracByGroup(col("grp"), 0, col("score"), col("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Pipe(df).topFracByGroup(col("grp"), 25, col("score"))
+    }
+  }
+
   test("temperature rejects bad alpha and reserved columns") {
     intercept[IllegalArgumentException] {
       Pipe(corpus).temperatureSampleByHash(col("lang"), 1.5, col("id"))
