@@ -107,7 +107,7 @@ object PipelineQueries {
     * interior ("ash jo"), and one guaranteed absent ("spark sql xyz").
     * ONE constant shared by engine and oracle — declaration order is the
     * output order on both sides. */
-  private val scanPatterns: Seq[String] = Seq(
+  private[queries] val scanPatterns: Seq[String] = Seq(
     "hash join", "join", "ash jo", "scan slow", "slow", "merge sort",
     "table value", "value", "spark sql xyz")
 
@@ -891,6 +891,17 @@ object PipelineQueries {
       s.read.parquet(out)
         .select(col("event_id"), col("user_id"), col("value"))
     }),
+    // -- composed curation v3: per-group quality prune → temperature
+    //    rebalance → train/val split, one logical plan end-to-end (each
+    //    stage's oracle CTE chains into the next — the whole pipeline is
+    //    single-SQL replayed) -------------------------------------------
+    "q_curation_v3" -> ((s, dir) =>
+      graft.core.Pipe(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")))
+        .topFracByGroup(col("lang"), 50, col("n_chars"), col("doc_id"))
+        .temperatureSampleByHash(col("lang"), 0.5, col("doc_id"))
+        .splitByHash(Seq("train" -> 90, "val" -> 10), col("doc_id"))
+        .df.select(col("doc_id"), col("lang"), col("split"))),
     // -- the same two filters from the dialect (TEMPERATURE / TOP_FRAC
     //    statements), riding the identical oracles ------------------------
     "q_pig_temperature" -> ((s, dir) =>
@@ -3252,6 +3263,28 @@ object PipelineQueries {
                   token, cnt
            FROM c""",
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
+      "q_curation_v3" ->
+        """WITH r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents),
+           top AS (SELECT doc_id, lang FROM r
+                   WHERE rk * 100 <= n * 50 + 99),
+           c AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
+                 FROM top GROUP BY lang),
+           rt AS (SELECT grp, CAST(floor(CAST(100.0 AS DOUBLE) *
+                    pow((SELECT min(n) FROM c) / n, 0.5)) AS INT) AS pct
+                  FROM c),
+           sel AS (SELECT t.doc_id, t.lang FROM top t
+                   JOIN rt ON t.lang = rt.grp
+                   WHERE ('0x' || substr(md5(t.doc_id::VARCHAR), 1, 8))
+                         ::BIGINT % 100 < rt.pct)
+           SELECT doc_id, lang,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+           FROM sel""",
       "q_pig_temperature" ->
         """WITH c AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
                       FROM documents GROUP BY lang),

@@ -307,6 +307,23 @@ object StreamQueries {
         "h", tables = Map("toks" -> toks))
       runBounded(top, "q_pig_stream_heavy_sink", OutputMode.Complete())
     }),
+    // -- streaming blocklist/contamination screen: the Aho–Corasick scan
+    //    is a narrow per-row map, so it runs UNCHANGED on the ingest
+    //    stream — same pattern constants, same oracle as q_contains_any
+    "q_stream_match" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_smatch_src").toString
+      docs.repartition(1).write.mode("overwrite").parquet(staged)
+      val stream = Streams.fileStream(s, staged,
+        s.read.parquet(staged).schema)
+      val out = stream.select(col("doc_id"),
+          graft.text.MultiMatch.matchAny(col("text"),
+            PipelineQueries.scanPatterns).as("m"))
+        .select(col("doc_id"), array_join(col("m"), "|").as("matched"),
+          size(col("m")).cast("long").as("n_matched"))
+      runBounded(out, "q_stream_match_sink", OutputMode.Append())
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // exact-variant bounded run; the watermarked production variant
       // (dropDuplicatesWithinWatermark) is spec'd in StreamingSpec.
@@ -513,6 +530,14 @@ object StreamQueries {
          SELECT user_id, start_us, end_us FROM cand WHERE rn = 1""",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_match" ->
+      s"""SELECT doc_id,
+           coalesce(array_to_string(
+             ${graft.text.MultiMatch.matchAnySql("text",
+               PipelineQueries.scanPatterns)}, '|'), '') AS matched,
+           len(${graft.text.MultiMatch.matchAnySql("text",
+             PipelineQueries.scanPatterns)})::BIGINT AS n_matched
+         FROM documents""",
     // tumbling-window join: pairs iff same user AND same 1h window —
     // the batch answer the bounded stream-stream join must reproduce
     "q_stream_join" ->
