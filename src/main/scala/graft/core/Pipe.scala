@@ -152,6 +152,35 @@ final case class Pipe(df: DataFrame) {
       .drop("__grp", "__pct"))
   }
 
+  /** Robust per-group outlier detection (median/MAD, not mean/σ — one
+    * pathological document would drag a mean-based gate): flags rows
+    * with |x − median_g| > k·MAD_g. The per-group medians and MADs are
+    * tiny aggregates (exact `percentile` — partial-agg shuffles (group,
+    * partial) pairs, never rows) re-attached by bounded broadcasts, so
+    * the corpus itself is never exchanged — narrow scans only. With an
+    * integer-valued column the medians land on .0/.5 halves: exact in
+    * doubles, so the flag boundary is cross-engine deterministic.
+    * MAD_g = 0 (constant group) flags any deviation, k·0 = 0. */
+  def madOutliers(group: Column, value: Column, k: Double = 3.0,
+                  flagCol: String = "is_outlier"): Pipe = {
+    require(k > 0, s"madOutliers: k must be > 0, got $k")
+    val clash = df.columns.toSet.intersect(Set("__grp", "__med", "__mad"))
+    require(clash.isEmpty && !df.columns.contains(flagCol),
+      s"madOutliers: input already has reserved column(s) " +
+        (clash + flagCol).mkString(", "))
+    val g = group.cast(org.apache.spark.sql.types.StringType)
+    val v = value.cast(org.apache.spark.sql.types.DoubleType)
+    val med = df.groupBy(g.as("__grp"))
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val withMed = df.join(broadcast(med), g === col("__grp"))
+    val mad = withMed.groupBy(col("__grp"))
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+      .withColumnRenamed("__grp", "__grp2")
+    Pipe(withMed.join(broadcast(mad), col("__grp") === col("__grp2"))
+      .withColumn(flagCol, abs(v - col("__med")) > lit(k) * col("__mad"))
+      .drop("__grp", "__grp2", "__med", "__mad"))
+  }
+
   /** Per-group top-fraction filter (quality pruning that a GLOBAL
     * threshold can't express: "keep the best pct% of every language/
     * domain" — a global cutoff would wipe out whole low-scoring groups).

@@ -891,6 +891,30 @@ object PipelineQueries {
       s.read.parquet(out)
         .select(col("event_id"), col("user_id"), col("value"))
     }),
+    // -- cross-corpus overlap accounting (exact regime): distinct token
+    //    sharing between the en slice and everything else — distinct-
+    //    reduce FIRST, join distinct sets only. The one-pass mergeable-
+    //    sketch regime (hll_sketch_agg + hll_union) is OverlapSpec's
+    //    tolerance-bounded contract. ---------------------------------------
+    "q_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def toks(d: org.apache.spark.sql.DataFrame) =
+        d.select(explode(graft.text.TextOps.tokens(lower(col("text"))))
+          .as("tok"))
+      graft.core.Overlap.exact(
+        toks(docs.where(col("lang") === "en")), col("tok"),
+        toks(docs.where(col("lang") =!= "en")), col("tok"))
+    }),
+    // -- robust per-group outlier gate (median/MAD): the length-anomaly
+    //    screen that a mean/σ gate gets dragged off by the very rows it
+    //    should flag. Integer column → half-integer medians → exact
+    //    cross-engine boundary. -------------------------------------------
+    "q_outliers" -> ((s, dir) =>
+      graft.core.Pipe(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")))
+        .madOutliers(col("lang"), col("n_chars"), 2.0)
+        .df.where(col("is_outlier"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
     // -- composed curation v3: per-group quality prune → temperature
     //    rebalance → train/val split, one logical plan end-to-end (each
     //    stage's oracle CTE chains into the next — the whole pipeline is
@@ -3263,6 +3287,31 @@ object PipelineQueries {
                   token, cnt
            FROM c""",
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
+      "q_overlap" ->
+        """WITH a AS (SELECT DISTINCT unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> ''))
+               AS k FROM documents WHERE lang = 'en'),
+           b AS (SELECT DISTINCT unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> ''))
+               AS k FROM documents WHERE lang <> 'en'),
+           c AS (SELECT count(*) AS n_common FROM a JOIN b USING (k))
+           SELECT (SELECT count(*) FROM a) AS n_a,
+                  (SELECT count(*) FROM b) AS n_b,
+                  c.n_common,
+                  CAST(c.n_common AS DOUBLE) /
+                    CAST((SELECT count(*) FROM a) +
+                         (SELECT count(*) FROM b) - c.n_common AS DOUBLE)
+                    AS jaccard
+           FROM c""",
+      "q_outliers" ->
+        """WITH m AS (SELECT doc_id, lang, n_chars,
+             median(n_chars) OVER (PARTITION BY lang) AS med
+           FROM documents),
+           d AS (SELECT *, median(abs(n_chars - med))
+                   OVER (PARTITION BY lang) AS mad
+                 FROM m)
+           SELECT doc_id, lang, n_chars FROM d
+           WHERE abs(n_chars - med) > 2.0 * mad""",
       "q_curation_v3" ->
         """WITH r AS (SELECT doc_id, lang, n_chars,
              row_number() OVER (PARTITION BY lang
