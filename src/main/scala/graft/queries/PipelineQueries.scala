@@ -111,6 +111,53 @@ object PipelineQueries {
     "hash join", "join", "ash jo", "scan slow", "slow", "merge sort",
     "table value", "value", "spark sql xyz")
 
+  // ---- planted robots policies (q_robots) -----------------------------------
+  /** Rule constants shared by the planted robots.txt bodies (engine
+    * side) and the oracle's VALUES table: per policy, (allow, path)
+    * pairs for the `graftbot` group. Policy 1 denies everything,
+    * policy 2 has an empty group (allow-all), policies 0/3 exercise
+    * longest-prefix override and the equal-length Allow-wins tie. */
+  private val robotsPolicies: Seq[Seq[(Boolean, String)]] = Seq(
+    Seq((false, "/private"), (true, "/private/pub"), (false, "/tmp")),
+    Seq((false, "/")),
+    Seq.empty,
+    Seq((true, "/a"), (false, "/a"), (false, "/a/b")))
+
+  /** Hostile-but-valid robots.txt body for a policy: a decoy deny-all
+    * group for another agent, mixed-case keys, comments, blank and
+    * empty-Disallow lines — the PARSER is exercised here; the decision
+    * rules stay the shared constants. */
+  private def robotsTextFor(rules: Seq[(Boolean, String)]): String = {
+    val ruleLines = rules.map { case (allow, p) =>
+      (if (allow) "Allow: " else "DISALLOW:   ") + p }
+    ("# planted policy" +: "User-agent: OtherBot" +: "Disallow: /" +:
+      "" +: "USER-AGENT: GraftBot  # ours" +: ruleLines :+
+      "Disallow:" :+ "Crawl-delay: 5").mkString("\n")
+  }
+
+  /** Planted url path per doc, cycling every decision class the four
+    * policies distinguish. ONE (Column, SQL) list — engine and oracle
+    * cannot drift. */
+  private val robotsPathVariants: Seq[(org.apache.spark.sql.Column, String)] =
+    Seq(
+      (concat(lit("/private/pub/"), col("doc_id")),
+        "'/private/pub/' || doc_id"),
+      (concat(lit("/private/"), col("doc_id")), "'/private/' || doc_id"),
+      (concat(lit("/tmp/"), col("doc_id")), "'/tmp/' || doc_id"),
+      (lit("/a"), "'/a'"),
+      (concat(lit("/a/b/"), col("doc_id")), "'/a/b/' || doc_id"),
+      (concat(lit("/open/"), col("doc_id")), "'/open/' || doc_id"),
+      (lit("/"), "'/'"))
+  private def robotsPath: org.apache.spark.sql.Column =
+    robotsPathVariants.zipWithIndex.foldRight(
+      lit(""): org.apache.spark.sql.Column) { case (((c, _), i), acc) =>
+      when(pmod(col("doc_id"), lit(robotsPathVariants.size)) === i, c)
+        .otherwise(acc) }
+  private def robotsPathSql: String =
+    robotsPathVariants.zipWithIndex.map { case ((_, s), i) =>
+      s"WHEN doc_id % ${robotsPathVariants.size} = $i THEN $s" }
+      .mkString("CASE ", " ", " ELSE '' END")
+
   // ---- planted messy URLs (q_url_canon) -------------------------------------
   /** Deterministic messy URL per doc, cycling through the rule classes
     * [[graft.text.Url.canonicalizeUrl]] must handle: mixed-case scheme/
@@ -890,6 +937,24 @@ object PipelineQueries {
         .storeZOrdered(out, Seq("user_id", "value"), bits = 8)
       s.read.parquet(out)
         .select(col("event_id"), col("user_id"), col("value"))
+    }),
+    // -- robots.txt crawl-policy gate: per-host policies broadcast-joined
+    //    to the url frontier, fetchability decided by a per-row map (the
+    //    engine PARSES hostile-formatted bodies; the oracle replays the
+    //    longest-prefix/Allow-wins semantics over the same rule
+    //    constants) ----------------------------------------------------------
+    "q_robots" -> ((s, dir) => {
+      import s.implicits._
+      val policies = robotsPolicies.zipWithIndex
+        .map { case (rules, i) => (i.toLong, robotsTextFor(rules)) }
+        .toDF("pid", "robots")
+      t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(4L)).as("pid"),
+          robotsPath.as("path"))
+        .join(broadcast(policies), "pid")
+        .select(col("doc_id"), col("pid"), col("path"),
+          graft.text.Robots.isAllowed(col("path"), col("robots"),
+            "graftbot").as("allowed"))
     }),
     // -- cross-corpus overlap accounting (exact regime): distinct token
     //    sharing between the en slice and everything else — distinct-
@@ -3287,6 +3352,23 @@ object PipelineQueries {
                   token, cnt
            FROM c""",
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
+      "q_robots" -> {
+        val ruleRows = robotsPolicies.zipWithIndex.flatMap {
+          case (rules, pid) => rules.map { case (allow, p) =>
+            s"($pid, $allow, '$p')" } }
+        s"""WITH u AS (SELECT doc_id, doc_id % 4 AS pid,
+               $robotsPathSql AS path FROM documents),
+           rules(pid, allow, rpath) AS (VALUES ${ruleRows.mkString(", ")}),
+           m AS (SELECT u.doc_id, r.allow,
+                   row_number() OVER (PARTITION BY u.doc_id
+                     ORDER BY len(r.rpath) DESC, r.allow DESC) AS rn
+                 FROM u JOIN rules r ON u.pid = r.pid
+                   AND starts_with(u.path, r.rpath)),
+           b AS (SELECT doc_id, allow FROM m WHERE rn = 1)
+           SELECT u.doc_id, u.pid, u.path,
+                  coalesce(b.allow, true) AS allowed
+           FROM u LEFT JOIN b USING (doc_id)"""
+      },
       "q_overlap" ->
         """WITH a AS (SELECT DISTINCT unnest(list_filter(
                string_split_regex(lower(text), '\s+'), x -> x <> ''))

@@ -1,0 +1,23 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+import graft.functions.RobotsAllowedExpr
+
+/** robots.txt crawl-policy filtering — the fetch-permission gate of the
+  * crawl layer (WARC ingest → HTML extraction → URL canonicalization →
+  * blocklist → THIS). The usual shape: a per-host robots table joined to
+  * the url frontier on host (hosts ≪ urls — broadcast), then this
+  * per-row map decides fetchability. Parse memoized per executor since
+  * robots bodies repeat per host. */
+object Robots {
+
+  /** True when `path` is fetchable for `agent` under `robotsTxt`
+    * (RFC 9309 core: group selection exact-agent-else-`*`, longest
+    * prefix rule wins, Allow wins ties, no-rule and null inputs allow). */
+  def isAllowed(path: Column, robotsTxt: Column,
+                agent: String = "*"): Column =
+    column(RobotsAllowedExpr(expression(path), expression(robotsTxt),
+      agent))
+}

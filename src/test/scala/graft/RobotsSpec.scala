@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Robots
+
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def allowed(path: String, robots: String,
+                      agent: String = "graftbot"): Boolean =
+    Seq((path, robots)).toDF("p", "r")
+      .select(Robots.isAllowed(col("p"), col("r"), agent).as("a"))
+      .head().getBoolean(0)
+
+  private val standard =
+    """# comment line
+      |User-agent: OtherBot
+      |Disallow: /
+      |
+      |User-Agent: GraftBot
+      |Disallow: /private
+      |Allow: /private/pub
+      |Disallow: /tmp
+      |Disallow:
+      |Crawl-delay: 5
+      |""".stripMargin
+
+  test("longest prefix wins; Allow beats Disallow on ties; no match allows") {
+    assert(!allowed("/private/secret", standard))
+    assert(allowed("/private/pub/x", standard)) // deeper Allow overrides
+    assert(!allowed("/tmp/x", standard))
+    assert(allowed("/open/x", standard))        // no rule matches
+    val tie = "User-agent: *\nAllow: /a\nDisallow: /a\n"
+    assert(allowed("/a/x", tie))                // equal length → Allow
+  }
+
+  test("group selection: exact agent over *, decoy groups ignored, " +
+      "unknown agent falls to *, no group at all allows") {
+    assert(allowed("/anything", standard))      // OtherBot's deny ignored
+    val starOnly = "User-agent: *\nDisallow: /x\n"
+    assert(!allowed("/x/1", starOnly))
+    assert(allowed("/y", starOnly))
+    // agent not listed and no * group → everything allowed
+    val foreign = "User-agent: SomeoneElse\nDisallow: /\n"
+    assert(allowed("/x", foreign))
+    assert(allowed("/x", ""))                   // empty robots.txt
+  }
+
+  test("hostile formatting: CRLF, mixed case, inline comments, blank " +
+      "lines, empty Disallow, multi-agent groups") {
+    val hostile = "user-AGENT: a\r\nUser-agent: GRAFTBOT\r\n" +
+      "  DISALLOW :  /q  # trailing comment\r\n\r\nDisallow:\r\n"
+    // "DISALLOW :" has a space before the colon — key parse still works
+    // because we split on the FIRST colon and trim the key
+    assert(!allowed("/q/1", hostile))
+    assert(allowed("/r", hostile))
+    // a User-agent line AFTER rules starts a NEW group (RFC grouping)
+    val twoGroups = "User-agent: graftbot\nDisallow: /a\n" +
+      "User-agent: other\nDisallow: /b\n"
+    assert(!allowed("/a/x", twoGroups))
+    assert(allowed("/b/x", twoGroups))          // other group's rule
+  }
+
+  test("null path or robots body allows (absent robots = fetchable)") {
+    val df = Seq((null.asInstanceOf[String], standard),
+      ("/private/x", null.asInstanceOf[String]))
+      .toDF("p", "r")
+      .select(Robots.isAllowed(col("p"), col("r"), "graftbot").as("a"))
+    assert(df.collect().forall(_.getBoolean(0)))
+  }
+}
