@@ -934,6 +934,38 @@ final case class Pipe(df: DataFrame) {
      else w).save(path)
   }
 
+  /** STORE with a delivery manifest — the integrity artifact a training
+    * run checks before trusting a shard set: per output file, row count
+    * and an order-insensitive content checksum (bit-XOR of per-row
+    * md5-derived 60-bit values over `keys` — the shared null-sentinel
+    * key encoding, so the checksum is engine/retry/partitioning-
+    * reproducible and any single-row corruption flips it; XOR cancels
+    * IDENTICAL rows in pairs, which the row count covers). The manifest
+    * is written as json under `path/_manifest/` (an underscore-prefixed
+    * dir — invisible to parquet readers of `path`) and returned.
+    * Scale shape: the manifest scan is one narrow pass over the written
+    * files; the aggregation ships (file, count, xor) triples. */
+  def storeWithManifest(path: String, keys: Seq[Column] = Nil,
+                        maxRecordsPerFile: Long = 0L): DataFrame = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).save(path)
+    val back = spark.read.parquet(path)
+    val ks = if (keys.nonEmpty) keys else back.columns.toSeq.map(col)
+    val rowHash = conv(substring(md5(
+        Pipe.hashKeyEncoding(ks)
+          .cast(org.apache.spark.sql.types.BinaryType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val manifest = back
+      .select(input_file_name().as("file"), rowHash.as("__h"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("checksum"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .json(s"$path/_manifest")
+    manifest
+  }
+
   /** Bucketed STORE: pre-shuffles on the bucket keys at write time so every
     * later equi-join/aggregation between tables bucketed the same way runs
     * WITHOUT an exchange — the piglet-era "co-located join" that its RDD

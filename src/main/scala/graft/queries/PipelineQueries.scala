@@ -938,6 +938,18 @@ object PipelineQueries {
       s.read.parquet(out)
         .select(col("event_id"), col("user_id"), col("value"))
     }),
+    // -- delivery manifest: shard-set integrity totals (row count + the
+    //    order-insensitive XOR content checksum) — the oracle recomputes
+    //    both straight from the table, so the write→scan→manifest chain
+    //    is verified end-to-end -------------------------------------------
+    "q_store_manifest" -> ((s, dir) => {
+      val out = "/root/repo/target/graft-data/manifest_rt"
+      val manifest = graft.core.Pipe(t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type")))
+        .storeWithManifest(out, maxRecordsPerFile = 4096L)
+      manifest.agg(sum(col("n_rows")).cast("long").as("n_rows"),
+        expr("bit_xor(checksum)").as("checksum"))
+    }),
     // -- robots.txt crawl-policy gate: per-host policies broadcast-joined
     //    to the url frontier, fetchability decided by a per-row map (the
     //    engine PARSES hostile-formatted bodies; the oracle replays the
@@ -3352,6 +3364,12 @@ object PipelineQueries {
                   token, cnt
            FROM c""",
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
+      "q_store_manifest" ->
+        """SELECT count(*) AS n_rows,
+             bit_xor(('0x' || substr(md5(
+               event_id::VARCHAR || chr(31) || user_id::VARCHAR ||
+               chr(31) || event_type), 1, 15))::BIGINT) AS checksum
+           FROM events""",
       "q_robots" -> {
         val ruleRows = robotsPolicies.zipWithIndex.flatMap {
           case (rules, pid) => rules.map { case (allow, p) =>
