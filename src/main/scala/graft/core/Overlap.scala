@@ -34,6 +34,28 @@ object Overlap {
         (col("n_a") + col("n_b") - col("n_common")).cast("double"))
   }
 
+  /** Row-level snapshot diff — WHICH keys were added / removed / changed
+    * between two corpus versions (the crawl-refresh audit [[exact]] only
+    * set-counts). One full-outer join keyed on the id, comparing md5
+    * content fingerprints: the exchanges carry (key, 32-byte
+    * fingerprint) pairs, never document bodies, and unchanged rows —
+    * the overwhelming majority of a refresh — are filtered before the
+    * result materializes. Keys must be unique per version (duplicate
+    * keys would multiply through the join). */
+  def diff(a: DataFrame, keyA: Column, contentA: Column,
+           b: DataFrame, keyB: Column, contentB: Column): DataFrame = {
+    val da = a.select(keyA.as("k"), md5(contentA.cast("string")).as("fa"))
+      .where(col("k").isNotNull)
+    val db = b.select(keyB.as("k2"), md5(contentB.cast("string")).as("fb"))
+      .where(col("k2").isNotNull)
+    da.join(db, col("k") === col("k2"), "full_outer")
+      .select(coalesce(col("k"), col("k2")).as("k"),
+        when(col("k").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("fa") =!= col("fb"), "changed").as("status"))
+      .where(col("status").isNotNull)
+  }
+
   /** Sketched overlap: same schema, HLL estimates. `lgK` is the
     * DataSketches log2 bucket count (12 → ~2.5% RSE, 16 KB sketch). */
   def sketch(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,

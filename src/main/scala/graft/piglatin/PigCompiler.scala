@@ -232,6 +232,10 @@ class PigCompiler(spark: SparkSession) {
         args.tail.map(_.asInstanceOf[Lit].v.toString))
       case "MATCH_COUNT" => graft.text.MultiMatch.matchCount(a0,
         args.tail.map(_.asInstanceOf[Lit].v.toString))
+      // robots.txt fetch-permission: ROBOTS_ALLOWED(path, robots[, agent])
+      case "ROBOTS_ALLOWED" => graft.text.Robots.isAllowed(a0,
+        compileExpr(df, args(1)),
+        if (args.length > 2) args(2).asInstanceOf[Lit].v.toString else "*")
       // content-defined chunking: CDC_CHUNKS(col[, min, maskBits, max])
       case "CDC_CHUNKS" =>
         if (args.length == 1) graft.dedup.Cdc.chunks(a0)

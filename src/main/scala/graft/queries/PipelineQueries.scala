@@ -938,6 +938,23 @@ object PipelineQueries {
       s.read.parquet(out)
         .select(col("event_id"), col("user_id"), col("value"))
     }),
+    // -- snapshot diff: added/removed/changed keys between two corpus
+    //    versions derived in-plan (deletions at %7, edits at %5,
+    //    additions at %11 shifted past the id space) — exchanges carry
+    //    (key, fingerprint) pairs, never bodies ---------------------------
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0L)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5L)) === 0L,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(11L)) === 0L)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.core.Overlap.diff(docs, col("doc_id"), col("text"),
+          v2, col("doc_id"), col("text"))
+        .select(col("k").as("doc_id"), col("status"))
+    }),
     // -- delivery manifest: shard-set integrity totals (row count + the
     //    order-insensitive XOR content checksum) — the oracle recomputes
     //    both straight from the table, so the write→scan→manifest chain
@@ -3364,6 +3381,22 @@ object PipelineQueries {
                   token, cnt
            FROM c""",
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
+      "q_corpus_diff" ->
+        """WITH a AS (SELECT doc_id, text FROM documents),
+           b AS (SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                        ELSE text END AS text
+                 FROM documents WHERE doc_id % 7 <> 0
+                 UNION ALL
+                 SELECT doc_id + 1000000, text FROM documents
+                 WHERE doc_id % 11 = 0),
+           j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                   END AS status
+                 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+           SELECT doc_id, status FROM j WHERE status IS NOT NULL""",
       "q_store_manifest" ->
         """SELECT count(*) AS n_rows,
              bit_xor(('0x' || substr(md5(

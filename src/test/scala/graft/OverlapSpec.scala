@@ -57,6 +57,20 @@ class OverlapSpec extends SparkSpec {
       same.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("diff classifies added/removed/changed; unchanged rows vanish") {
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("id", "c")
+    val b = Seq((1L, "one"), (2L, "TWO!"), (4L, "four"), (9L, "nine"))
+      .toDF("id", "c")
+    val d = Overlap.diff(a, col("id"), col("c"), b, col("id"), col("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 9L -> "added"),
+      d.toString)
+    // identical versions diff to nothing
+    assert(Overlap.diff(a, col("id"), col("c"), a, col("id"), col("c"))
+      .count() == 0L)
+  }
+
   test("madOutliers flags exactly the |x-med| > k*MAD rows; constant " +
       "group flags nothing") {
     // group g: values 1..9 plus a 100 spike → med 5, deviations

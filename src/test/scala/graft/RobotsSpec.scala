@@ -61,6 +61,22 @@ class RobotsSpec extends SparkSpec {
     assert(allowed("/b/x", twoGroups))          // other group's rule
   }
 
+  test("dialect ROBOTS_ALLOWED routes with and without the agent arg") {
+    val df = Seq(("/private/x", standard), ("/open/x", standard))
+      .toDF("p", "r")
+    val out = graft.piglatin.PigScript.run(spark,
+      """b = FOREACH a GENERATE p,
+        |    ROBOTS_ALLOWED(p, r, 'graftbot') AS ours,
+        |    ROBOTS_ALLOWED(p, r) AS star;
+        |""".stripMargin, tables = Map("a" -> df))
+      .relation("b").orderBy("p").collect()
+    // graftbot: /open allowed, /private denied; *: no such group in
+    // `standard` (OtherBot + GraftBot only) → everything allowed
+    assert(out(0).getString(0) == "/open/x" && out(0).getBoolean(1))
+    assert(!out(1).getBoolean(1))
+    assert(out(0).getBoolean(2) && out(1).getBoolean(2))
+  }
+
   test("null path or robots body allows (absent robots = fetchable)") {
     val df = Seq((null.asInstanceOf[String], standard),
       ("/private/x", null.asInstanceOf[String]))
