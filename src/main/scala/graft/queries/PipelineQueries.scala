@@ -120,7 +120,10 @@ object PipelineQueries {
   private val robotsPolicies: Seq[Seq[(Boolean, String)]] = Seq(
     Seq((false, "/private"), (true, "/private/pub"), (false, "/tmp")),
     Seq((false, "/")),
-    Seq.empty,
+    // the /doc rule never matches q_robots's planted paths (kept
+    // effectively empty there) but gates the crawl pipeline's mirror
+    // links (q_crawl_pipeline)
+    Seq((false, "/doc")),
     Seq((true, "/a"), (false, "/a"), (false, "/a/b")))
 
   /** Hostile-but-valid robots.txt body for a policy: a decoy deny-all
@@ -937,6 +940,49 @@ object PipelineQueries {
         .storeZOrdered(out, Seq("user_id", "value"), bits = 8)
       s.read.parquet(out)
         .select(col("event_id"), col("user_id"), col("value"))
+    }),
+    // -- the crawl layer end-to-end as ONE plan: WARC archive → HTML
+    //    link extraction → URL canonicalization → host blocklist →
+    //    per-host robots gate. The WARC leg is byte-identity; the
+    //    planted mirror hrefs are already canonical (lowercase host, no
+    //    port/tracker/fragment), so the oracle replays extraction
+    //    directly while the ENGINE still runs the full canon pass. ------
+    "q_crawl_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val out = "/root/repo/target/graft-data/crawl_docs"
+      graft.sources.Warc.write(
+        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("page")),
+        out, uri = concat(lit("urn:graft:doc:"), col("doc_id")),
+        payload = col("page"), gzip = true)
+      val pages = graft.sources.Warc.read(s, out).select(
+        regexp_extract(col("target_uri"), "(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("content").cast("string").as("page"))
+      val links = pages
+        .select(col("doc_id"),
+          explode(graft.text.Html.links(col("page"))).as("href"))
+        .where(graft.text.Html.urlHost(col("href")) =!= "")
+        .select(col("doc_id"),
+          graft.text.Url.canonicalizeUrl(col("href")).as("url"))
+        .select(col("doc_id"),
+          graft.text.Html.urlHost(col("url")).as("host"),
+          regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://[^/]+(/.*)$", 1)
+            .as("path"))
+      val blocklist = Seq("mirror0.example.org", "mirror3.example.org",
+        "spam.example.net").toDF("bad_host")
+      val unblocked = graft.text.Html.filterByHostBlocklist(
+        links, col("host"), blocklist, "bad_host")
+      val policies = robotsPolicies.zipWithIndex
+        .map { case (r, i) => (i.toLong, robotsTextFor(r)) }
+        .toDF("pid", "robots")
+      unblocked
+        .withColumn("pid", pmod(
+          regexp_extract(col("host"), "mirror(\\d+)", 1).cast("long"),
+          lit(4L)))
+        .join(broadcast(policies), "pid")
+        .select(col("doc_id"), col("host"), col("path"),
+          graft.text.Robots.isAllowed(col("path"), col("robots"),
+            "graftbot").as("fetchable"))
     }),
     // -- snapshot diff: added/removed/changed keys between two corpus
     //    versions derived in-plan (deletions at %7, edits at %5,
@@ -3381,6 +3427,37 @@ object PipelineQueries {
                   token, cnt
            FROM c""",
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
+      "q_crawl_pipeline" -> {
+        val ruleRows = robotsPolicies.zipWithIndex.flatMap {
+          case (rules, pid) => rules.map { case (allow, p) =>
+            s"($pid, $allow, '$p')" } }
+        s"""WITH h AS (SELECT doc_id, $htmlPlantSql AS page FROM documents),
+           l AS (SELECT doc_id, unnest(regexp_extract_all(page,
+                 '(?is)<a\\b[^>]*?href\\s*=\\s*["'']([^"'']*)["'']', 1))
+                 AS href FROM h),
+           ho AS (SELECT doc_id, lower(regexp_extract(href,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                 regexp_extract(href,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)$$', 1) AS path
+                 FROM l),
+           ub AS (SELECT * FROM ho WHERE host <> ''
+                  AND host NOT IN ('mirror0.example.org',
+                    'mirror3.example.org', 'spam.example.net')),
+           up AS (SELECT doc_id, host, path,
+                   CAST(regexp_extract(host, 'mirror(\\d+)', 1) AS BIGINT)
+                     % 4 AS pid FROM ub),
+           rules(pid, allow, rpath) AS (VALUES ${ruleRows.mkString(", ")}),
+           m AS (SELECT up.doc_id, up.host, r.allow,
+                   row_number() OVER (PARTITION BY up.doc_id, up.host
+                     ORDER BY len(r.rpath) DESC, r.allow DESC) AS rn
+                 FROM up JOIN rules r ON up.pid = r.pid
+                   AND starts_with(up.path, r.rpath)),
+           b AS (SELECT doc_id, host, allow FROM m WHERE rn = 1)
+           SELECT up.doc_id, up.host, up.path,
+                  coalesce(b.allow, true) AS fetchable
+           FROM up LEFT JOIN b
+             ON up.doc_id = b.doc_id AND up.host = b.host"""
+      },
       "q_corpus_diff" ->
         """WITH a AS (SELECT doc_id, text FROM documents),
            b AS (SELECT doc_id,

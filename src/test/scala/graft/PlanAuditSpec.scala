@@ -118,6 +118,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("q_crawl_pipeline: the blocklist anti-join and the policy join " +
+      "both broadcast — the link frontier is never hash-exchanged") {
+    val df = SparkEntry.queries("q_crawl_pipeline")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
+  test("q_temperature_sample: the rate table joins by broadcast — the " +
+      "corpus is never hash-exchanged") {
+    val df = SparkEntry.queries("q_temperature_sample")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
+  test("q_outliers: both stat joins broadcast; corpus rows are never " +
+      "shuffled (only (group, partial) aggregation exchanges)") {
+    val df = SparkEntry.queries("q_outliers")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
   test("q_kmeans: assignment with centroid literals is map-only — no " +
       "Exchange, no Join (training is the bounded driver-side sample)") {
     val plan = planOf("q_kmeans")
