@@ -238,6 +238,15 @@ object Ast {
   final case class TopFracStmt(alias: String, in: String, strata: String,
                                pct: Int, scoreField: String,
                                keyFields: Seq[String]) extends Stmt
+  /** `b = OUTLIERS a BY grp ON x [K 3.0];` — robust per-group
+    * median/MAD anomaly flag (appends `is_outlier`). */
+  final case class OutliersStmt(alias: String, in: String, strata: String,
+                                valueField: String, k: Double) extends Stmt
+  /** `d = DIFF a, b BY id ON content;` — snapshot diff: (k, status ∈
+    * added|removed|changed) between two corpus versions. */
+  final case class DiffStmt(alias: String, inA: String, inB: String,
+                            keyField: String,
+                            contentField: String) extends Stmt
   /** `b = SCORE a BY id, text [WITH weights] USING classifier(labels=y,
     * buckets=1024)` — margin + prediction per doc under a trained
     * linear model: WITH applies a previously-computed (bucket, w)

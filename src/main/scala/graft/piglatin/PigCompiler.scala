@@ -1383,6 +1383,16 @@ class PigCompiler(spark: SparkSession) {
       env(a) = Rel(() => graft.core.Pipe(df)
         .temperatureSampleByHash(col(strata), alpha, keys.map(col): _*).df)
 
+    case OutliersStmt(a, in, g, v, k) =>
+      val df = relation(in)
+      env(a) = Rel(() => graft.core.Pipe(df)
+        .madOutliers(col(g), col(v), k).df)
+
+    case DiffStmt(a, ia, ib, keyF, contentF) =>
+      val (dfa, dfb) = (relation(ia), relation(ib))
+      env(a) = Rel(() => graft.core.Overlap.diff(
+        dfa, col(keyF), col(contentF), dfb, col(keyF), col(contentF)))
+
     case TopFracStmt(a, in, strata, pct, scoreF, keys) =>
       val df = relation(in)
       env(a) = Rel(() => graft.core.Pipe(df)

@@ -577,6 +577,20 @@ object PigParser extends RegexParsers {
       case a ~ in ~ f ~ p ~ sc ~ ks =>
         TopFracStmt(a, in, f, p.toDouble.toInt, sc, ks) }
 
+  /** `b = OUTLIERS a BY grp ON x [K 3.0];` (graft dialect). */
+  private def outliersStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("outliers")) ~ ident ~
+      (kw("by") ~> ident) ~ (kw("on") ~> ident) ~
+      opt(kw("k") ~> number) ^^ {
+      case a ~ in ~ g ~ v ~ k =>
+        OutliersStmt(a, in, g, v, k.map(_.toDouble).getOrElse(3.0)) }
+
+  /** `d = DIFF a, b BY id ON content;` (graft dialect). */
+  private def diffStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("diff")) ~ ident ~ ("," ~> ident) ~
+      (kw("by") ~> ident) ~ (kw("on") ~> ident) ^^ {
+      case a ~ ia ~ ib ~ k ~ c => DiffStmt(a, ia, ib, k, c) }
+
   /** `b = CLUSTER a BY vec INTO 8 [USING kmeans(iters=10, seed=42,
     * sample=2048)];` (graft dialect) — k-means topic/domain clustering
     * over an embedding column. */
@@ -614,7 +628,8 @@ object PigParser extends RegexParsers {
      zipStmt | cacheStmt | delayStmt | skylineStmt | visualizeStmt |
      dedupStmt | qualityStmt | tokenizeStmt | decontaminateStmt |
      packStmt | splitHashStmt | scoreStmt | profileStmt | heavyStmt |
-     clusterStmt | temperatureStmt | topFracStmt | pageRankStmt | ccStmt |
+     clusterStmt | temperatureStmt | topFracStmt | outliersStmt |
+     diffStmt | pageRankStmt | ccStmt |
      setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

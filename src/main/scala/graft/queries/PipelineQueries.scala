@@ -111,6 +111,47 @@ object PipelineQueries {
     "hash join", "join", "ash jo", "scan slow", "slow", "merge sort",
     "table value", "value", "spark sql xyz")
 
+  // ---- shared oracle SQL for api + dialect twins -----------------------------
+  private val outliersOracleSql =
+    """WITH m AS (SELECT doc_id, lang, n_chars,
+         median(n_chars) OVER (PARTITION BY lang) AS med
+       FROM documents),
+       d AS (SELECT *, median(abs(n_chars - med))
+               OVER (PARTITION BY lang) AS mad
+             FROM m)
+       SELECT doc_id, lang, n_chars FROM d
+       WHERE abs(n_chars - med) > 2.0 * mad"""
+
+  private val corpusDiffOracleSql =
+    """WITH a AS (SELECT doc_id, text FROM documents),
+       b AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                    ELSE text END AS text
+             FROM documents WHERE doc_id % 7 <> 0
+             UNION ALL
+             SELECT doc_id + 1000000, text FROM documents
+             WHERE doc_id % 11 = 0),
+       j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+               END AS status
+             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       SELECT doc_id, status FROM j WHERE status IS NOT NULL"""
+
+  /** The derived second corpus version q_corpus_diff / q_pig_diff diff
+    * against: deletions at %7, edits at %5, additions at %11 shifted
+    * past the id space — ONE derivation for both twins. */
+  private def diffV2(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.where(pmod(col("doc_id"), lit(7L)) =!= 0L)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))
+          .as("text"))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(11L)) === 0L)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+
   // ---- planted robots policies (q_robots) -----------------------------------
   /** Rule constants shared by the planted robots.txt bodies (engine
     * side) and the oracle's VALUES table: per policy, (allow, path)
@@ -990,16 +1031,25 @@ object PipelineQueries {
     //    (key, fingerprint) pairs, never bodies ---------------------------
     "q_corpus_diff" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val v2 = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0L)
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(5L)) === 0L,
-            concat(col("text"), lit(" v2"))).otherwise(col("text"))
-            .as("text"))
-        .unionByName(docs.where(pmod(col("doc_id"), lit(11L)) === 0L)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       graft.core.Overlap.diff(docs, col("doc_id"), col("text"),
-          v2, col("doc_id"), col("text"))
+          diffV2(docs), col("doc_id"), col("text"))
         .select(col("k").as("doc_id"), col("status"))
+    }),
+    // -- the same two audits from the dialect (OUTLIERS / DIFF
+    //    statements), riding the identical oracles ------------------------
+    "q_pig_outliers" -> ((s, dir) =>
+      graft.piglatin.PigScript.query(s,
+        """o = OUTLIERS d BY lang ON n_chars K 2.0;
+           b = FILTER o BY is_outlier;
+           r = FOREACH b GENERATE doc_id, lang, n_chars;""",
+        "r", tables = Map("d" -> t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))))),
+    "q_pig_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.piglatin.PigScript.query(s,
+        """x = DIFF a, b BY doc_id ON text;
+           r = FOREACH x GENERATE k AS doc_id, status;""",
+        "r", tables = Map("a" -> docs, "b" -> diffV2(docs)))
     }),
     // -- delivery manifest: shard-set integrity totals (row count + the
     //    order-insensitive XOR content checksum) — the oracle recomputes
@@ -3458,22 +3508,8 @@ object PipelineQueries {
            FROM up LEFT JOIN b
              ON up.doc_id = b.doc_id AND up.host = b.host"""
       },
-      "q_corpus_diff" ->
-        """WITH a AS (SELECT doc_id, text FROM documents),
-           b AS (SELECT doc_id,
-                   CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
-                        ELSE text END AS text
-                 FROM documents WHERE doc_id % 7 <> 0
-                 UNION ALL
-                 SELECT doc_id + 1000000, text FROM documents
-                 WHERE doc_id % 11 = 0),
-           j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-                   CASE WHEN a.doc_id IS NULL THEN 'added'
-                        WHEN b.doc_id IS NULL THEN 'removed'
-                        WHEN md5(a.text) <> md5(b.text) THEN 'changed'
-                   END AS status
-                 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
-           SELECT doc_id, status FROM j WHERE status IS NOT NULL""",
+      "q_pig_diff" -> corpusDiffOracleSql,
+      "q_corpus_diff" -> corpusDiffOracleSql,
       "q_store_manifest" ->
         """SELECT count(*) AS n_rows,
              bit_xor(('0x' || substr(md5(
@@ -3513,15 +3549,8 @@ object PipelineQueries {
                          (SELECT count(*) FROM b) - c.n_common AS DOUBLE)
                     AS jaccard
            FROM c""",
-      "q_outliers" ->
-        """WITH m AS (SELECT doc_id, lang, n_chars,
-             median(n_chars) OVER (PARTITION BY lang) AS med
-           FROM documents),
-           d AS (SELECT *, median(abs(n_chars - med))
-                   OVER (PARTITION BY lang) AS mad
-                 FROM m)
-           SELECT doc_id, lang, n_chars FROM d
-           WHERE abs(n_chars - med) > 2.0 * mad""",
+      "q_outliers" -> outliersOracleSql,
+      "q_pig_outliers" -> outliersOracleSql,
       "q_curation_v3" ->
         """WITH r AS (SELECT doc_id, lang, n_chars,
              row_number() OVER (PARTITION BY lang
