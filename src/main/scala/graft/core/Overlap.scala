@@ -30,8 +30,13 @@ object Overlap {
     da.agg(count(lit(1)).as("n_a"))
       .crossJoin(db.agg(count(lit(1)).as("n_b")))   // 1-row stat frames
       .crossJoin(common)
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      // union = 0 ⇔ both inputs empty/all-null: define jaccard as 0.0
+      // (ANSI mode would otherwise raise DIVIDE_BY_ZERO) — the sketch()
+      // regime's n_union === 0 guard, mirrored
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_common") === 0, lit(0.0))
+          .otherwise(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double")))
   }
 
   /** Row-level snapshot diff — WHICH keys were added / removed / changed
@@ -40,19 +45,40 @@ object Overlap {
     * content fingerprints: the exchanges carry (key, 32-byte
     * fingerprint) pairs, never document bodies, and unchanged rows —
     * the overwhelming majority of a refresh — are filtered before the
-    * result materializes. Keys must be unique per version (duplicate
-    * keys would multiply through the join). */
+    * result materializes. Keys must be unique per version — a duplicate
+    * key would multiply through the full-outer join and emit phantom
+    * changed/added rows with no error, so by default a bounded
+    * duplicate-key probe (groupBy → count>1 → limit(1), the
+    * [[graft.dedup.Incremental.exactAppend]] discipline — two tiny
+    * actions, the aggregates carry distinct keys only) fails fast with
+    * the offending key. Callers that guarantee unique keys upstream can
+    * pass `validateUniqueKeys = false` to keep the plan fully lazy.
+    * NULL content on a present key diffs null-safely: a NULL↔value flip
+    * is `changed` (`<=>`), never silently `unchanged`. */
   def diff(a: DataFrame, keyA: Column, contentA: Column,
-           b: DataFrame, keyB: Column, contentB: Column): DataFrame = {
+           b: DataFrame, keyB: Column, contentB: Column,
+           validateUniqueKeys: Boolean = true): DataFrame = {
     val da = a.select(keyA.as("k"), md5(contentA.cast("string")).as("fa"))
       .where(col("k").isNotNull)
     val db = b.select(keyB.as("k2"), md5(contentB.cast("string")).as("fb"))
       .where(col("k2").isNotNull)
+    if (validateUniqueKeys) {
+      Seq(("a", da.groupBy(col("k")).count()),
+          ("b", db.groupBy(col("k2")).count())).foreach { case (side, g) =>
+        val dup = g.where(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"Overlap.diff: duplicate key ${dup.headOption.map(_.get(0))} " +
+            s"in side '$side' — keys must be unique per version " +
+            "(duplicates multiply through the full-outer join and emit " +
+            "phantom diff rows); dedup upstream or pass " +
+            "validateUniqueKeys = false if uniqueness is guaranteed")
+      }
+    }
     da.join(db, col("k") === col("k2"), "full_outer")
       .select(coalesce(col("k"), col("k2")).as("k"),
         when(col("k").isNull, "added")
           .when(col("k2").isNull, "removed")
-          .when(col("fa") =!= col("fb"), "changed").as("status"))
+          .when(!(col("fa") <=> col("fb")), "changed").as("status"))
       .where(col("status").isNotNull)
   }
 

@@ -155,28 +155,51 @@ final case class Pipe(df: DataFrame) {
   /** Robust per-group outlier detection (median/MAD, not mean/σ — one
     * pathological document would drag a mean-based gate): flags rows
     * with |x − median_g| > k·MAD_g. The per-group medians and MADs are
-    * tiny aggregates (exact `percentile` — partial-agg shuffles (group,
-    * partial) pairs, never rows) re-attached by bounded broadcasts, so
-    * the corpus itself is never exchanged — narrow scans only. With an
-    * integer-valued column the medians land on .0/.5 halves: exact in
-    * doubles, so the flag boundary is cross-engine deterministic.
+    * tiny aggregates re-attached by bounded null-safe broadcasts (a
+    * NULL-group stats row exists and `<=>` matches it, so null-group
+    * rows pass through flagged like any other group), so the corpus
+    * itself is never exchanged — narrow scans only.
+    *
+    * Two percentile regimes, the Profile/Overlap exact-vs-sketch split:
+    *
+    *  - `approx = false` (default, oracle-replayable): exact
+    *    `percentile`. PRECONDITION — its aggregation state buffers the
+    *    per-group (value → count) multiset, so the column must have a
+    *    bounded DISTINCT domain (integer-ish scores like n_chars: state
+    *    ∝ distinct values, fine at any row count). On a continuous
+    *    double column a single giant group's state approaches the group
+    *    itself. With an integer-valued column the medians land on .0/.5
+    *    halves: exact in doubles, so the flag boundary is cross-engine
+    *    deterministic.
+    *  - `approx = true` (continuous domains / 100 TB posture):
+    *    `approx_percentile` — bounded KLL-style sketch state per group
+    *    regardless of domain, at the cost of rank error ≤ 1/accuracy.
+    *    Flags near the k·MAD boundary can differ from exact; margins
+    *    larger than the rank error cannot.
+    *
     * MAD_g = 0 (constant group) flags any deviation, k·0 = 0. */
   def madOutliers(group: Column, value: Column, k: Double = 3.0,
-                  flagCol: String = "is_outlier"): Pipe = {
+                  flagCol: String = "is_outlier",
+                  approx: Boolean = false,
+                  accuracy: Int = 10000): Pipe = {
     require(k > 0, s"madOutliers: k must be > 0, got $k")
+    require(accuracy > 0, s"madOutliers: accuracy must be > 0, got $accuracy")
     val clash = df.columns.toSet.intersect(Set("__grp", "__med", "__mad"))
     require(clash.isEmpty && !df.columns.contains(flagCol),
       s"madOutliers: input already has reserved column(s) " +
         (clash + flagCol).mkString(", "))
     val g = group.cast(org.apache.spark.sql.types.StringType)
     val v = value.cast(org.apache.spark.sql.types.DoubleType)
+    def median(c: Column): Column =
+      if (approx) approx_percentile(c, lit(0.5), lit(accuracy))
+      else percentile(c, lit(0.5))
     val med = df.groupBy(g.as("__grp"))
-      .agg(percentile(v, lit(0.5)).as("__med"))
-    val withMed = df.join(broadcast(med), g === col("__grp"))
+      .agg(median(v).as("__med"))
+    val withMed = df.join(broadcast(med), g <=> col("__grp"))
     val mad = withMed.groupBy(col("__grp"))
-      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+      .agg(median(abs(v - col("__med"))).as("__mad"))
       .withColumnRenamed("__grp", "__grp2")
-    Pipe(withMed.join(broadcast(mad), col("__grp") === col("__grp2"))
+    Pipe(withMed.join(broadcast(mad), col("__grp") <=> col("__grp2"))
       .withColumn(flagCol, abs(v - col("__med")) > lit(k) * col("__mad"))
       .drop("__grp", "__grp2", "__med", "__mad"))
   }
@@ -244,11 +267,15 @@ final case class Pipe(df: DataFrame) {
     // group keeps floor(100·(n_min/n)^(1−α))% — kept mass ∝ n^α. ONE pow
     // on the ratio (not n^α·n_min^(1−α)/n): the smallest group's ratio is
     // exactly 1.0, so its rate is exactly 100 — no fp 99-vs-100 flip, and
-    // the oracle replays the identical expression
+    // the oracle replays the identical expression. Rate clamped to ≥1:
+    // a group >100^(1/(1−α))× the smallest would floor to 0% and be
+    // silently DELETED, inverting the n^α "keep everything, reweight"
+    // intent — the head of the corpus must survive rebalancing.
     val rates = counts
       .withColumn("__t", min(col("__n")).over(wAll))
       .select(col("__grp"),
-        floor(lit(100.0) * pow(col("__t") / col("__n"), 1.0 - alpha))
+        greatest(lit(1L),
+          floor(lit(100.0) * pow(col("__t") / col("__n"), 1.0 - alpha)))
           .cast(org.apache.spark.sql.types.IntegerType).as("__pct"))
     Pipe(df
       .join(broadcast(rates),

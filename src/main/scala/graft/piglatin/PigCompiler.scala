@@ -238,6 +238,9 @@ class PigCompiler(spark: SparkSession) {
         if (args.length > 2) args(2).asInstanceOf[Lit].v.toString else "*")
       // content-defined chunking: CDC_CHUNKS(col[, min, maskBits, max])
       case "CDC_CHUNKS" =>
+        require(args.length == 1 || args.length == 4,
+          s"CDC_CHUNKS takes (col) or (col, min, maskBits, max) — " +
+            s"got ${args.length} argument(s)")
         if (args.length == 1) graft.dedup.Cdc.chunks(a0)
         else graft.dedup.Cdc.chunks(a0,
           args(1).asInstanceOf[Lit].v.toString.toInt,

@@ -134,7 +134,8 @@ object PipelineQueries {
        j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
                CASE WHEN a.doc_id IS NULL THEN 'added'
                     WHEN b.doc_id IS NULL THEN 'removed'
-                    WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                    WHEN md5(a.text) IS DISTINCT FROM md5(b.text)
+                      THEN 'changed'
                END AS status
              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
        SELECT doc_id, status FROM j WHERE status IS NOT NULL"""
@@ -3561,8 +3562,8 @@ object PipelineQueries {
                    WHERE rk * 100 <= n * 50 + 99),
            c AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
                  FROM top GROUP BY lang),
-           rt AS (SELECT grp, CAST(floor(CAST(100.0 AS DOUBLE) *
-                    pow((SELECT min(n) FROM c) / n, 0.5)) AS INT) AS pct
+           rt AS (SELECT grp, CAST(greatest(1, floor(CAST(100.0 AS DOUBLE) *
+                    pow((SELECT min(n) FROM c) / n, 0.5))) AS INT) AS pct
                   FROM c),
            sel AS (SELECT t.doc_id, t.lang FROM top t
                    JOIN rt ON t.lang = rt.grp
@@ -3576,8 +3577,8 @@ object PipelineQueries {
       "q_pig_temperature" ->
         """WITH c AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
                       FROM documents GROUP BY lang),
-           r AS (SELECT grp, CAST(floor(CAST(100.0 AS DOUBLE) *
-                   pow((SELECT min(n) FROM c) / n, 0.5)) AS INT) AS pct
+           r AS (SELECT grp, CAST(greatest(1, floor(CAST(100.0 AS DOUBLE) *
+                   pow((SELECT min(n) FROM c) / n, 0.5))) AS INT) AS pct
                  FROM c)
            SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.grp
            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100
@@ -3603,8 +3604,8 @@ object PipelineQueries {
       "q_temperature_sample" ->
         """WITH c AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
                       FROM documents GROUP BY lang),
-           r AS (SELECT grp, CAST(floor(CAST(100.0 AS DOUBLE) *
-                   pow((SELECT min(n) FROM c) / n, 0.5)) AS INT) AS pct
+           r AS (SELECT grp, CAST(greatest(1, floor(CAST(100.0 AS DOUBLE) *
+                   pow((SELECT min(n) FROM c) / n, 0.5))) AS INT) AS pct
                  FROM c)
            SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.grp
            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100
