@@ -6,19 +6,34 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** robots.txt crawl-policy evaluation (RFC 9309 core subset): is `path`
-  * fetchable for `agent` under `robotsTxt`?
+/** robots.txt crawl-policy evaluation (RFC 9309): is `path` fetchable
+  * for `agent` under `robotsTxt`?
   *
   * Parsing: line-oriented, `#` comments stripped, keys case-insensitive,
   * a GROUP is one or more consecutive `User-agent` lines followed by its
   * `Allow`/`Disallow` rules (a `User-agent` line after rules starts a
   * new group — the RFC grouping). Group selection: exact agent-token
   * match (case-insensitive) if present, else the `*` group, else
-  * everything is allowed. Decision: the longest-path rule that prefix-
-  * matches wins; at equal length Allow wins; no matching rule allows.
-  * Empty `Disallow:` (allow-all idiom) contributes no rule. Literal
-  * prefixes only — `*`/`$` pattern rules are out of the v1 contract
-  * (documented; the reference crawl layer has no robots support at all).
+  * everything is allowed. Empty `Disallow:` (allow-all idiom)
+  * contributes no rule.
+  *
+  * Rule patterns implement RFC 9309 §2.2.3 special characters:
+  * `*` matches any run of characters (including `/`); a single `$` at
+  * the END of the pattern anchors the match to the end of the path
+  * (anywhere else `$` is a literal octet, the reference-parser
+  * behavior); without `$` the pattern matches any path it is a
+  * wildcard-prefix of. Decision: the MOST SPECIFIC matching rule wins,
+  * specificity = octet length of the pattern as written (wildcards and
+  * the anchor count — the robots.txt author's longer pattern is the
+  * more deliberate one, the de-facto-standard priority); at equal
+  * length Allow wins; no matching rule allows.
+  *
+  * Patterns are compiled ONCE at parse time into `*`-split segment
+  * arrays; matching is the classic greedy glob walk (first segment
+  * anchored with startsWith, middles placed leftmost with indexOf, an
+  * anchored tail checked with endsWith + a no-overlap position bound) —
+  * no regex engine, no backtracking blowup, O(|path|·segments) worst
+  * case per rule.
   *
   * Per-host robots bodies repeat across a url table, so parses are
   * memoized per executor (bounded map keyed by the body, cleared at
@@ -32,14 +47,53 @@ case class RobotsAllowedExpr(path: Expression, robotsTxt: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "graft_robots_allowed"
 
-  // (allow?, path) rules for the selected agent group
-  @transient private lazy val cache =
-    new java.util.HashMap[String, Array[(Boolean, String)]]()
+  /** One compiled rule: `len` is the specificity (pattern octets as
+    * written), `segs` the `*`-split literal segments of the pattern
+    * body (anchor stripped), `anchored` whether a trailing `$` pinned
+    * the pattern to the path end. */
+  private case class Rule(allow: Boolean, len: Int,
+                          segs: Array[String], anchored: Boolean)
 
-  private def parse(txt: String): Array[(Boolean, String)] = {
+  @transient private lazy val cache =
+    new java.util.HashMap[String, Array[Rule]]()
+
+  private def compile(allow: Boolean, pattern: String): Rule = {
+    val anchored = pattern.endsWith("$")
+    val body = if (anchored) pattern.dropRight(1) else pattern
+    // split keeps empty segments ("*a" -> ["", "a"], "a*" -> ["a", ""]):
+    // empties match trivially and keep the walk uniform
+    Rule(allow, pattern.length, body.split("\\*", -1), anchored)
+  }
+
+  /** Does the compiled pattern match `path` (wildcard-prefix unless
+    * anchored, full-suffix pin when anchored)? */
+  private def matches(path: String, r: Rule): Boolean = {
+    val segs = r.segs
+    if (segs.length == 1) {
+      // no '*': plain prefix, or exact match when anchored
+      if (r.anchored) path == segs(0) else path.startsWith(segs(0))
+    } else {
+      if (!path.startsWith(segs(0))) return false
+      var pos = segs(0).length
+      val lastFloating = if (r.anchored) segs.length - 1 else segs.length
+      var i = 1
+      while (i < lastFloating) {
+        val idx = path.indexOf(segs(i), pos)
+        if (idx < 0) return false
+        pos = idx + segs(i).length
+        i += 1
+      }
+      if (r.anchored) {
+        val last = segs(segs.length - 1)
+        path.endsWith(last) && path.length - last.length >= pos
+      } else true
+    }
+  }
+
+  private def parse(txt: String): Array[Rule] = {
     val groups = scala.collection.mutable.ArrayBuffer
       .empty[(scala.collection.mutable.ArrayBuffer[String],
-              scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+              scala.collection.mutable.ArrayBuffer[Rule])]
     var inAgents = false
     txt.split("\r?\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -58,7 +112,7 @@ case class RobotsAllowedExpr(path: Expression, robotsTxt: Expression,
           case "allow" | "disallow" =>
             inAgents = false
             if (groups.nonEmpty && value.nonEmpty)
-              groups.last._2 += ((key == "allow", value))
+              groups.last._2 += compile(key == "allow", value)
           case _ => // crawl-delay, sitemap, unknown keys: ignored
         }
       }
@@ -85,13 +139,12 @@ case class RobotsAllowedExpr(path: Expression, robotsTxt: Expression,
     var bestAllow = true
     var i = 0
     while (i < rules.length) {
-      val (allow, rp) = rules(i)
-      if (u.startsWith(rp)) {
-        if (rp.length > bestLen ||
-            (rp.length == bestLen && allow && !bestAllow)) {
-          bestLen = rp.length
-          bestAllow = allow
-        }
+      val r = rules(i)
+      // specificity prune before the walk: a shorter pattern can't win
+      if ((r.len > bestLen || (r.len == bestLen && r.allow && !bestAllow))
+          && matches(u, r)) {
+        bestLen = r.len
+        bestAllow = r.allow
       }
       i += 1
     }

@@ -155,10 +155,17 @@ object PipelineQueries {
 
   // ---- planted robots policies (q_robots) -----------------------------------
   /** Rule constants shared by the planted robots.txt bodies (engine
-    * side) and the oracle's VALUES table: per policy, (allow, path)
+    * side) and the oracle's VALUES table: per policy, (allow, pattern)
     * pairs for the `graftbot` group. Policy 1 denies everything,
     * policy 2 has an empty group (allow-all), policies 0/3 exercise
-    * longest-prefix override and the equal-length Allow-wins tie. */
+    * longest-prefix override and the equal-length Allow-wins tie.
+    * Policies 4/5 exercise RFC 9309 §2.2.3 special characters: `*`
+    * mid-pattern wildcards (the slash-star `?sid=` session-id class a
+    * literal-prefix matcher silently ALLOWS) and trailing-`$` anchors,
+    * each against shorter literal decoys the wildcard must outrank.
+    * q_crawl_pipeline keeps pids 0–3 (mirror hosts mod 4), so its
+    * starts_with oracle replay stays valid; the wildcard policies are
+    * exercised by q_robots (pid = doc_id mod 6). */
   private val robotsPolicies: Seq[Seq[(Boolean, String)]] = Seq(
     Seq((false, "/private"), (true, "/private/pub"), (false, "/tmp")),
     Seq((false, "/")),
@@ -166,7 +173,13 @@ object PipelineQueries {
     // effectively empty there) but gates the crawl pipeline's mirror
     // links (q_crawl_pipeline)
     Seq((false, "/doc")),
-    Seq((true, "/a"), (false, "/a"), (false, "/a/b")))
+    Seq((true, "/a"), (false, "/a"), (false, "/a/b")),
+    // wildcards: deny any session-id URL and /p/<x>/tmp/ subtrees, but
+    // a bare "/p" allow catches everything else under /p
+    Seq((false, "/*?sid="), (true, "/p"), (false, "/p/*/tmp/")),
+    // anchors: deny .exe downloads (but not .exe.txt), deny the exact
+    // /logout page (but not /logout/<x>), allow /dl/ otherwise
+    Seq((false, "/dl/*.exe$"), (true, "/dl/"), (false, "/logout$")))
 
   /** Hostile-but-valid robots.txt body for a policy: a decoy deny-all
     * group for another agent, mixed-case keys, comments, blank and
@@ -180,9 +193,13 @@ object PipelineQueries {
       "Disallow:" :+ "Crawl-delay: 5").mkString("\n")
   }
 
-  /** Planted url path per doc, cycling every decision class the four
-    * policies distinguish. ONE (Column, SQL) list — engine and oracle
-    * cannot drift. */
+  /** Planted url path per doc, cycling every decision class the six
+    * policies distinguish — including the wildcard classes (session-id
+    * query strings, nested /tmp/ subtrees) and the anchor classes
+    * (.exe vs .exe.txt suffixes, exact-page vs subtree logout). 13
+    * variants: coprime with the 6 policies, so doc_id cycling covers
+    * every (policy, path-class) combination. ONE (Column, SQL) list —
+    * engine and oracle cannot drift. */
   private val robotsPathVariants: Seq[(org.apache.spark.sql.Column, String)] =
     Seq(
       (concat(lit("/private/pub/"), col("doc_id")),
@@ -192,7 +209,17 @@ object PipelineQueries {
       (lit("/a"), "'/a'"),
       (concat(lit("/a/b/"), col("doc_id")), "'/a/b/' || doc_id"),
       (concat(lit("/open/"), col("doc_id")), "'/open/' || doc_id"),
-      (lit("/"), "'/'"))
+      (lit("/"), "'/'"),
+      (concat(lit("/p/"), col("doc_id"), lit("?sid=9")),
+        "'/p/' || doc_id || '?sid=9'"),
+      (concat(lit("/p/"), col("doc_id"), lit("/tmp/f")),
+        "'/p/' || doc_id || '/tmp/f'"),
+      (concat(lit("/dl/f"), col("doc_id"), lit(".exe")),
+        "'/dl/f' || doc_id || '.exe'"),
+      (concat(lit("/dl/f"), col("doc_id"), lit(".exe.txt")),
+        "'/dl/f' || doc_id || '.exe.txt'"),
+      (lit("/logout"), "'/logout'"),
+      (concat(lit("/logout/"), col("doc_id")), "'/logout/' || doc_id"))
   private def robotsPath: org.apache.spark.sql.Column =
     robotsPathVariants.zipWithIndex.foldRight(
       lit(""): org.apache.spark.sql.Column) { case (((c, _), i), acc) =>
@@ -202,6 +229,22 @@ object PipelineQueries {
     robotsPathVariants.zipWithIndex.map { case ((_, s), i) =>
       s"WHEN doc_id % ${robotsPathVariants.size} = $i THEN $s" }
       .mkString("CASE ", " ", " ELSE '' END")
+
+  /** DuckDB regex replaying one robots rule pattern's RFC 9309 §2.2.3
+    * semantics: `^`-anchored (prefix match), `*` → `.*`, a single
+    * trailing `$` → regex end anchor, everything else escaped literal.
+    * Derived from the SAME pattern constants the planted bodies print,
+    * so engine matcher and oracle replay cannot drift. */
+  private def robotsRegexSql(pattern: String): String = {
+    val anchored = pattern.endsWith("$")
+    val body = if (anchored) pattern.dropRight(1) else pattern
+    val esc = body.flatMap {
+      case '*' => ".*"
+      case c if "\\^$.|?+()[]{}".contains(c) => "\\" + c
+      case c => c.toString
+    }
+    "^" + esc + (if (anchored) "$" else "")
+  }
 
   // ---- planted messy URLs (q_url_canon) -------------------------------------
   /** Deterministic messy URL per doc, cycling through the rule classes
@@ -1075,7 +1118,8 @@ object PipelineQueries {
         .map { case (rules, i) => (i.toLong, robotsTextFor(rules)) }
         .toDF("pid", "robots")
       t(s, dir, "documents")
-        .select(col("doc_id"), pmod(col("doc_id"), lit(4L)).as("pid"),
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(robotsPolicies.size.toLong)).as("pid"),
           robotsPath.as("path"))
         .join(broadcast(policies), "pid")
         .select(col("doc_id"), col("pid"), col("path"),
@@ -3518,17 +3562,20 @@ object PipelineQueries {
                chr(31) || event_type), 1, 15))::BIGINT) AS checksum
            FROM events""",
       "q_robots" -> {
+        // rules carry (specificity = pattern length AS WRITTEN, regex
+        // replay of the §2.2.3 wildcard/anchor semantics) — both derived
+        // from the same shared pattern constants the planted bodies print
         val ruleRows = robotsPolicies.zipWithIndex.flatMap {
           case (rules, pid) => rules.map { case (allow, p) =>
-            s"($pid, $allow, '$p')" } }
-        s"""WITH u AS (SELECT doc_id, doc_id % 4 AS pid,
+            s"($pid, $allow, ${p.length}, '${robotsRegexSql(p)}')" } }
+        s"""WITH u AS (SELECT doc_id, doc_id % ${robotsPolicies.size} AS pid,
                $robotsPathSql AS path FROM documents),
-           rules(pid, allow, rpath) AS (VALUES ${ruleRows.mkString(", ")}),
+           rules(pid, allow, plen, rx) AS (VALUES ${ruleRows.mkString(", ")}),
            m AS (SELECT u.doc_id, r.allow,
                    row_number() OVER (PARTITION BY u.doc_id
-                     ORDER BY len(r.rpath) DESC, r.allow DESC) AS rn
+                     ORDER BY r.plen DESC, r.allow DESC) AS rn
                  FROM u JOIN rules r ON u.pid = r.pid
-                   AND starts_with(u.path, r.rpath)),
+                   AND regexp_matches(u.path, r.rx)),
            b AS (SELECT doc_id, allow FROM m WHERE rn = 1)
            SELECT u.doc_id, u.pid, u.path,
                   coalesce(b.allow, true) AS allowed

@@ -14,8 +14,10 @@ import graft.functions.RobotsAllowedExpr
 object Robots {
 
   /** True when `path` is fetchable for `agent` under `robotsTxt`
-    * (RFC 9309 core: group selection exact-agent-else-`*`, longest
-    * prefix rule wins, Allow wins ties, no-rule and null inputs allow). */
+    * (RFC 9309: group selection exact-agent-else-`*`; rule patterns
+    * with `*` wildcards and a trailing `$` end-anchor per §2.2.3; the
+    * most specific (longest-as-written) matching rule wins, Allow wins
+    * ties, no-rule and null inputs allow). */
   def isAllowed(path: Column, robotsTxt: Column,
                 agent: String = "*"): Column =
     column(RobotsAllowedExpr(expression(path), expression(robotsTxt),

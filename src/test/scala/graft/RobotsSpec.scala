@@ -77,6 +77,54 @@ class RobotsSpec extends SparkSpec {
     assert(out(0).getBoolean(2) && out(1).getBoolean(2))
   }
 
+  test("RFC 9309 wildcards: * matches any run including /, and the " +
+      "session-id class a literal matcher silently allows is denied") {
+    val r = "User-agent: graftbot\nDisallow: /*?sid=\n"
+    assert(!allowed("/page?sid=42", r))
+    assert(!allowed("/a/b/c?sid=", r))           // * spans path segments
+    assert(allowed("/page?id=42", r))            // ?sid= literal required
+    assert(allowed("/sid=", r))                  // needs the '?' octet
+    // multiple wildcards walk left to right
+    val multi = "User-agent: graftbot\nDisallow: /a*/b*/c\n"
+    assert(!allowed("/a1/b2/c", multi))
+    assert(!allowed("/ax/y/bz/w/c3", multi))     // segments found in order
+    assert(allowed("/b/a/c", multi))             // '/a' prefix missing
+    assert(allowed("/a/c/b", multi))             // '/c' after '/b' missing
+  }
+
+  test("$ anchors only at pattern end; mid-pattern $ is a literal") {
+    val r = "User-agent: graftbot\nDisallow: /dl/*.exe$\nAllow: /dl/\n" +
+      "Disallow: /logout$\n"
+    assert(!allowed("/dl/setup.exe", r))         // anchored deny (len 10)
+    assert(allowed("/dl/setup.exe.txt", r))      // anchor fails → /dl/ allow
+    assert(allowed("/dl/readme.md", r))
+    assert(!allowed("/logout", r))               // exact page denied
+    assert(allowed("/logout/extra", r))          // subtree unmatched → allow
+    val midDollar = "User-agent: graftbot\nDisallow: /a$b\n"
+    assert(!allowed("/a$b/c", midDollar))        // $ literal mid-pattern
+    assert(allowed("/ab", midDollar))
+  }
+
+  test("specificity is pattern length as written: a longer wildcard " +
+      "pattern outranks a shorter literal, and vice versa; Allow wins " +
+      "wildcard ties") {
+    // deny /*?sid= (7) vs allow /p (2): wildcard outranks
+    val w = "User-agent: graftbot\nAllow: /p\nDisallow: /*?sid=\n"
+    assert(!allowed("/p/1?sid=9", w))
+    assert(allowed("/p/clean", w))
+    // literal allow LONGER than the wildcard deny wins
+    val l = "User-agent: graftbot\nDisallow: /*?sid=\n" +
+      "Allow: /p/exempt?sid=\n"
+    assert(allowed("/p/exempt?sid=ok", l))
+    // equal-length patterns, one with a wildcard: Allow wins the tie
+    val tie = "User-agent: graftbot\nDisallow: /ab*\nAllow: /a*b\n"
+    assert(allowed("/ab", tie))                  // both match (len 4 each)
+    // trailing-* and bare-prefix behave identically for matching but
+    // the * still counts toward specificity
+    val star = "User-agent: graftbot\nAllow: /q\nDisallow: /q*\n"
+    assert(!allowed("/q/x", star))               // /q* (3) beats /q (2)
+  }
+
   test("null path or robots body allows (absent robots = fetchable)") {
     val df = Seq((null.asInstanceOf[String], standard),
       ("/private/x", null.asInstanceOf[String]))
