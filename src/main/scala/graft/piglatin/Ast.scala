@@ -247,6 +247,34 @@ object Ast {
   final case class DiffStmt(alias: String, inA: String, inB: String,
                             keyField: String,
                             contentField: String) extends Stmt
+  /** `x = ASOF_JOIN l BY k ON ts, r BY k ON rts [TOLERANCE n]
+    * [DIRECTION forward];` — latest right row at-or-before (backward)
+    * or earliest at-or-after (forward) each left row per key; right
+    * payload columns (all but keys + time) join under their own names. */
+  final case class AsofJoinStmt(alias: String, inL: String,
+                                keys: Seq[String], tsL: String,
+                                inR: String, keysR: Seq[String],
+                                tsR: String, tolerance: Option[Long],
+                                direction: String) extends Stmt
+  /** `x = INTERVAL_JOIN p ON pt, i ON lo, hi WIDTH w [BY k1, …]
+    * [INCLUSIVE];` — points into possibly-overlapping ranges via
+    * fixed-width bucket replication (equi-join + exact refine). */
+  final case class IntervalJoinStmt(alias: String, inP: String,
+                                    pCol: String, inI: String,
+                                    loCol: String, hiCol: String,
+                                    width: Long, keys: Seq[String],
+                                    inclusive: Boolean) extends Stmt
+  /** `x = SESSIONIZE a BY key ON ts GAP micros;` — per-event 1-based
+    * session labels, sessions split at gaps > `GAP` (appends
+    * `session_idx`). */
+  final case class SessionizeStmt(alias: String, in: String, key: String,
+                                  ts: String, gapMicros: Long) extends Stmt
+  /** `b = QUOTA_SAMPLE a BY grp TOP k KEY id[, …];` — at most k rows
+    * per group in deterministic md5-hash order (map-side bounded
+    * heaps). */
+  final case class QuotaSampleStmt(alias: String, in: String,
+                                   strata: String, k: Int,
+                                   keyFields: Seq[String]) extends Stmt
   /** `b = SCORE a BY id, text [WITH weights] USING classifier(labels=y,
     * buckets=1024)` — margin + prediction per doc under a trained
     * linear model: WITH applies a previously-computed (bucket, w)

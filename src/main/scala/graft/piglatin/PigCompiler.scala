@@ -496,6 +496,29 @@ class PigCompiler(spark: SparkSession) {
             "('entryField', 'payloadField')")
           graft.sources.Archives.writeTar(df, path,
             col(targs(0)), col(targs(1)))
+        // STORE rel INTO 'dir' USING SortedStorage('c1' [, 'c2' …]
+        // [, '<maxRecordsPerFile>']) — globally-ordered shard export
+        case Some(("SortedStorage", sargs)) =>
+          val (nums, cols) = sargs.partition(_.forall(_.isDigit))
+          require(cols.nonEmpty,
+            "SortedStorage STORE needs ordering column(s)")
+          graft.core.Pipe(df).storeSorted(path, cols.map(col),
+            maxRecordsPerFile = nums.headOption.map(_.toLong).getOrElse(0L))
+        // STORE rel INTO 'dir' USING ZOrderStorage('c1', 'c2' [, …]
+        // [, '<maxRecordsPerFile>']) — multi-column z-order layout
+        case Some(("ZOrderStorage", zargs)) =>
+          val (nums, cols) = zargs.partition(_.forall(_.isDigit))
+          require(cols.nonEmpty,
+            "ZOrderStorage STORE needs layout column(s)")
+          graft.core.Pipe(df).storeZOrdered(path, cols,
+            maxRecordsPerFile = nums.headOption.map(_.toLong).getOrElse(0L))
+        // STORE rel INTO 'dir' USING ManifestStorage(['k1', 'k2' …]
+        // [, '<maxRecordsPerFile>']) — parquet + per-file row counts
+        // and XOR content checksums under path/_manifest
+        case Some(("ManifestStorage", margs)) =>
+          val (nums, cols) = margs.partition(_.forall(_.isDigit))
+          graft.core.Pipe(df).storeWithManifest(path, cols.map(col),
+            maxRecordsPerFile = nums.headOption.map(_.toLong).getOrElse(0L))
         case _ =>
           val (fmt, opts) = storeFormat(loader)
           df.write.mode("overwrite").options(opts).format(fmt).save(path)
@@ -1401,6 +1424,40 @@ class PigCompiler(spark: SparkSession) {
       env(a) = Rel(() => graft.core.Pipe(df)
         .topFracByGroup(col(strata), pct, col(scoreF),
           keys.map(col): _*).df)
+
+    case AsofJoinStmt(a, il, kl, tl, ir, kr, tr, tol, dir) =>
+      require(kl == kr,
+        s"ASOF_JOIN: BY key lists must match on both sides " +
+          s"(got ${kl.mkString(",")} vs ${kr.mkString(",")}) — " +
+          "rename with FOREACH first")
+      val (dfl, dfr) = (relation(il), relation(ir))
+      // right payload = everything but the join keys and the time
+      // column, joined under its own name; collisions with left columns
+      // would silently shadow, so they fail fast
+      val payload = dfr.columns.filterNot(c => kl.contains(c) || c == tr)
+      val clash = payload.toSet.intersect(dfl.columns.toSet)
+      require(clash.isEmpty,
+        s"ASOF_JOIN: right column(s) ${clash.mkString(", ")} collide " +
+          "with the left relation — alias them with FOREACH first")
+      env(a) = Rel(() => graft.temporal.TemporalJoins.asofJoin(
+        dfl, dfr, kl, tl, tr, payload.map(c => c -> c).toMap,
+        direction = dir, toleranceMicros = tol))
+
+    case IntervalJoinStmt(a, ip, pc, ii, lo, hi, w, ks, inc) =>
+      val (dfp, dfi) = (relation(ip), relation(ii))
+      env(a) = Rel(() => graft.temporal.TemporalJoins.intervalJoin(
+        dfp, pc, dfi, lo, hi, bucketWidth = w, keys = ks,
+        inclusiveHi = inc))
+
+    case SessionizeStmt(a, in, k, ts, gap) =>
+      val df = relation(in)
+      env(a) = Rel(() =>
+        graft.temporal.TemporalJoins.sessionize(df, k, ts, gap))
+
+    case QuotaSampleStmt(a, in, strata, k, keys) =>
+      val df = relation(in)
+      env(a) = Rel(() => graft.core.Pipe(df)
+        .quotaSampleByHash(col(strata), k, keys.map(col): _*).df)
 
     case ScoreStmt(a, in, idF, tF, weightsAlias, method, p) =>
       val df = relation(in)

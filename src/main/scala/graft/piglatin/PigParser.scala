@@ -591,6 +591,45 @@ object PigParser extends RegexParsers {
       (kw("by") ~> ident) ~ (kw("on") ~> ident) ^^ {
       case a ~ ia ~ ib ~ k ~ c => DiffStmt(a, ia, ib, k, c) }
 
+  /** `x = ASOF_JOIN l BY k[, …] ON ts, r BY k[, …] ON rts
+    * [TOLERANCE n] [DIRECTION forward];` (graft dialect). */
+  private def asofJoinStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("asof_join")) ~ ident ~
+      (kw("by") ~> rep1sep(ident, ",")) ~ (kw("on") ~> ident) ~
+      ("," ~> ident) ~ (kw("by") ~> rep1sep(ident, ",")) ~
+      (kw("on") ~> ident) ~ opt(kw("tolerance") ~> number) ~
+      opt(kw("direction") ~> ident) ^^ {
+      case a ~ il ~ kl ~ tl ~ ir ~ kr ~ tr ~ tol ~ d =>
+        AsofJoinStmt(a, il, kl, tl, ir, kr, tr,
+          tol.map(_.toDouble.toLong), d.getOrElse("backward").toLowerCase) }
+
+  /** `x = INTERVAL_JOIN p ON pt, i ON lo, hi WIDTH w [BY k1, …]
+    * [INCLUSIVE];` (graft dialect). */
+  private def intervalJoinStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("interval_join")) ~ ident ~
+      (kw("on") ~> ident) ~ ("," ~> ident) ~ (kw("on") ~> ident) ~
+      ("," ~> ident) ~ (kw("width") ~> number) ~
+      opt(kw("by") ~> rep1sep(ident, ",")) ~ opt(kw("inclusive")) ^^ {
+      case a ~ ip ~ pc ~ ii ~ lo ~ hi ~ w ~ ks ~ inc =>
+        IntervalJoinStmt(a, ip, pc, ii, lo, hi, w.toDouble.toLong,
+          ks.getOrElse(Nil), inc.isDefined) }
+
+  /** `x = SESSIONIZE a BY key ON ts GAP micros;` (graft dialect). */
+  private def sessionizeStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("sessionize")) ~ ident ~
+      (kw("by") ~> ident) ~ (kw("on") ~> ident) ~
+      (kw("gap") ~> number) ^^ {
+      case a ~ in ~ k ~ ts ~ g =>
+        SessionizeStmt(a, in, k, ts, g.toDouble.toLong) }
+
+  /** `b = QUOTA_SAMPLE a BY grp TOP k KEY id[, …];` (graft dialect). */
+  private def quotaSampleStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("quota_sample")) ~ ident ~
+      (kw("by") ~> ident) ~ (kw("top") ~> number) ~
+      (kw("key") ~> rep1sep(ident, ",")) ^^ {
+      case a ~ in ~ g ~ k ~ ks =>
+        QuotaSampleStmt(a, in, g, k.toDouble.toInt, ks) }
+
   /** `b = CLUSTER a BY vec INTO 8 [USING kmeans(iters=10, seed=42,
     * sample=2048)];` (graft dialect) — k-means topic/domain clustering
     * over an embedding column. */
@@ -630,6 +669,7 @@ object PigParser extends RegexParsers {
      packStmt | splitHashStmt | scoreStmt | profileStmt | heavyStmt |
      clusterStmt | temperatureStmt | topFracStmt | outliersStmt |
      diffStmt | pageRankStmt | ccStmt |
+     asofJoinStmt | intervalJoinStmt | sessionizeStmt | quotaSampleStmt |
      setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

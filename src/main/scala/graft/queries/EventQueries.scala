@@ -107,6 +107,43 @@ object EventQueries {
           clicks, "p", wins, "lo", "hi",
           bucketWidth = 1800000000L, keys = Seq("user_id"))
         .select(col("win_id"), col("click_id"))
+    }),
+    // -- the same three temporal operators from the dialect (ASOF_JOIN /
+    //    SESSIONIZE / INTERVAL_JOIN statements), riding the identical
+    //    oracles — drop-in script users reach the temporal family ---------
+    "q_pig_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purch_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value").as("purch_value"))
+      graft.piglatin.PigScript.query(s,
+          "x = ASOF_JOIN l BY user_id ON ts, r BY user_id ON p_ts;",
+          "x", tables = Map("l" -> clicks, "r" -> purchases))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("purch_id"), col("purch_value"))
+    }),
+    "q_pig_sessionize" -> ((s, dir) =>
+      graft.piglatin.PigScript.query(s,
+          "x = SESSIONIZE e BY user_id ON ts GAP 1800000000;",
+          "x", tables = Map("e" -> t(s, dir, "events")))
+        .select(col("event_id"), col("user_id"), col("session_idx"))),
+    "q_pig_interval" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("p"))
+      val wins = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("win_id"), col("user_id"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + 1800000000L).as("hi"))
+      graft.piglatin.PigScript.query(s,
+          "x = INTERVAL_JOIN c ON p, w ON lo, hi WIDTH 1800000000 " +
+            "BY user_id;",
+          "x", tables = Map("c" -> clicks, "w" -> wins))
+        .select(col("win_id"), col("click_id"))
     })
   )
 
@@ -239,31 +276,41 @@ object EventQueries {
     // union+running-window formulation — two independent algorithms,
     // same contract. (user_id, ts) is unique in this data, so the pick
     // is well-defined on both sides.
-    "q_asof_join" ->
-      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
-           r.event_id AS purch_id, r.value AS purch_value
-         FROM (SELECT * FROM events WHERE event_type = 'click') l
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-           ON l.user_id = r.user_id AND l.ts >= r.ts""",
-    "q_sessionize" ->
-      """WITH g AS (
-           SELECT event_id, user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                  THEN 1 ELSE 0 END AS new_s
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-         )
-         SELECT event_id, user_id,
-           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-         FROM g""",
-    "q_interval_join" ->
-      """SELECT s.event_id AS win_id, c.event_id AS click_id
-         FROM events s JOIN events c
-           ON s.user_id = c.user_id
-          AND s.event_type = 'signup' AND c.event_type = 'click'
-          AND epoch_us(c.ts) >= epoch_us(s.ts)
-          AND epoch_us(c.ts) < epoch_us(s.ts) + 1800000000"""
+    "q_asof_join" -> asofOracleSql,
+    "q_pig_asof" -> asofOracleSql,
+    "q_sessionize" -> sessionizeOracleSql,
+    "q_pig_sessionize" -> sessionizeOracleSql,
+    "q_interval_join" -> intervalOracleSql,
+    "q_pig_interval" -> intervalOracleSql
   )
+
+  // ---- shared oracle SQL: api + dialect twins ride the SAME replay ---------
+  private def asofOracleSql =
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+         r.event_id AS purch_id, r.value AS purch_value
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+  private def sessionizeOracleSql =
+    """WITH g AS (
+         SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       )
+       SELECT event_id, user_id,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       FROM g"""
+
+  private def intervalOracleSql =
+    """SELECT s.event_id AS win_id, c.event_id AS click_id
+       FROM events s JOIN events c
+         ON s.user_id = c.user_id
+        AND s.event_type = 'signup' AND c.event_type = 'click'
+        AND epoch_us(c.ts) >= epoch_us(s.ts)
+        AND epoch_us(c.ts) < epoch_us(s.ts) + 1800000000"""
 }

@@ -282,6 +282,24 @@ object RelationalQueries {
       Pipe(t(s, dir, "documents"))
         .quotaSampleByHash(col("lang"), 50, col("doc_id"))
         .generate(col("doc_id"), col("lang")).df),
+    // the same quota cap from the dialect (QUOTA_SAMPLE statement),
+    // riding the identical oracle
+    "q_pig_quota" -> ((s, dir) =>
+      graft.piglatin.PigScript.query(s,
+          "b = QUOTA_SAMPLE d BY lang TOP 50 KEY doc_id;",
+          "b", tables = Map("d" -> t(s, dir, "documents")))
+        .select(col("doc_id"), col("lang"))),
+    // dialect STORE … USING SortedStorage round-trip: the script writes
+    // the globally-ordered shard export, the readback must be content-
+    // identical (same oracle as the api twin)
+    "q_pig_store_sorted" -> ((s, dir) => {
+      graft.piglatin.PigScript.run(s,
+        s"STORE d INTO '$deriveDir/pig_sorted_docs' USING " +
+          "SortedStorage('n_chars', 'doc_id', '64');",
+        tables = Map("d" -> t(s, dir, "documents")))
+      Pipe.load(s, s"$deriveDir/pig_sorted_docs")
+        .generate(col("doc_id"), col("n_chars")).df
+    }),
     // -- SPLIT INTO (#19) ------------------------------------------------------------------------------
     "q_split" -> ((s, dir) => {
       val branches = Pipe(t(s, dir, "orders")).splitInto(
@@ -430,6 +448,12 @@ object RelationalQueries {
            SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
              ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
            FROM documents) t WHERE rn <= 50""",
+    "q_pig_quota" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
+           FROM documents) t WHERE rn <= 50""",
+    "q_pig_store_sorted" -> "SELECT doc_id, n_chars FROM documents",
     "q_load_csv" -> "SELECT r_regionkey, r_name FROM region",
     "q_load_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_store_roundtrip" -> "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
