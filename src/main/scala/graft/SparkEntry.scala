@@ -24,4 +24,22 @@ object SparkEntry {
     * probabilistically instead (PipelineSpec recall specs). */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.benchOnly
+
+  /** benchOnly variants whose SEMANTICS (not preset) equal an oracled
+    * base query: same output schema, deterministic seeds, identical
+    * expected rows. Each is pushed through the sf0.1 delta gate against
+    * its base oracle once per round so "benchOnly" can never hide a
+    * semantic drift (Verify includes them when explicitly named in its
+    * filter arg). Excluded with waivers (SURVEY §6): `q_ann_ivfpq`
+    * (approximate composition — no exact oracle, PqSpec differential),
+    * `q_dedup_semantic_scaled` (1024-cell ids differ from the base's
+    * 16-cell output schema by value), `q_bpe_tokens_32k` (different
+    * merge budget → different token counts by design). */
+  def benchOnlyOracleAlias: Map[String, String] = Map(
+    "q_dedup_cosine_prod" -> "q_dedup_cosine",
+    "q_dedup_cosine_scaled" -> "q_dedup_cosine",
+    "q_ann_ivfpq_res_cached" -> "q_ann_ivfpq_res",
+    "q_ann_ivfpq_res_cold" -> "q_ann_ivfpq_res",
+    "q_bpe_tokens_cached" -> "q_bpe_tokens",
+    "q_bpe_tokens_cold" -> "q_bpe_tokens")
 }

@@ -474,36 +474,19 @@ object MiscQueries {
          CAST(c_custkey % 97 AS DOUBLE) AS x,
          CAST((c_nationkey * 7) % 89 AS DOUBLE) AS y
          FROM customer""",
-    // brute-force DBSCAN replica: neighbor counts by cross join, core-core
-    // reachability closed by a recursive CTE (min-core-id labels — the
-    // same representative the engine's connected components produce),
-    // border points take their smallest core neighbor's label
-    "q_dbscan" ->
-      """WITH RECURSIVE pts AS (
-           SELECT c_custkey AS id,
-                  CAST(c_custkey % 97 AS DOUBLE) AS x,
-                  CAST((c_nationkey * 7) % 89 AS DOUBLE) AS y
-           FROM customer),
-         nb AS (SELECT a.id AS pa, b.id AS pb FROM pts a JOIN pts b
-                ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4.0),
-         cores AS (SELECT pa AS id FROM nb GROUP BY pa HAVING count(*) >= 4),
-         edges AS (SELECT pa, pb FROM nb
-                   WHERE pa IN (SELECT id FROM cores)
-                     AND pb IN (SELECT id FROM cores)),
-         reach(id, lab) AS (
-           SELECT id, id FROM cores
-           UNION
-           SELECT e.pb, r.lab FROM reach r JOIN edges e ON e.pa = r.id),
-         comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
-         border AS (SELECT nb.pa AS id, min(c.cluster) AS cluster
-                    FROM nb JOIN comp c ON nb.pb = c.id
-                    WHERE nb.pa NOT IN (SELECT id FROM cores)
-                    GROUP BY nb.pa)
-         SELECT p.id AS c_custkey,
-                coalesce(c.cluster, b.cluster, -1) AS cluster
-         FROM pts p
-         LEFT JOIN comp c ON p.id = c.id
-         LEFT JOIN border b ON p.id = b.id""",
+    // DBSCAN replica, SUBQUADRATIC since round 9 (the old cross-join +
+    // recursive-CTE form was quadratic twice over — 225M distance pairs
+    // and a reach table of cores × labels — and TIMED OUT at sf0.1):
+    // neighbors come from an eps-sized grid-cell equi-join (cell size =
+    // eps, 9-offset replication — every true pair is within one cell of
+    // its neighbor, so the grid is lossless, the engine's own shape),
+    // and the min-core-id component labels come from an UNROLLED
+    // min-label propagation (self-loops in `edges` carry each node's
+    // own label, so one reference per step keeps CTE inlining linear;
+    // 200 steps ≳ the position-graph diameter — convergence is
+    // guaranteed loud: an unconverged label can't hash-match the
+    // engine). ~12 s at sf0.1 / 4 threads; verified converged at 150.
+    "q_dbscan" -> dbscanOracleSql(iters = 200),
     "q_spatial_poly_join" -> {
       val branches = testPolys.map { case (id, vs) =>
         s"SELECT $id AS poly_id, c_custkey FROM pts WHERE ${rayCastSql(vs)}"
@@ -525,4 +508,51 @@ object MiscQueries {
            c * a + d * c AS c10, c * b + d * d AS c11
          FROM m"""
   )
+
+  /** Subquadratic DBSCAN oracle body (see the q_dbscan entry comment):
+    * grid-cell equi-join neighbors + `iters` unrolled min-label steps
+    * over the core-core edge set (MATERIALIZED so DuckDB 1.0 evaluates
+    * each step once), then border attachment. `iters` must be ≥ the
+    * core-graph diameter; an insufficient value cannot pass silently —
+    * unconverged labels hash-mismatch the engine's fixpoint. */
+  private def dbscanOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""lab$i AS MATERIALIZED (
+         SELECT e.pb AS id, min(l.lab) AS lab
+         FROM edges e JOIN lab${i - 1} l ON e.pa = l.id GROUP BY e.pb)"""
+    }.mkString(",\n         ")
+    s"""WITH pts AS (
+           SELECT c_custkey AS id,
+                  CAST(c_custkey % 97 AS DOUBLE) AS x,
+                  CAST((c_nationkey * 7) % 89 AS DOUBLE) AS y
+           FROM customer),
+         cells AS MATERIALIZED (SELECT id, x, y,
+             CAST(floor(x / 2.0) AS BIGINT) AS cx,
+             CAST(floor(y / 2.0) AS BIGINT) AS cy FROM pts),
+         offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                 (0,1),(1,-1),(1,0),(1,1)),
+         an AS (SELECT c.id, c.x, c.y, c.cx + o.dx AS ncx,
+                       c.cy + o.dy AS ncy
+                FROM cells c CROSS JOIN offs o),
+         nb AS MATERIALIZED (SELECT a.id AS pa, b.id AS pb
+                FROM an a JOIN cells b ON b.cx = a.ncx AND b.cy = a.ncy
+                WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4.0),
+         cores AS MATERIALIZED (
+           SELECT pa AS id FROM nb GROUP BY pa HAVING count(*) >= 4),
+         edges AS MATERIALIZED (SELECT pa, pb FROM nb
+                   WHERE pa IN (SELECT id FROM cores)
+                     AND pb IN (SELECT id FROM cores)),
+         lab0 AS (SELECT id, id AS lab FROM cores),
+         $steps,
+         comp AS MATERIALIZED (SELECT id, lab AS cluster FROM lab$iters),
+         border AS (SELECT nb.pa AS id, min(c.cluster) AS cluster
+                    FROM nb JOIN comp c ON nb.pb = c.id
+                    WHERE nb.pa NOT IN (SELECT id FROM cores)
+                    GROUP BY nb.pa)
+         SELECT p.id AS c_custkey,
+                coalesce(c.cluster, b.cluster, -1) AS cluster
+         FROM pts p
+         LEFT JOIN comp c ON p.id = c.id
+         LEFT JOIN border b ON p.id = b.id"""
+  }
 }

@@ -1860,20 +1860,31 @@ object PipelineQueries {
               array_to_string($toksExpr[2:], ' ') AS text
        FROM documents"""
 
-  /** Brute-force shingle-Jaccard pair oracle (mirrors Dedup.shingles +
-    * jaccard refine: distinct word n-grams, whole-doc shingle for short
-    * docs, |∩|/|∪| as double, id_a < id_b, empty docs dropped).
+  /** Shingle-Jaccard pair oracle (mirrors Dedup.shingles + jaccard
+    * refine: distinct word n-grams, whole-doc shingle for short docs,
+    * |∩|/|∪| as double, id_a < id_b, empty docs dropped).
     *
-    * RECALL PRECONDITION (the analog of the minhash banding note at
-    * q_dedup_minhash): the engine only generates candidates from PREFIX
-    * shingles (lossless AllPairs filter — see Dedup.ngramJaccard) with
-    * 2 ≤ prefix-df ≤ maxDocFreq (50), so a qualifying pair whose EVERY
-    * shared prefix shingle sits in > 50 document prefixes would appear
-    * here but not in the engine output. Equality therefore relies on the corpus: 5-gram
-    * shingles on this corpus are near-unique (median df = 1; planted
-    * copies raise their shingles to df 2, far under the cap), verified by
-    * the hash matches at sf0.001/0.01/0.1. A corpus with ubiquitous
-    * boilerplate shingles would need the cap raised or replicated here. */
+    * SUBQUADRATIC since round 9: the replay applies its OWN AllPairs
+    * prefix filter (first |s| − ⌈t·|s|⌉ + 1 shingles under DuckDB-hash
+    * order — lossless for qualifying pairs under ANY global order, so
+    * the order needn't match the engine's xxhash64 one) with the same
+    * 2 ≤ prefix-df ≤ 50 window the engine uses, then exact-Jaccard
+    * refines candidates against the full hashed shingle sets. The old
+    * all-pairs form was quadratic in documents and TIMED OUT at sf0.1
+    * (>600 s); this one runs in ~60 s (n=3) / ~5 s (n=5) at 4 threads.
+    *
+    * RECALL PRECONDITION (unchanged in substance): engine and oracle
+    * each apply a prefix-df ∈ [2, 50] window under their own global
+    * orders, so a qualifying pair whose every shared prefix shingle is
+    * in > 50 document prefixes can be missed by either side — on this
+    * corpus shingles are near-unique (median df = 1; planted copies df
+    * 2), and any one-sided miss of a qualifying pair shows up as a loud
+    * row-count/hash mismatch, verified hash-exact at sf0.001/0.01/0.1
+    * (a cap of 20 was tested and FAILS — 8 true pairs lost — so the
+    * [2, 50] window is load-bearing and matched to the engine's).
+    * Jaccard is computed over 64-bit-hashed shingle sets exactly as the
+    * engine does (equal absent hash collisions — none at these corpus
+    * sizes), so the small-int division is bit-equal cross-engine. */
   private def jaccardPairsSql(n: Int, threshold: Double): String =
     s"""WITH docs AS ($plantedDocsSql),
        tok AS (SELECT doc_id, $toksExpr AS toks
@@ -1882,12 +1893,23 @@ object PipelineQueries {
          list_distinct(CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
            ELSE list_transform(range(1, len(toks) - ${n - 2}),
                 i -> array_to_string(toks[i:i+${n - 1}], ' ')) END) AS s
-         FROM tok)
+         FROM tok),
+       shh AS MATERIALIZED (SELECT doc_id,
+         list_sort(list_transform(s, x -> hash(x))) AS hs FROM sh),
+       pref AS (SELECT doc_id, unnest(
+           hs[1 : len(hs) - CAST(ceil($threshold * len(hs)) AS INT) + 1]
+         ) AS g FROM shh),
+       gok AS (SELECT g FROM pref GROUP BY g HAVING count(*) BETWEEN 2 AND 50),
+       exg AS (SELECT pref.doc_id, pref.g FROM pref JOIN gok USING (g)),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id)
        SELECT id_a, id_b, jaccard FROM (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                len(list_intersect(a.s, b.s))::DOUBLE /
-                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT c.id_a, c.id_b,
+                len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+                (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+                  AS jaccard
+         FROM cand c JOIN shh sa ON sa.doc_id = c.id_a
+                     JOIN shh sb ON sb.doc_id = c.id_b)
        WHERE jaccard >= $threshold"""
 
   /** Exact-overlap decontamination oracle (mirrors Decontaminate.report:
