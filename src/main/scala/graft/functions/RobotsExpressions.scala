@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType,
+  DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** robots.txt crawl-policy evaluation (RFC 9309): is `path` fetchable
@@ -154,4 +156,96 @@ case class RobotsAllowedExpr(path: Expression, robotsTxt: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): RobotsAllowedExpr =
     copy(path = newChildren(0), robotsTxt = newChildren(1))
+}
+
+/** `Sitemap:` URL extraction from a robots.txt body — the crawl seed
+  * discovery step (RFC 9309 §2.3 treats sitemap as an "other record";
+  * by the sitemaps.org convention it is GLOBAL, not group-scoped, so
+  * every sitemap line counts regardless of position). Keys are
+  * case-insensitive; values keep their case (URLs are case-sensitive);
+  * comments/blank lines stripped; null body → empty array. */
+case class RobotsSitemapsExpr(robotsTxt: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(robotsTxt)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_robots_sitemaps"
+
+  override def eval(input: InternalRow): Any = {
+    val t = robotsTxt.eval(input)
+    if (t == null) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    t.asInstanceOf[UTF8String].toString.split("\r?\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0 && line.substring(0, i).trim
+            .toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(i + 1).trim
+        if (v.nonEmpty) out += UTF8String.fromString(v)
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RobotsSitemapsExpr =
+    copy(robotsTxt = newChildren(0))
+}
+
+/** `Crawl-delay:` extraction for an agent — the politeness interval a
+  * frontier scheduler budgets per host. Group-scoped like Allow/
+  * Disallow (the de-facto convention): the selected group is the exact
+  * agent match else the `*` group, the same selection as
+  * [[RobotsAllowedExpr]]. Returns NULL when the body is null, no group
+  * matches, the group has no crawl-delay line, or the value does not
+  * parse as a non-negative number. */
+case class RobotsCrawlDelayExpr(robotsTxt: Expression, agent: String)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(robotsTxt)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_robots_crawl_delay"
+
+  override def eval(input: InternalRow): Any = {
+    val t = robotsTxt.eval(input)
+    if (t == null) return null
+    // (agents, delay) per group — same grouping walk as the matcher:
+    // consecutive User-agent lines open a group, any rule line closes it
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String],
+              Option[Double])]
+    var inAgents = false
+    t.asInstanceOf[UTF8String].toString.split("\r?\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.substring(0, i).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgents || groups.isEmpty) {
+              groups += ((scala.collection.mutable.ArrayBuffer.empty, None))
+              inAgents = true
+            }
+            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+          case "crawl-delay" =>
+            inAgents = false
+            if (groups.nonEmpty && groups.last._2.isEmpty)
+              groups(groups.size - 1) = (groups.last._1,
+                scala.util.Try(value.toDouble).toOption.filter(_ >= 0))
+          case _ => inAgents = false
+        }
+      }
+    }
+    val want = agent.toLowerCase(java.util.Locale.ROOT)
+    val grp = groups.find(_._1.contains(want))
+      .orElse(groups.find(_._1.contains("*")))
+    grp.flatMap(_._2).map(Double.box).orNull
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RobotsCrawlDelayExpr =
+    copy(robotsTxt = newChildren(0))
 }

@@ -275,6 +275,18 @@ object Ast {
   final case class QuotaSampleStmt(alias: String, in: String,
                                    strata: String, k: Int,
                                    keyFields: Seq[String]) extends Stmt
+  /** `b = MIXTURE a BY lang TARGET 'en' 0.5, 'de' 0.25, … KEY id[, …];`
+    * — sample toward a target composition (strata not named are
+    * dropped; rates derived in-plan, shared md5 bucket). */
+  final case class MixtureStmt(alias: String, in: String, strata: String,
+                               targets: Seq[(String, Double)],
+                               keyFields: Seq[String]) extends Stmt
+  /** `o = OVERLAP a, b BY k [USING sketch];` — cross-corpus distinct-key
+    * overlap accounting (n_a, n_b, n_common, jaccard); `sketch` swaps
+    * the exact distinct-join regime for mergeable HLL estimates. */
+  final case class OverlapStmt(alias: String, inA: String, inB: String,
+                               keyField: String,
+                               method: String) extends Stmt
   /** `b = SCORE a BY id, text [WITH weights] USING classifier(labels=y,
     * buckets=1024)` — margin + prediction per doc under a trained
     * linear model: WITH applies a previously-computed (bucket, w)

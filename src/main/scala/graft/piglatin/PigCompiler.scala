@@ -236,6 +236,10 @@ class PigCompiler(spark: SparkSession) {
       case "ROBOTS_ALLOWED" => graft.text.Robots.isAllowed(a0,
         compileExpr(df, args(1)),
         if (args.length > 2) args(2).asInstanceOf[Lit].v.toString else "*")
+      // crawl-policy metadata: SITEMAPS(robots) / CRAWL_DELAY(robots[, agent])
+      case "SITEMAPS" => graft.text.Robots.sitemaps(a0)
+      case "CRAWL_DELAY" => graft.text.Robots.crawlDelay(a0,
+        if (args.length > 1) args(1).asInstanceOf[Lit].v.toString else "*")
       // content-defined chunking: CDC_CHUNKS(col[, min, maskBits, max])
       case "CDC_CHUNKS" =>
         require(args.length == 1 || args.length == 4,
@@ -1458,6 +1462,21 @@ class PigCompiler(spark: SparkSession) {
       val df = relation(in)
       env(a) = Rel(() => graft.core.Pipe(df)
         .quotaSampleByHash(col(strata), k, keys.map(col): _*).df)
+
+    case MixtureStmt(a, in, strata, targets, keys) =>
+      val df = relation(in)
+      env(a) = Rel(() => graft.core.Pipe(df)
+        .mixtureSampleByHash(col(strata), targets.toMap,
+          keys.map(col): _*).df)
+
+    case OverlapStmt(a, ia, ib, keyF, method) =>
+      require(method == "exact" || method == "sketch",
+        s"unknown OVERLAP method '$method' — expected exact or sketch")
+      val (dfa, dfb) = (relation(ia), relation(ib))
+      env(a) = Rel(() =>
+        if (method == "sketch")
+          graft.core.Overlap.sketch(dfa, col(keyF), dfb, col(keyF))
+        else graft.core.Overlap.exact(dfa, col(keyF), dfb, col(keyF)))
 
     case ScoreStmt(a, in, idF, tF, weightsAlias, method, p) =>
       val df = relation(in)

@@ -630,6 +630,25 @@ object PigParser extends RegexParsers {
       case a ~ in ~ g ~ k ~ ks =>
         QuotaSampleStmt(a, in, g, k.toDouble.toInt, ks) }
 
+  /** `b = MIXTURE a BY lang TARGET 'en' 0.5, 'de' 0.25 KEY id[, …];`
+    * (graft dialect). */
+  private def mixtureStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("mixture")) ~ ident ~
+      (kw("by") ~> ident) ~
+      (kw("target") ~> rep1sep(quoted ~ number, ",")) ~
+      (kw("key") ~> rep1sep(ident, ",")) ^^ {
+      case a ~ in ~ g ~ ts ~ ks =>
+        MixtureStmt(a, in, g,
+          ts.map { case n ~ w => (n, w.toDouble) }, ks) }
+
+  /** `o = OVERLAP a, b BY k [USING sketch];` (graft dialect). */
+  private def overlapStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("overlap")) ~ ident ~ ("," ~> ident) ~
+      (kw("by") ~> ident) ~ opt(kw("using") ~> ident) ^^ {
+      case a ~ ia ~ ib ~ k ~ m =>
+        OverlapStmt(a, ia, ib, k,
+          m.map(_.toLowerCase).getOrElse("exact")) }
+
   /** `b = CLUSTER a BY vec INTO 8 [USING kmeans(iters=10, seed=42,
     * sample=2048)];` (graft dialect) — k-means topic/domain clustering
     * over an embedding column. */
@@ -670,6 +689,7 @@ object PigParser extends RegexParsers {
      clusterStmt | temperatureStmt | topFracStmt | outliersStmt |
      diffStmt | pageRankStmt | ccStmt |
      asofJoinStmt | intervalJoinStmt | sessionizeStmt | quotaSampleStmt |
+     mixtureStmt | overlapStmt |
      setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

@@ -181,16 +181,39 @@ object PipelineQueries {
     // /logout page (but not /logout/<x>), allow /dl/ otherwise
     Seq((false, "/dl/*.exe$"), (true, "/dl/"), (false, "/logout$")))
 
-  /** Hostile-but-valid robots.txt body for a policy: a decoy deny-all
-    * group for another agent, mixed-case keys, comments, blank and
-    * empty-Disallow lines — the PARSER is exercised here; the decision
-    * rules stay the shared constants. */
-  private def robotsTextFor(rules: Seq[(Boolean, String)]): String = {
+  /** Per-policy crawl metadata constants (shared with the q_robots_meta
+    * oracle): global `Sitemap:` URLs and the graftbot group's
+    * `Crawl-delay:` (None → no line → NULL). The decoy OtherBot group
+    * always carries `Crawl-delay: 99`, which group selection must skip. */
+  private val robotsSitemaps: Seq[Seq[String]] = Seq(
+    Seq("https://h0.example.org/sitemap.xml"),
+    Seq.empty,
+    Seq("https://h2.example.org/s1.xml", "https://h2.example.org/s2.xml"),
+    Seq.empty,
+    Seq("https://h4.example.org/map.xml"),
+    Seq.empty)
+  private val robotsDelays: Seq[Option[Double]] =
+    Seq(Some(5.0), None, Some(2.5), Some(10.0), None, Some(1.5))
+
+  /** Hostile-but-valid robots.txt body for policy `i`: a decoy deny-all
+    * group for another agent (with its own decoy crawl-delay), mixed-
+    * case keys, comments, blank and empty-Disallow lines, sitemap lines
+    * both before the groups and at the end (global either way) — the
+    * PARSER is exercised here; the decision rules, sitemaps and delay
+    * stay the shared constants. */
+  private def robotsTextFor(rules: Seq[(Boolean, String)],
+                            i: Int = -1): String = {
     val ruleLines = rules.map { case (allow, p) =>
       (if (allow) "Allow: " else "DISALLOW:   ") + p }
-    ("# planted policy" +: "User-agent: OtherBot" +: "Disallow: /" +:
-      "" +: "USER-AGENT: GraftBot  # ours" +: ruleLines :+
-      "Disallow:" :+ "Crawl-delay: 5").mkString("\n")
+    val smaps = if (i >= 0) robotsSitemaps(i) else Seq.empty
+    val head = smaps.headOption.map(u => s"SITEMAP: $u  # seed").toSeq
+    val tail = smaps.drop(1).map(u => s"Sitemap: $u")
+    val delay = if (i >= 0) robotsDelays(i).map(d => s"Crawl-delay: $d").toSeq
+                else Seq("Crawl-delay: 5")
+    (Seq("# planted policy") ++ head ++
+      Seq("User-agent: OtherBot", "Disallow: /", "Crawl-delay: 99", "") ++
+      Seq("USER-AGENT: GraftBot  # ours") ++ ruleLines ++
+      Seq("Disallow:") ++ delay ++ tail).mkString("\n")
   }
 
   /** Planted url path per doc, cycling every decision class the six
@@ -229,6 +252,25 @@ object PipelineQueries {
     robotsPathVariants.zipWithIndex.map { case ((_, s), i) =>
       s"WHEN doc_id % ${robotsPathVariants.size} = $i THEN $s" }
       .mkString("CASE ", " ", " ELSE '' END")
+
+  /** Shared overlap oracle (api + dialect twins): distinct-token sets
+    * per side, inner-join count, inclusion-free jaccard. */
+  private def overlapOracleSql: String =
+    """WITH a AS (SELECT DISTINCT unnest(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> ''))
+           AS k FROM documents WHERE lang = 'en'),
+       b AS (SELECT DISTINCT unnest(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> ''))
+           AS k FROM documents WHERE lang <> 'en'),
+       c AS (SELECT count(*) AS n_common FROM a JOIN b USING (k))
+       SELECT (SELECT count(*) FROM a) AS n_a,
+              (SELECT count(*) FROM b) AS n_b,
+              c.n_common,
+              CAST(c.n_common AS DOUBLE) /
+                CAST((SELECT count(*) FROM a) +
+                     (SELECT count(*) FROM b) - c.n_common AS DOUBLE)
+                AS jaccard
+       FROM c"""
 
   /** DuckDB regex replaying one robots rule pattern's RFC 9309 §2.2.3
     * semantics: `^`-anchored (prefix match), `*` → `.*`, a single
@@ -1013,6 +1055,29 @@ object PipelineQueries {
           t(s, dir, "documents").select(col("doc_id"), col("lang")))
         .mixtureSampleByHash(col("lang"), MixtureTargets, col("doc_id"))
         .df.select(col("doc_id"), col("lang"))),
+    // the same target composition from the dialect (MIXTURE statement),
+    // riding the identical oracle — the script's TARGET weights are the
+    // MixtureTargets constants written inline
+    "q_pig_mixture" -> ((s, dir) =>
+      graft.piglatin.PigScript.query(s,
+        "b = MIXTURE d BY lang TARGET " +
+          MixtureTargets.toSeq.sortBy(_._1)
+            .map { case (n, w) => s"'$n' $w" }.mkString(", ") +
+          " KEY doc_id;",
+        "b", tables = Map("d" ->
+          t(s, dir, "documents").select(col("doc_id"), col("lang"))))),
+    // cross-corpus overlap from the dialect (OVERLAP statement), same
+    // pre-tokenized inputs and oracle as the api twin
+    "q_pig_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def toks(d: org.apache.spark.sql.DataFrame) =
+        d.select(explode(graft.text.TextOps.tokens(lower(col("text"))))
+          .as("tok"))
+      graft.piglatin.PigScript.query(s,
+        "o = OVERLAP a, b BY tok;", "o",
+        tables = Map("a" -> toks(docs.where(col("lang") === "en")),
+          "b" -> toks(docs.where(col("lang") =!= "en"))))
+    }),
     // -- z-order clustered store round-trip: multi-column layout write
     //    (quantile-binned Morton interleave) then read-back — content
     //    equality is the oracle contract; the PRUNING property (every
@@ -1125,6 +1190,26 @@ object PipelineQueries {
         .select(col("doc_id"), col("pid"), col("path"),
           graft.text.Robots.isAllowed(col("path"), col("robots"),
             "graftbot").as("allowed"))
+    }),
+    // -- crawl-policy metadata: Sitemap seed discovery (global lines)
+    //    and the graftbot group's Crawl-delay, parsed per row from the
+    //    hostile planted bodies (decoy OtherBot delay must be skipped,
+    //    missing delay must be NULL); the oracle replays from the SAME
+    //    constants ----------------------------------------------------------
+    "q_robots_meta" -> ((s, dir) => {
+      import s.implicits._
+      val policies = robotsPolicies.zipWithIndex
+        .map { case (rules, i) => (i.toLong, robotsTextFor(rules, i)) }
+        .toDF("pid", "robots")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(robotsPolicies.size.toLong)).as("pid"))
+        .join(broadcast(policies), "pid")
+        .select(col("doc_id"), col("pid"),
+          array_join(graft.text.Robots.sitemaps(col("robots")), ",")
+            .as("smaps"),
+          graft.text.Robots.crawlDelay(col("robots"), "graftbot")
+            .as("delay"))
     }),
     // -- cross-corpus overlap accounting (exact regime): distinct token
     //    sharing between the en slice and everything else — distinct-
@@ -3544,6 +3629,7 @@ object PipelineQueries {
                   token, cnt
            FROM c""",
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
+      "q_pig_mixture" -> mixtureSampleSql(MixtureTargets),
       "q_crawl_pipeline" -> {
         val ruleRows = robotsPolicies.zipWithIndex.flatMap {
           case (rules, pid) => rules.map { case (allow, p) =>
@@ -3603,22 +3689,20 @@ object PipelineQueries {
                   coalesce(b.allow, true) AS allowed
            FROM u LEFT JOIN b USING (doc_id)"""
       },
-      "q_overlap" ->
-        """WITH a AS (SELECT DISTINCT unnest(list_filter(
-               string_split_regex(lower(text), '\s+'), x -> x <> ''))
-               AS k FROM documents WHERE lang = 'en'),
-           b AS (SELECT DISTINCT unnest(list_filter(
-               string_split_regex(lower(text), '\s+'), x -> x <> ''))
-               AS k FROM documents WHERE lang <> 'en'),
-           c AS (SELECT count(*) AS n_common FROM a JOIN b USING (k))
-           SELECT (SELECT count(*) FROM a) AS n_a,
-                  (SELECT count(*) FROM b) AS n_b,
-                  c.n_common,
-                  CAST(c.n_common AS DOUBLE) /
-                    CAST((SELECT count(*) FROM a) +
-                         (SELECT count(*) FROM b) - c.n_common AS DOUBLE)
-                    AS jaccard
-           FROM c""",
+      "q_robots_meta" -> {
+        val metaRows = robotsPolicies.indices.map { i =>
+          val sm = robotsSitemaps(i).mkString(",")
+          val d = robotsDelays(i)
+            .map(_.toString).getOrElse("CAST(NULL AS DOUBLE)")
+          s"($i, '$sm', $d)" }
+        s"""WITH u AS (SELECT doc_id,
+               doc_id % ${robotsPolicies.size} AS pid FROM documents),
+           meta(pid, smaps, delay) AS (VALUES ${metaRows.mkString(", ")})
+           SELECT u.doc_id, u.pid, m.smaps, m.delay
+           FROM u JOIN meta m USING (pid)"""
+      },
+      "q_pig_overlap" -> overlapOracleSql,
+      "q_overlap" -> overlapOracleSql,
       "q_outliers" -> outliersOracleSql,
       "q_pig_outliers" -> outliersOracleSql,
       "q_curation_v3" ->

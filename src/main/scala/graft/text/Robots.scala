@@ -22,4 +22,16 @@ object Robots {
                 agent: String = "*"): Column =
     column(RobotsAllowedExpr(expression(path), expression(robotsTxt),
       agent))
+
+  /** `Sitemap:` URLs declared anywhere in the body (global per the
+    * sitemaps.org convention) — the crawl seed discovery step. */
+  def sitemaps(robotsTxt: Column): Column =
+    column(graft.functions.RobotsSitemapsExpr(expression(robotsTxt)))
+
+  /** `Crawl-delay:` seconds for `agent` (group-scoped, exact-agent-
+    * else-`*` selection; NULL when absent or unparseable) — the
+    * politeness interval a frontier scheduler budgets per host. */
+  def crawlDelay(robotsTxt: Column, agent: String = "*"): Column =
+    column(graft.functions.RobotsCrawlDelayExpr(expression(robotsTxt),
+      agent))
 }

@@ -132,4 +132,55 @@ class RobotsSpec extends SparkSpec {
       .select(Robots.isAllowed(col("p"), col("r"), "graftbot").as("a"))
     assert(df.collect().forall(_.getBoolean(0)))
   }
+
+  private def metaOf(robots: String, agent: String = "graftbot") = {
+    val row = Seq(Tuple1(robots)).toDF("r")
+      .select(Robots.sitemaps(col("r")).as("s"),
+        Robots.crawlDelay(col("r"), agent).as("d")).head()
+    (row.getSeq[String](0), if (row.isNullAt(1)) None
+                            else Some(row.getDouble(1)))
+  }
+
+  test("sitemaps are global (any position), case-insensitive key, " +
+      "case-preserved value, comments stripped, null body empty") {
+    val body = "SITEMAP: https://a.example/S1.xml # seed\n" +
+      "User-agent: graftbot\nDisallow: /x\n" +
+      "sitemap: https://a.example/s2.xml\n" +
+      "# Sitemap: https://a.example/commented.xml\n"
+    val (sm, _) = metaOf(body)
+    assert(sm == Seq("https://a.example/S1.xml", "https://a.example/s2.xml"))
+    val nullRow = Seq(Tuple1(null.asInstanceOf[String])).toDF("r")
+      .select(Robots.sitemaps(col("r")).as("s")).head()
+    assert(nullRow.getSeq[String](0).isEmpty)
+  }
+
+  test("crawl-delay is group-scoped: exact agent over *, decoy group " +
+      "skipped, missing/unparseable/negative -> NULL, first wins") {
+    val body = "User-agent: OtherBot\nDisallow: /\nCrawl-delay: 99\n" +
+      "User-agent: graftbot\nDisallow: /x\nCRAWL-DELAY: 2.5\n" +
+      "Crawl-delay: 7\n" +                   // second line: first wins
+      "User-agent: *\nCrawl-delay: 4\n"
+    assert(metaOf(body)._2.contains(2.5))
+    assert(metaOf(body, "unknownbot")._2.contains(4.0)) // falls to *
+    val noDelay = "User-agent: graftbot\nDisallow: /x\n"
+    assert(metaOf(noDelay)._2.isEmpty)
+    val bad = "User-agent: graftbot\nCrawl-delay: soon\n"
+    assert(metaOf(bad)._2.isEmpty)
+    val neg = "User-agent: graftbot\nCrawl-delay: -3\n"
+    assert(metaOf(neg)._2.isEmpty)
+    assert(metaOf(null.asInstanceOf[String])._2.isEmpty)
+  }
+
+  test("dialect SITEMAPS and CRAWL_DELAY builtins route") {
+    val body = "Sitemap: https://a.example/m.xml\n" +
+      "User-agent: graftbot\nDisallow: /x\nCrawl-delay: 3\n"
+    val out = graft.piglatin.PigScript.run(spark,
+      """b = FOREACH a GENERATE SIZE(SITEMAPS(r)) AS n,
+        |    CRAWL_DELAY(r, 'graftbot') AS d, CRAWL_DELAY(r) AS dstar;
+        |""".stripMargin,
+      tables = Map("a" -> Seq(Tuple1(body)).toDF("r")))
+      .relation("b").head()
+    assert(out.getLong(0) == 1L && out.getDouble(1) == 3.0)
+    assert(out.isNullAt(2))   // no * group → null for the default agent
+  }
 }

@@ -110,6 +110,40 @@ class TemporalDialectSpec extends SparkSpec {
     assert(viaScript == viaApi && viaScript.size == 30)
   }
 
+  test("MIXTURE statement equals mixtureSampleByHash; unnamed strata " +
+      "drop; OVERLAP statement routes exact and sketch") {
+    val df = (1L to 600L).map(i =>
+      (i, Seq("en", "de", "fr", "xx")(i.toInt % 4))).toDF("id", "lang")
+    val viaScript = graft.piglatin.PigScript.query(spark,
+      "b = MIXTURE d BY lang TARGET 'en' 0.5, 'de' 0.25, 'fr' 0.25 " +
+        "KEY id;", "b", tables = Map("d" -> df))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaApi = graft.core.Pipe(df)
+      .mixtureSampleByHash(col("lang"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), col("id"))
+      .df.select("id").collect().map(_.getLong(0)).toSet
+    assert(viaScript == viaApi && viaScript.nonEmpty)
+    assert(!viaScript.exists(_ % 4 == 3), "unnamed stratum xx must drop")
+
+    val a = (1L to 100L).map(Tuple1(_)).toDF("k")
+    val b = (51L to 150L).map(Tuple1(_)).toDF("k")
+    val ex = graft.piglatin.PigScript.query(spark,
+      "o = OVERLAP a, b BY k;", "o",
+      tables = Map("a" -> a, "b" -> b)).head()
+    assert(ex.getAs[Long]("n_common") == 50L &&
+      math.abs(ex.getAs[Double]("jaccard") - 50.0 / 150.0) < 1e-12)
+    val sk = graft.piglatin.PigScript.query(spark,
+      "o = OVERLAP a, b BY k USING sketch;", "o",
+      tables = Map("a" -> a, "b" -> b)).head()
+    assert(math.abs(sk.getAs[Long]("n_a") - 100L) <= 10L) // HLL estimate
+    val e = intercept[Exception] {
+      graft.piglatin.PigScript.query(spark,
+        "o = OVERLAP a, b BY k USING nope;", "o",
+        tables = Map("a" -> a, "b" -> b)).collect()
+    }
+    assert(e.getMessage.contains("unknown OVERLAP method"), e.getMessage)
+  }
+
   test("STORE USING ZOrderStorage and ManifestStorage route to the " +
       "layout/manifest stores; content round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("pig_store_").toString
