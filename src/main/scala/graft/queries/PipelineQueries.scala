@@ -253,6 +253,16 @@ object PipelineQueries {
       s"WHEN doc_id % ${robotsPathVariants.size} = $i THEN $s" }
       .mkString("CASE ", " ", " ELSE '' END")
 
+  /** Shared split oracle (batch + streaming twins): md5 bucket ->
+    * 80/10/10 assignment. */
+  private[queries] def splitHashOracleSql: String =
+    """SELECT doc_id, lang,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+       FROM documents)"""
+
   /** Shared overlap oracle (api + dialect twins): distinct-token sets
     * per side, inner-join count, inclusion-free jaccard. */
   private def overlapOracleSql: String =
@@ -1210,6 +1220,29 @@ object PipelineQueries {
             .as("smaps"),
           graft.text.Robots.crawlDelay(col("robots"), "graftbot")
             .as("delay"))
+    }),
+    // -- frontier fetch scheduling: per-host politeness slots from the
+    //    PARSED crawl-delays (engine runs the real robots parse; the
+    //    oracle replays slots/offsets from the shared delay constants —
+    //    missing delays take the 1 s default on both sides) ----------------
+    "q_crawl_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val policies = robotsPolicies.zipWithIndex
+        .map { case (rules, i) => (i.toLong, robotsTextFor(rules, i)) }
+        .toDF("pid", "robots")
+      val frontier = t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(robotsPolicies.size.toLong)).as("pid"))
+        .join(broadcast(policies), "pid")
+        .select(
+          concat(lit("mirror"), col("pid"), lit(".example.org"))
+            .as("host"),
+          concat(lit("/p/"), col("doc_id")).as("url"),
+          graft.text.Robots.crawlDelay(col("robots"), "graftbot")
+            .as("delay"))
+      graft.text.Frontier.schedule(frontier, col("host"), col("url"),
+          col("delay"))
+        .select(col("host"), col("url"), col("slot"), col("fetch_at_ms"))
     }),
     // -- cross-corpus overlap accounting (exact regime): distinct token
     //    sharing between the en slice and everything else — distinct-
@@ -3033,13 +3066,7 @@ object PipelineQueries {
       "q_decontaminate_bloom" -> decontaminateSql(n = 8),
       "q_tfidf" -> tfIdfSql(TfIdfK),
       "q_bm25" -> bm25Sql(Bm25Terms, Bm25K1, Bm25B),
-      "q_split_hash" ->
-        """SELECT doc_id, lang,
-             CASE WHEN b < 80 THEN 'train'
-                  WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-           FROM (SELECT doc_id, lang,
-             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
-           FROM documents)""",
+      "q_split_hash" -> splitHashOracleSql,
       // windowed SUM returns HUGEINT (float64 at compare time): every
       // output is CAST to BIGINT; // is integer division like Spark div
       // COALESCE replicates packConcat's null-to-zero n_tok (a NULL text
@@ -3700,6 +3727,25 @@ object PipelineQueries {
            meta(pid, smaps, delay) AS (VALUES ${metaRows.mkString(", ")})
            SELECT u.doc_id, u.pid, m.smaps, m.delay
            FROM u JOIN meta m USING (pid)"""
+      },
+      "q_crawl_schedule" -> {
+        // same delay constants, 1s default applied where None; integer-ms
+        // offsets replay exactly
+        val delayRows = robotsPolicies.indices.map { i =>
+          s"($i, ${robotsDelays(i).getOrElse(1.0)})" }
+        s"""WITH u AS (SELECT doc_id,
+               doc_id % ${robotsPolicies.size} AS pid FROM documents),
+           d(pid, delay) AS (VALUES ${delayRows.mkString(", ")}),
+           f AS (SELECT 'mirror' || u.pid || '.example.org' AS host,
+                        '/p/' || doc_id AS url, d.delay
+                 FROM u JOIN d USING (pid)),
+           r AS (SELECT host, url,
+                   row_number() OVER (PARTITION BY host ORDER BY url) - 1
+                     AS slot,
+                   CAST(round(delay * 1000) AS BIGINT) AS dms
+                 FROM f)
+           SELECT host, url, CAST(slot AS BIGINT) AS slot,
+                  CAST(slot * dms AS BIGINT) AS fetch_at_ms FROM r"""
       },
       "q_pig_overlap" -> overlapOracleSql,
       "q_overlap" -> overlapOracleSql,

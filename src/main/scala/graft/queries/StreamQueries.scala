@@ -358,6 +358,33 @@ object StreamQueries {
         .select(col("doc_id"), col("m.dupOf").as("dup_of"),
           col("m.hamming").as("hamming"))
     }),
+    // -- streaming train/val/test SPLIT: the md5-bucket assignment is a
+    //    pure narrow map with no state at all, so the sampler family's
+    //    batch semantics carry to streams verbatim — a doc arriving via
+    //    live ingest lands in the SAME split it would get in a batch
+    //    backfill (the whole point of hash-derived assignment). Same
+    //    oracle as the batch q_split_hash. ----------------------------------
+    "q_stream_split" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"))
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_ssplit_src").toString
+      docs.repartition(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = Streams.fileStream(s, staged, schema)
+      val assigned = graft.core.Pipe(stream)
+        .splitByHash(Seq("train" -> 80, "val" -> 10, "test" -> 10),
+          col("doc_id")).df
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_ssplit_out").toString
+      val q = assigned.writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }.start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
     // -- streaming DECONTAMINATION: stream-static broadcast join -----------
     //    The corpus STREAMS; the benchmark gram table is static and
     //    broadcast — the enrichment-join mode a live ingest pipeline
@@ -562,6 +589,9 @@ object StreamQueries {
     // the streamed corpus must reproduce the batch decontamination
     // report exactly — identical oracle
     "q_stream_decontaminate" -> PipelineQueries.decontaminateSql(n = 8),
+    // the streamed corpus must land in the same splits as a batch
+    // backfill — identical oracle (hash-derived assignment is stateless)
+    "q_stream_split" -> PipelineQueries.splitHashOracleSql,
     // streaming simhash dedup: replay the simhash (60-bit token-md5
     // vote — the same formula the batch q_dedup_simhash oracle proves),
     // take each pigeonhole bucket's min-id occupant as its
