@@ -32,7 +32,17 @@ class ParserFuzzSpec extends AnyFunSuite with TimeLimits {
     "c2 = connected_components e by id_a, id_b maxiter 12;",
     "w = load 'seg' using WarcStorage();",
     "h2 = heavy_hitters a by y top 5 using sketch(capacity=64);",
-    "p2 = profile a on x, y using sketch(rsd=0.05);")
+    "p2 = profile a on x, y using sketch(rsd=0.05);",
+    "t1 = asof_join a by k on ts, b by k on rts tolerance 1000 " +
+      "direction forward;",
+    "t2 = interval_join p on pt, i on lo, hi width 3600 by k inclusive;",
+    "t3 = sessionize a by user on ts gap 1800000000;",
+    "t4 = quota_sample a by lang top 50 key id;",
+    "t5 = mixture a by lang target 'en' 0.5, 'de' 0.5 key id;",
+    "t6 = overlap a, b by k using sketch;",
+    "store a into 'dir' using SortedStorage('x', 'id', '64');",
+    "store a into 'dir' using ZOrderStorage('x', 'y');",
+    "store a into 'dir' using ManifestStorage('id');")
 
   private def tryParse(s: String): Unit =
     try PigParser.parseScript(s)

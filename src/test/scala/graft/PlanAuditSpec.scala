@@ -290,4 +290,33 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("LeftAnti"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("q_crawl_schedule: the policy table broadcasts and the schedule " +
+      "runs on ONE host-key exchange (the sessionize shape)") {
+    val plan = planOf("q_crawl_schedule")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // exactly one shuffle: the window's hashpartitioning on host —
+    // broadcast exchanges don't count
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 host exchange, got $shuffles\n" +
+      plan.take(3000))
+  }
+
+  test("q_robots_meta: per-policy metadata joins by broadcast; the " +
+      "corpus side is map-only after it") {
+    val plan = planOf("q_robots_meta")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
+
+  test("q_pig_asof: the DIALECT as-of statement compiles to the same " +
+      "no-Join single-shuffle plan as the api twin") {
+    val plan = planOf("q_pig_asof")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
