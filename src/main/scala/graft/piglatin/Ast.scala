@@ -287,6 +287,12 @@ object Ast {
   final case class OverlapStmt(alias: String, inA: String, inB: String,
                                keyField: String,
                                method: String) extends Stmt
+  /** `s = SCHEDULE f BY host ON url DELAY d [DEFAULT 1.0];` — per-host
+    * politeness fetch slots at integer-ms crawl-delay offsets (appends
+    * `slot`, `fetch_at_ms`). */
+  final case class ScheduleStmt(alias: String, in: String, host: String,
+                                url: String, delayField: String,
+                                defaultDelay: Double) extends Stmt
   /** `b = SCORE a BY id, text [WITH weights] USING classifier(labels=y,
     * buckets=1024)` — margin + prediction per doc under a trained
     * linear model: WITH applies a previously-computed (bucket, w)

@@ -1469,6 +1469,11 @@ class PigCompiler(spark: SparkSession) {
         .mixtureSampleByHash(col(strata), targets.toMap,
           keys.map(col): _*).df)
 
+    case ScheduleStmt(a, in, h, u, d, dflt) =>
+      val df = relation(in)
+      env(a) = Rel(() => graft.text.Frontier.schedule(df,
+        col(h), col(u), col(d), defaultDelaySec = dflt))
+
     case OverlapStmt(a, ia, ib, keyF, method) =>
       require(method == "exact" || method == "sketch",
         s"unknown OVERLAP method '$method' — expected exact or sketch")

@@ -649,6 +649,16 @@ object PigParser extends RegexParsers {
         OverlapStmt(a, ia, ib, k,
           m.map(_.toLowerCase).getOrElse("exact")) }
 
+  /** `s = SCHEDULE f BY host ON url DELAY d [DEFAULT 1.0];` (graft
+    * dialect). */
+  private def scheduleStmt: Parser[Stmt] =
+    (ident <~ "=" <~ kw("schedule")) ~ ident ~
+      (kw("by") ~> ident) ~ (kw("on") ~> ident) ~
+      (kw("delay") ~> ident) ~ opt(kw("default") ~> number) ^^ {
+      case a ~ in ~ h ~ u ~ d ~ df =>
+        ScheduleStmt(a, in, h, u, d,
+          df.map(_.toDouble).getOrElse(1.0)) }
+
   /** `b = CLUSTER a BY vec INTO 8 [USING kmeans(iters=10, seed=42,
     * sample=2048)];` (graft dialect) — k-means topic/domain clustering
     * over an embedding column. */
@@ -689,7 +699,7 @@ object PigParser extends RegexParsers {
      clusterStmt | temperatureStmt | topFracStmt | outliersStmt |
      diffStmt | pageRankStmt | ccStmt |
      asofJoinStmt | intervalJoinStmt | sessionizeStmt | quotaSampleStmt |
-     mixtureStmt | overlapStmt |
+     mixtureStmt | overlapStmt | scheduleStmt |
      setCmd | register | defineAlias) <~ rep1(";")
 
   def script: Parser[Seq[Stmt]] = rep(stmt)

@@ -253,6 +253,27 @@ object PipelineQueries {
       s"WHEN doc_id % ${robotsPathVariants.size} = $i THEN $s" }
       .mkString("CASE ", " ", " ELSE '' END")
 
+  /** Shared crawl-schedule oracle (api + dialect twins): same delay
+    * constants, 1 s default applied where None; integer-ms offsets
+    * replay exactly. */
+  private def crawlScheduleOracleSql: String = {
+    val delayRows = robotsPolicies.indices.map { i =>
+      s"($i, ${robotsDelays(i).getOrElse(1.0)})" }
+    s"""WITH u AS (SELECT doc_id,
+           doc_id % ${robotsPolicies.size} AS pid FROM documents),
+       d(pid, delay) AS (VALUES ${delayRows.mkString(", ")}),
+       f AS (SELECT 'mirror' || u.pid || '.example.org' AS host,
+                    '/p/' || doc_id AS url, d.delay
+             FROM u JOIN d USING (pid)),
+       r AS (SELECT host, url,
+               row_number() OVER (PARTITION BY host ORDER BY url) - 1
+                 AS slot,
+               CAST(round(delay * 1000) AS BIGINT) AS dms
+             FROM f)
+       SELECT host, url, CAST(slot AS BIGINT) AS slot,
+              CAST(slot * dms AS BIGINT) AS fetch_at_ms FROM r"""
+  }
+
   /** Shared split oracle (batch + streaming twins): md5 bucket ->
     * 80/10/10 assignment. */
   private[queries] def splitHashOracleSql: String =
@@ -1244,6 +1265,28 @@ object PipelineQueries {
           col("delay"))
         .select(col("host"), col("url"), col("slot"), col("fetch_at_ms"))
     }),
+    // the same scheduler from the dialect (SCHEDULE statement), riding
+    // the identical oracle
+    "q_pig_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val policies = robotsPolicies.zipWithIndex
+        .map { case (rules, i) => (i.toLong, robotsTextFor(rules, i)) }
+        .toDF("pid", "robots")
+      val frontier = t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(robotsPolicies.size.toLong)).as("pid"))
+        .join(broadcast(policies), "pid")
+        .select(
+          concat(lit("mirror"), col("pid"), lit(".example.org"))
+            .as("host"),
+          concat(lit("/p/"), col("doc_id")).as("url"),
+          graft.text.Robots.crawlDelay(col("robots"), "graftbot")
+            .as("delay"))
+      graft.piglatin.PigScript.query(s,
+          "x = SCHEDULE f BY host ON url DELAY delay;",
+          "x", tables = Map("f" -> frontier))
+        .select(col("host"), col("url"), col("slot"), col("fetch_at_ms"))
+    }),
     // -- cross-corpus overlap accounting (exact regime): distinct token
     //    sharing between the en slice and everything else — distinct-
     //    reduce FIRST, join distinct sets only. The one-pass mergeable-
@@ -1298,6 +1341,17 @@ object PipelineQueries {
     "q_vocab" -> ((s, dir) =>
       graft.text.Vocab.topTokens(t(s, dir, "documents"), col("text"),
         minCount = 5L, k = 200)),
+    // -- per-doc OOV audit against the SAME vocab constants as q_vocab:
+    //    token stream joins the broadcast k-row vocab, one partial-agg
+    //    rollup; empty docs re-attach with rate 0.0 -----------------------
+    "q_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Vocab.oovRate(docs, col("doc_id"), col("text"),
+          graft.text.Vocab.topTokens(docs, col("text"),
+            minCount = 5L, k = 200))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+          col("oov_rate"))
+    }),
     // -- per-group top-fraction quality filter: keep the best 25% of
     //    every language by length score — the per-group threshold a
     //    global cutoff can't express (it would wipe out whole groups).
@@ -3655,6 +3709,27 @@ object PipelineQueries {
            SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank,
                   token, cnt
            FROM c""",
+      "q_oov_rate" ->
+        """WITH toks AS (SELECT doc_id, lower(unnest(list_filter(
+               string_split_regex(text, '\s+'), x -> x <> ''))) AS token
+             FROM documents),
+           c AS (SELECT token, count(*) AS cnt FROM toks
+                 GROUP BY token HAVING count(*) >= 5
+                 ORDER BY cnt DESC, token LIMIT 200),
+           f AS (SELECT t.doc_id,
+                   CASE WHEN c.token IS NULL THEN 1 ELSE 0 END AS oov
+                 FROM toks t LEFT JOIN c ON t.token = c.token),
+           g AS (SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(oov) AS BIGINT) AS n_oov
+                 FROM f GROUP BY doc_id)
+           SELECT d.doc_id,
+                  coalesce(g.n_tokens, 0) AS n_tokens,
+                  coalesce(g.n_oov, 0) AS n_oov,
+                  CASE WHEN coalesce(g.n_tokens, 0) = 0 THEN 0.0
+                       ELSE CAST(g.n_oov AS DOUBLE) / g.n_tokens
+                  END AS oov_rate
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN g USING (doc_id)""",
       "q_mixture_sample" -> mixtureSampleSql(MixtureTargets),
       "q_pig_mixture" -> mixtureSampleSql(MixtureTargets),
       "q_crawl_pipeline" -> {
@@ -3728,25 +3803,8 @@ object PipelineQueries {
            SELECT u.doc_id, u.pid, m.smaps, m.delay
            FROM u JOIN meta m USING (pid)"""
       },
-      "q_crawl_schedule" -> {
-        // same delay constants, 1s default applied where None; integer-ms
-        // offsets replay exactly
-        val delayRows = robotsPolicies.indices.map { i =>
-          s"($i, ${robotsDelays(i).getOrElse(1.0)})" }
-        s"""WITH u AS (SELECT doc_id,
-               doc_id % ${robotsPolicies.size} AS pid FROM documents),
-           d(pid, delay) AS (VALUES ${delayRows.mkString(", ")}),
-           f AS (SELECT 'mirror' || u.pid || '.example.org' AS host,
-                        '/p/' || doc_id AS url, d.delay
-                 FROM u JOIN d USING (pid)),
-           r AS (SELECT host, url,
-                   row_number() OVER (PARTITION BY host ORDER BY url) - 1
-                     AS slot,
-                   CAST(round(delay * 1000) AS BIGINT) AS dms
-                 FROM f)
-           SELECT host, url, CAST(slot AS BIGINT) AS slot,
-                  CAST(slot * dms AS BIGINT) AS fetch_at_ms FROM r"""
-      },
+      "q_crawl_schedule" -> crawlScheduleOracleSql,
+      "q_pig_schedule" -> crawlScheduleOracleSql,
       "q_pig_overlap" -> overlapOracleSql,
       "q_overlap" -> overlapOracleSql,
       "q_outliers" -> outliersOracleSql,

@@ -39,4 +39,25 @@ class VocabSpec extends SparkSpec {
     assert(out.contains("Cat") && out.contains("CAT") &&
       out.contains("cat"))
   }
+
+  test("oovRate counts against the vocab with the same case folding; " +
+      "empty docs re-attach with rate 0.0; all-OOV docs rate 1.0") {
+    val corpus = Seq((1L, "the the CAT sat"), (2L, "zzz qqq"),
+      (3L, "   "), (4L, "THE cat")).toDF("id", "text")
+    val vocab = Seq("the", "cat").zipWithIndex
+      .map { case (t, i) => (i.toLong + 1L, t, 10L - i) }
+      .toDF("rank", "token", "cnt")
+    val out = Vocab.oovRate(corpus, col("id"), col("text"), vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))   // "sat" is OOV; CAT folds in
+    assert(out(2L) == ((2L, 2L, 1.0)))    // all OOV
+    assert(out(3L) == ((0L, 0L, 0.0)))    // whitespace-only: no problem
+    assert(out(4L) == ((2L, 0L, 0.0)))
+    val e = intercept[IllegalArgumentException] {
+      Vocab.oovRate(corpus, col("id"), col("text"),
+        vocab.withColumnRenamed("token", "word"))
+    }
+    assert(e.getMessage.contains("token"))
+  }
 }
