@@ -1440,6 +1440,34 @@ object PipelineQueries {
         graft.text.Classifier.addBias(feats, planted, "doc_id",
           DsirBuckets), "doc_id", w)
     }),
+    // -- classifier calibration at depth: precision/recall of every
+    //    top-k% cut under the NB margin order (how a quality threshold
+    //    is actually chosen). Integer ranks ride the distributed prefix
+    //    sum; only <=100 depth rows enter the cumulative window. -----------
+    "q_pr_curve" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" casino spam click casino")))
+          .otherwise(col("text")))
+      val feats = graft.core.Intermediates.track(
+        graft.text.Dsir.docFeatures(planted, "doc_id", "text", DsirBuckets)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val w = graft.text.Classifier.trainNaiveBayesOnFeatures(feats,
+        planted.select(col("doc_id"),
+          when(col("doc_id") % 3 =!= 0, 1L).otherwise(-1L).as("__y")),
+        "doc_id", DsirBuckets)
+      val scored = graft.text.Classifier.scoreFeatures(
+        graft.text.Classifier.addBias(feats, planted, "doc_id",
+          DsirBuckets), "doc_id", w)
+      val labeled = scored.join(
+        planted.select(col("doc_id"),
+          when(col("doc_id") % 3 =!= 0, 1L).otherwise(0L).as("__lab")),
+        "doc_id")
+      graft.text.Classifier.precisionAtDepth(labeled, col("margin"),
+          col("__lab"), col("doc_id"), steps = 100)
+        .select(col("pct"), col("k"), col("tp"),
+          col("precision").as("prec"), col("recall"))
+    }),
     // full-batch perceptron: the exact distributed iterative-training
     // template (every epoch an order-independent integer sum, so the
     // oracle replays all 3 epochs hash-exactly). Learning contract is
@@ -3369,6 +3397,30 @@ object PipelineQueries {
       // features, per-class counts -> fixed-point log-ratio weights +
       // log-prior bias, score — every step an integer/log2fx sum
       "q_classifier" -> nbSql(DsirBuckets),
+      // the calibration replay wraps the SAME NB margin oracle: global
+      // rank by (margin desc, doc_id), integer depth buckets, bounded
+      // cumulative window
+      "q_pr_curve" ->
+        s"""WITH s AS (${nbSql(DsirBuckets)}),
+           l AS (SELECT doc_id, margin,
+                   CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS y
+                 FROM s),
+           r AS (SELECT doc_id, margin, y,
+                   row_number() OVER (ORDER BY margin DESC, doc_id) AS rk,
+                   count(*) OVER () AS n
+                 FROM l),
+           b AS (SELECT CAST((rk * 100 + n - 1) // n AS BIGINT) AS pct,
+                   count(*) AS c, CAST(sum(y) AS BIGINT) AS tpb
+                 FROM r GROUP BY 1),
+           cm AS (SELECT pct,
+                   CAST(sum(c) OVER wnd AS BIGINT) AS k,
+                   CAST(sum(tpb) OVER wnd AS BIGINT) AS tp
+                 FROM b
+                 WINDOW wnd AS (ORDER BY pct ROWS UNBOUNDED PRECEDING))
+           SELECT pct, k, tp,
+                  CAST(tp AS DOUBLE) / k AS prec,
+                  CAST(tp AS DOUBLE) / (SELECT sum(y) FROM l) AS recall
+           FROM cm""",
       // the whole composed chain in one SQL (see trainingPipelineSql)
       "q_training_pipeline" -> trainingPipelineSql(DsirBuckets,
         TrainSelectK, PackSeqLen, ShuffleSeed, DsirTarget),

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
@@ -210,5 +211,65 @@ object Classifier {
         .cast(LongType).as("margin"))
       .withColumn("pred",
         when(col("margin") > 0, 1L).otherwise(-1L))
+  }
+
+  /** Classifier calibration at depth — precision/recall of the top-k%
+    * prefix under the score order, for k = 1..`steps` percent. This is
+    * how corpus-quality thresholds are actually chosen ("keep the top
+    * 20% by classifier score"): the curve shows the purity/coverage
+    * trade of every cut at once, and the selected depth becomes a
+    * [[graft.core.Pipe.topFracByGroup]]-style filter.
+    *
+    * Exactness contract: ranks come from (score desc, tieKey asc) — the
+    * caller passes a totalizing tie key, so the curve is deterministic
+    * across engines/retries/partitionings; depth buckets are INTEGER
+    * arithmetic (⌈rank·steps/n⌉ = (rank·steps + n − 1) div n), and
+    * precision/recall are small-int divisions (bit-equal cross-engine).
+    *
+    * Scale shape: the global rank rides [[graft.core.Pipe
+    * .exclusivePrefixSum]] (range partition + per-partition window +
+    * driver offsets — never a single-partition window over the corpus);
+    * per-depth partial aggregation reduces to ≤ `steps` rows, and only
+    * THOSE go through the bounded cumulative window.
+    *
+    * @param labelCol 1 for positive rows, anything else negative
+    * @return one row per non-empty depth bucket: `pct` (1..steps), `k`
+    *         (rows at or above the cut), `tp`, `precision`, `recall` */
+  def precisionAtDepth(scored: DataFrame, scoreCol: Column,
+                       labelCol: Column, tieKey: Column,
+                       steps: Int = 100): DataFrame = {
+    require(steps >= 1 && steps <= 10000,
+      s"precisionAtDepth: steps must be in [1, 10000], got $steps")
+    val clash = scored.columns.toSet.intersect(
+      Set("__one", "__rk0", "__y", "pct", "k", "tp", "precision", "recall"))
+    require(clash.isEmpty, "precisionAtDepth: input already has " +
+      s"reserved column(s) ${clash.mkString(", ")}")
+    val d = scored.withColumn("__one", lit(1L))
+      .withColumn("__y", when(labelCol === 1, 1L).otherwise(0L))
+    val ranked = graft.core.Pipe.exclusivePrefixSum(d,
+      Seq(scoreCol.desc, tieKey.asc), "__one", "__rk0").drop("__pid")
+    // one bounded action: n and total positives (two longs)
+    val totRow = ranked.agg(count(lit(1)), coalesce(sum(col("__y")), lit(0L)))
+      .head()
+    val (n, pos) = (totRow.getLong(0), totRow.getLong(1))
+    require(n > 0, "precisionAtDepth: empty input")
+    val perDepth = ranked
+      .withColumn("pct", expr(s"CAST(((__rk0 + 1) * $steps + $n - 1) " +
+        s"DIV $n AS BIGINT)"))
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__tp"))
+    // single-partition window is SAFE: ≤ steps rows by construction
+    val w = Window.partitionBy().orderBy(col("pct").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDepth
+      .withColumn("k", sum(col("__c")).over(w).cast(LongType))
+      .withColumn("tp", sum(col("__tp")).over(w).cast(LongType))
+      .withColumn("precision",
+        col("tp").cast("double") / col("k").cast("double"))
+      .withColumn("recall",
+        when(lit(pos) === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / lit(pos.toDouble)))
+      .select(col("pct"), col("k"), col("tp"), col("precision"),
+        col("recall"))
   }
 }

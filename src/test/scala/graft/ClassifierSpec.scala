@@ -83,4 +83,36 @@ class ClassifierSpec extends SparkSpec {
     assert(got.toSeq == Seq((9L, -1L, -1L)), got.toSeq.toString)
     graft.core.Intermediates.release()
   }
+
+  test("precisionAtDepth: hand-computed curve, tie determinism under " +
+      "hostile repartitioning, reserved-column fail-fast") {
+    import org.apache.spark.sql.functions._
+    // 8 rows, scores with a tie at 30 (ids 3,4): rank order by
+    // (score desc, id asc) is ids 1,2,3,4,5,6,7,8; labels: top half
+    // 3 of 4 positive, bottom half 1 of 4
+    val df = Seq(
+      (1L, 90L, 1L), (2L, 50L, 1L), (3L, 30L, 0L), (4L, 30L, 1L),
+      (5L, 20L, 0L), (6L, 10L, 1L), (7L, 5L, 0L), (8L, 1L, 0L))
+      .toDF("id", "score", "y")
+    def curve(d: org.apache.spark.sql.DataFrame) =
+      Classifier.precisionAtDepth(d, col("score"), col("y"), col("id"),
+        steps = 4)
+        .orderBy("pct").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+    val got = curve(df)
+    // steps=4 → quartiles of 2: (1,2):2pos; (3,4):+1; (5,6):+1; (7,8):+0
+    assert(got == Seq(
+      (1L, 2L, 2L, 1.0, 0.5),
+      (2L, 4L, 3L, 0.75, 0.75),
+      (3L, 6L, 4L, 4.0 / 6.0, 1.0),
+      (4L, 8L, 4L, 0.5, 1.0)), got.toString)
+    assert(curve(df.repartition(7, col("y"))) == got)
+    val e = intercept[IllegalArgumentException] {
+      Classifier.precisionAtDepth(df.withColumn("pct", lit(1)),
+        col("score"), col("y"), col("id"))
+    }
+    assert(e.getMessage.contains("reserved"))
+    graft.core.Intermediates.release()
+  }
 }
