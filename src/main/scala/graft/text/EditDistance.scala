@@ -47,19 +47,43 @@ object EditDistance {
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 lCol: String, rCol: String, maxDist: Int,
                 selfPairs: Boolean = false): DataFrame = {
+    // the distinct's post-shuffle partitions are sized by AQE from BYTE
+    // counts, but every surviving row then pays the len^d variant
+    // explode, the candidate join and the levenshtein refine — CPU costs
+    // invisible to byte-based coalescing. A small input therefore
+    // collapses the whole refine pipeline onto ONE task (measured: a
+    // single 5.9 s CPU-bound task at sf0.1). Re-spread to cluster width
+    // (defaultParallelism — scale-adaptive, not a constant) before the
+    // multiplying work; the re-shuffled rows are bare distinct names, so
+    // the extra exchange is noise at any scale.
+    // NOTE the repartition key is xxhash64(name), NOT the name itself: a
+    // repartition on the bare column is provably redundant over the
+    // distinct's own hash partitioning, so Catalyst ELIMINATES it and
+    // AQE's byte-based coalescing re-collapses the tiny side to one
+    // partition again. The distinct hash key keeps the exchange alive
+    // while spreading identically.
+    val width = left.sparkSession.sparkContext.defaultParallelism
     val lv = left.select(col(lCol).as("a")).where(col("a").isNotNull)
       .distinct()
+      .repartition(width, xxhash64(col("a")))
       .select(col("a"),
         explode(deletionVariants(col("a"), maxDist)).as("__v"))
       .select(col("a"), xxhash64(col("__v")).as("__vh"))
     val rv = right.select(col(rCol).as("b")).where(col("b").isNotNull)
       .distinct()
+      .repartition(width, xxhash64(col("b")))
       .select(col("b"),
         explode(deletionVariants(col("b"), maxDist)).as("__v"))
       .select(col("b"), xxhash64(col("__v")).as("__vh"))
     val ordered = if (selfPairs) lv("a") < rv("b") else lit(true)
+    // same byte-blindness at the candidate-dedup exchange: the pairs are
+    // small but each then pays the levenshtein refine. Pin the exchange
+    // to cluster width ourselves — the distinct's aggregate reuses this
+    // exact hash distribution, so it costs no extra shuffle.
     lv.join(rv, lv("__vh") === rv("__vh") && ordered)
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"))
+      .repartition(width, col("a"), col("b"))
+      .distinct()
       // threshold form early-abandons rows whose distance exceeds
       // maxDist (returns -1) — the refine is len·maxDist per pair, not
       // len² ; length gap > maxDist can't be within distance, skip free
