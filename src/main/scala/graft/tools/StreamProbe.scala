@@ -77,13 +77,19 @@ object StreamProbe {
     })
     sampler.setDaemon(true)
     sampler.start()
-    val t0 = System.nanoTime()
-    val qe = graft.SparkEntry.queries(q)(spark, dir).queryExecution
-    val n = qe.toRdd.count()
-    println(f"[probe] $q rows=$n wall=${(System.nanoTime()-t0)/1e9}%.2f s")
-    if (sys.env.contains("PROBE_FINAL_PLAN"))
-      println(qe.executedPlan.toString.linesIterator
-        .map("[finalplan] " + _).mkString("\n"))
+    val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly
+    for (name <- q.split(",").map(_.trim).filter(_.nonEmpty)) {
+      println(s"[probe] ===== $name =====")
+      val t0 = System.nanoTime()
+      val qe = all(name)(spark, dir).queryExecution
+      val n = qe.toRdd.count()
+      println(f"[probe] $name rows=$n wall=${(System.nanoTime()-t0)/1e9}%.2f s")
+      if (sys.env.contains("PROBE_FINAL_PLAN"))
+        println(qe.executedPlan.toString.linesIterator
+          .map("[finalplan] " + _).mkString("\n"))
+      graft.core.Intermediates.release()
+      spark.sqlContext.clearCache()
+    }
     spark.stop()
   }
 }
