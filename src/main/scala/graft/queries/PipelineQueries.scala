@@ -882,8 +882,15 @@ object PipelineQueries {
     //    byte-identity, so the q_html_extract oracle carries over. --------
     "q_wet_pipeline" -> ((s, dir) => {
       val out = "/root/repo/target/graft-data/wet_docs"
+      // widen BEFORE the WARC write: the write emits one segment per input
+      // partition and the read gives one task per segment, so a narrow
+      // scan would serialize the whole downstream HTML-extraction chain
+      // onto one core (the regex pass is the pipeline's dominant CPU).
+      // Shuffles only doc ids; the planted page renders post-exchange.
       graft.sources.Warc.write(
-        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("page")),
+        t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), plantedHtml.as("page")),
         out, uri = concat(lit("urn:graft:doc:"), col("doc_id")),
         payload = col("page"), gzip = true)
       graft.sources.Warc.read(s, out)
@@ -1131,8 +1138,13 @@ object PipelineQueries {
     "q_crawl_pipeline" -> ((s, dir) => {
       import s.implicits._
       val out = "/root/repo/target/graft-data/crawl_docs"
+      // widen BEFORE the WARC write (one segment per partition, one read
+      // task per segment): without it the link-extraction regex pass ran
+      // as a SINGLE 12 s CPU-bound task at sf0.1
       graft.sources.Warc.write(
-        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("page")),
+        t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), plantedHtml.as("page")),
         out, uri = concat(lit("urn:graft:doc:"), col("doc_id")),
         payload = col("page"), gzip = true)
       val pages = graft.sources.Warc.read(s, out).select(
