@@ -193,10 +193,15 @@ object StreamQueries {
     //    REAL streams (same replayed file source read twice); inner-join
     //    rows emit as they match, so the bounded run is deterministic ----
     "q_stream_join" -> ((s, dir) => {
-      val views = eventStream(s, dir).where(col("event_type") === "view")
+      // ONE file-stream source feeds both sides (a streaming self-join):
+      // listing, offset tracking and the staged-dir setup run once per
+      // micro-batch instead of twice; each side still keeps its own join
+      // state, so semantics are identical to two sources
+      val ev = eventStream(s, dir)
+      val views = ev.where(col("event_type") === "view")
         .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
           col("event_id").as("view_id"))
-      val buys = eventStream(s, dir).where(col("event_type") === "purchase")
+      val buys = ev.where(col("event_type") === "purchase")
         .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
           col("event_id").as("purchase_id"))
       val j = Streams.tumblingWindowJoin(views, buys, "l_ts", "r_ts",
