@@ -69,7 +69,16 @@ object PageRank {
     var ranks = nodes.withColumn("rank", lit(scale))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranks.count()
-    for (_ <- 1 to iterations) {
+    // materialize every k-th generation, not every generation: each rank
+    // table is referenced ONCE by the next iteration (the contribs join),
+    // so lineage between cuts grows LINEARLY — k iterations ride one job
+    // with no intermediate cache writes/actions, and the cut bounds both
+    // recomputation-on-failure and optimizer plan depth. k is small
+    // enough that a retried stage replays at most 3 iterations' shuffles.
+    val ckptEvery = 3
+    var sinceCut = 0
+    var pinnedPrev = ranks
+    for (i <- 1 to iterations) {
       val contribs = out.join(ranks, out("src") === ranks("id"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("contrib"))
@@ -77,10 +86,16 @@ object PageRank {
         .select(col("id"),
           (lit(base) + expr("85 * coalesce(contrib, 0L) div 100"))
             .as("rank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize BEFORE releasing the input generation
-      ranks.unpersist()
-      ranks = next
+      sinceCut += 1
+      if (sinceCut == ckptEvery || i == iterations) {
+        val cut = next
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cut.count() // materialize BEFORE releasing the previous cut
+        pinnedPrev.unpersist()
+        pinnedPrev = cut
+        ranks = cut
+        sinceCut = 0
+      } else ranks = next
     }
     graft.core.Intermediates.track(ranks)
     ranks
