@@ -64,7 +64,11 @@ object Winnow {
                                                    array_min(win)))
                         as bigint),
                       'fp', array_min(win))), 1)))), 1)), 1)"""
-    docs
+    // widen first (Dedup.hashedShingleDF rationale): the md5-per-gram
+    // selection chain below is interpreted HOF work ~10x heavier than a
+    // tokenize, and a single-row-group parquet scan would run ALL of it
+    // on one task (measured: one 0.9 s CPU-bound task at sf0.1, warm)
+    graft.dedup.Dedup.widen(docs)
       .select(col(idCol), lower(col(textCol)).as("__text"))
       .where(size(TextOps.tokens(col("__text"))) >= k + w - 1)
       .select(col(idCol), explode(expr(sel)).as("__s"))
