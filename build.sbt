@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes `sbt "runMain graft.Bench"` stdout for the one-line
+// bench JSON. sbt's default LoggedOutput prefixes every forked-process
+// line with "[info] " and appends "[success] Total time ..." after it,
+// so the JSON was neither clean nor last (BENCH_r01..r09 all parsed:
+// null). Forward the forked JVM's streams verbatim and drop the success
+// banner so the JSON line is the last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,6 +26,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // local-scheme checkpoints run through fork-free NIO I/O; remote
+      // schemes delegate to the stock Hadoop manager (see the class doc)
+      .config(graft.streaming.NioCheckpointFileManager.ConfKey,
+        graft.streaming.NioCheckpointFileManager.ConfValue)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -83,10 +87,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"runs_per_query":$Runs,""" +
-        s""""query_runs":$runsJson,"sf":"$sfDir"}"""
-    println(line)
+        s""""query_runs":$runsJson,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     spark.stop()
+    // print AFTER spark.stop() so no late Spark shutdown chatter can land
+    // between the JSON and end-of-stream; with StdoutOutput + showSuccess
+    // off (build.sbt) this is the last line of the sbt invocation
+    println(line)
+    System.out.flush()
   }
 }

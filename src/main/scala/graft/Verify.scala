@@ -15,6 +15,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(graft.streaming.NioCheckpointFileManager.ConfKey,
+        graft.streaming.NioCheckpointFileManager.ConfValue)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

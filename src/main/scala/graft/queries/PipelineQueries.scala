@@ -49,6 +49,22 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Scale-adaptive WARC segment cap for the crawl/WET pipelines: one
+    * segment per core at the current corpus size, clamped to [128 KB,
+    * 1 GB] — the 1 GB ceiling is the Common-Crawl segment convention at
+    * scale, the floor keeps tiny corpora from fragmenting into
+    * thousands of near-empty files. Derived from the source table's
+    * on-disk size (driver-side stat, no job) so the same code yields
+    * full read-back parallelism at sf0.1 and ~1 GB segments at 100 TB
+    * (guide §2: derive partitioning from input size, not a constant). */
+  private def warcSegmentBytes(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sz = fs.getContentSummary(p).getLength
+    math.min(1L << 30,
+      math.max(128L << 10, sz / math.max(1, s.sparkContext.defaultParallelism)))
+  }
+
   /** documents ∪ near-dup copies (first token dropped, id+1_000_000). */
   def plantedDocs(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
@@ -882,17 +898,18 @@ object PipelineQueries {
     //    byte-identity, so the q_html_extract oracle carries over. --------
     "q_wet_pipeline" -> ((s, dir) => {
       val out = "/root/repo/target/graft-data/wet_docs"
-      // widen BEFORE the WARC write: the write emits one segment per input
-      // partition and the read gives one task per segment, so a narrow
-      // scan would serialize the whole downstream HTML-extraction chain
-      // onto one core (the regex pass is the pipeline's dominant CPU).
-      // Shuffles only doc ids; the planted page renders post-exchange.
+      // size-derived segment ROLLOVER instead of a pre-write exchange:
+      // the writer seals a segment at the cap, so the read side gets one
+      // task per segment (the HTML-extraction regex pass — the dominant
+      // CPU — parallelizes) while the write path stays exchange-free on
+      // a narrow scan. The r09 repartition bought the same cold-path
+      // parallelism but taxed every warm run with a full-payload shuffle.
       graft.sources.Warc.write(
         t(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), plantedHtml.as("page")),
         out, uri = concat(lit("urn:graft:doc:"), col("doc_id")),
-        payload = col("page"), gzip = true)
+        payload = col("page"), gzip = true,
+        segmentBytes = warcSegmentBytes(s, dir))
       graft.sources.Warc.read(s, out)
         .select(
           regexp_extract(col("target_uri"), "(\\d+)$", 1)
@@ -1138,15 +1155,16 @@ object PipelineQueries {
     "q_crawl_pipeline" -> ((s, dir) => {
       import s.implicits._
       val out = "/root/repo/target/graft-data/crawl_docs"
-      // widen BEFORE the WARC write (one segment per partition, one read
-      // task per segment): without it the link-extraction regex pass ran
-      // as a SINGLE 12 s CPU-bound task at sf0.1
+      // size-derived segment ROLLOVER instead of a pre-write exchange
+      // (see q_wet_pipeline): one read task per sealed segment keeps the
+      // link-extraction regex pass parallel — without any layout help it
+      // ran as a SINGLE 12 s CPU-bound task at sf0.1
       graft.sources.Warc.write(
         t(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), plantedHtml.as("page")),
         out, uri = concat(lit("urn:graft:doc:"), col("doc_id")),
-        payload = col("page"), gzip = true)
+        payload = col("page"), gzip = true,
+        segmentBytes = warcSegmentBytes(s, dir))
       val pages = graft.sources.Warc.read(s, out).select(
         regexp_extract(col("target_uri"), "(\\d+)$", 1)
           .cast("long").as("doc_id"),

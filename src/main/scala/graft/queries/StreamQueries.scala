@@ -215,14 +215,19 @@ object StreamQueries {
     // -- the same join FROM the dialect: JOIN of two WINDOW'd streaming
     //    relations routes to the watermarked tumbling-window join -------
     "q_pig_stream_join" -> ((s, dir) => {
+      // ONE file-stream source bound to both script relations (same
+      // single-source shape as the API twin q_stream_join): listing,
+      // offset tracking and staging run once per micro-batch instead of
+      // twice; each WINDOW'd side keeps its own join state, so the
+      // dialect semantics are unchanged
+      val ev = eventStream(s, dir)
       val j = graft.piglatin.PigScript.query(s,
         """v = FILTER ev1 BY event_type == 'view';
           |p = FILTER ev2 BY event_type == 'purchase';
           |vw = WINDOW v RANGE 1 hours SLIDE RANGE 1 hours;
           |pw = WINDOW p RANGE 1 hours SLIDE RANGE 1 hours;
           |x = JOIN vw BY user_id, pw BY user_id;""".stripMargin,
-        "x", tables = Map("ev1" -> eventStream(s, dir),
-          "ev2" -> eventStream(s, dir)))
+        "x", tables = Map("ev1" -> ev, "ev2" -> ev))
       runBounded(j, "q_pig_stream_join_sink", OutputMode.Append())
         .select(col("vw::user_id").as("user_id"),
           col("vw::event_id").as("view_id"),

@@ -47,13 +47,23 @@ object Warc {
     * WARC-Target-URI and the record body (cast to binary); `date` must
     * render ISO-8601 per record. Record ids are name-based UUIDs of the
     * target URI — deterministic, so a re-written corpus is byte-stable
-    * modulo partitioning. */
+    * modulo partitioning.
+    *
+    * `segmentBytes` caps the (compressed) size of one output segment: a
+    * writer task ROLLS OVER to a fresh `part-NNNNN-SSSS` file once the
+    * current one passes the cap, so read-back parallelism (one task per
+    * segment) no longer depends on the INPUT's partitioning — a narrow
+    * upstream plan needs no pre-write exchange to produce a readable
+    * layout. Default (MaxValue) keeps the historic one-segment-per-
+    * partition layout and names. */
   def write(df: DataFrame, path: String, uri: Column, payload: Column,
             date: Column = lit("2026-01-01T00:00:00Z"),
             warcType: String = "resource",
             contentType: String = "text/plain",
             gzip: Boolean = false,
-            codec: String = ""): Unit = {
+            codec: String = "",
+            segmentBytes: Long = Long.MaxValue): Unit = {
+    require(segmentBytes > 0, "Warc.write: segmentBytes must be positive")
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     // Configuration is not Serializable: ship the entries and rebuild on
@@ -79,17 +89,41 @@ object Warc {
     if (fs0.exists(dir)) fs0.delete(dir, true)
     fs0.mkdirs(dir)
     val (wt, ct) = (warcType, contentType)
+    val roll = segmentBytes != Long.MaxValue
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val fs = hadoopFs(path, conf)
         val tc = org.apache.spark.TaskContext.get()
-        val fin = new org.apache.hadoop.fs.Path(path,
-          f"part-${tc.partitionId()}%05d$ext")
-        val tmp = new org.apache.hadoop.fs.Path(path,
-          f".part-${tc.partitionId()}%05d-${tc.taskAttemptId()}.tmp")
-        val out = new DataOutputStream(fs.create(tmp, true))
+        // segment naming: historic part-NNNNN without rollover, a -SSSS
+        // sequence suffix with it (both match read()'s extension filter)
+        def segPaths(seq: Int) = {
+          val base =
+            if (roll) f"part-${tc.partitionId()}%05d-$seq%04d"
+            else f"part-${tc.partitionId()}%05d"
+          (new org.apache.hadoop.fs.Path(path, s"$base$ext"),
+           new org.apache.hadoop.fs.Path(path,
+             s".$base-${tc.taskAttemptId()}.tmp"))
+        }
+        var seq = 0
+        var (fin, tmp) = segPaths(seq)
+        var written = 0L
+        // count COMPRESSED bytes as they hit the segment stream — the
+        // rollover cap is the on-disk segment size
+        def counting(raw: OutputStream): DataOutputStream =
+          new DataOutputStream(new FilterOutputStream(raw) {
+            override def write(b: Int): Unit = { out.write(b); written += 1 }
+            override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+              out.write(b, off, len); written += len
+            }
+          })
+        var out = counting(fs.create(tmp, true))
+        // retry-idempotent publish: first successful attempt wins
+        def publish(): Unit = {
+          out.close()
+          if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+        }
         // ONE zstd native context per task, reused across records: a
         // per-record ZstdOutputStream re-allocates the native cctx each
         // time, which measured 18× slower than gzip at 500k records
@@ -98,27 +132,36 @@ object Warc {
         // concatenated-frame layout, at one native call per record
         val zctx = if (effCodec == "zstd")
           new com.github.luben.zstd.ZstdCompressCtx() else null
-        try it.foreach { r =>
-          val u = r.getString(0)
-          val p = if (r.isNullAt(1)) Array.emptyByteArray
-                  else r.getAs[Array[Byte]](1)
-          val d = r.getString(2)
-          effCodec match {
-            case "gzip" => // one finished gzip member per record
-              val gz = new GZIPOutputStream(nonClosing(out), 64 * 1024)
-              writeRecord(gz, wt, ct, u, d, p); gz.finish(); gz.close()
-            case "zstd" => // one zstd frame per record
-              val buf = new java.io.ByteArrayOutputStream(p.length + 512)
-              writeRecord(buf, wt, ct, u, d, p)
-              out.write(zctx.compress(buf.toByteArray))
-            case _ => writeRecord(out, wt, ct, u, d, p)
+        try {
+          it.foreach { r =>
+            if (roll && written >= segmentBytes) {
+              // cap passed: seal this segment, start the next
+              publish()
+              seq += 1
+              val np = segPaths(seq); fin = np._1; tmp = np._2
+              written = 0L
+              out = counting(fs.create(tmp, true))
+            }
+            val u = r.getString(0)
+            val p = if (r.isNullAt(1)) Array.emptyByteArray
+                    else r.getAs[Array[Byte]](1)
+            val d = r.getString(2)
+            effCodec match {
+              case "gzip" => // one finished gzip member per record
+                val gz = new GZIPOutputStream(nonClosing(out), 64 * 1024)
+                writeRecord(gz, wt, ct, u, d, p); gz.finish(); gz.close()
+              case "zstd" => // one zstd frame per record
+                val buf = new java.io.ByteArrayOutputStream(p.length + 512)
+                writeRecord(buf, wt, ct, u, d, p)
+                out.write(zctx.compress(buf.toByteArray))
+              case _ => writeRecord(out, wt, ct, u, d, p)
+            }
           }
+          publish()
         } finally {
           if (zctx != null) zctx.close()
-          out.close()
+          out.close() // no-op when publish() already closed it
         }
-        // retry-idempotent publish: first successful attempt wins
-        if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
         ()
       }
     }

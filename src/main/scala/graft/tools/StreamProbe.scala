@@ -13,6 +13,8 @@ object StreamProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config(graft.streaming.NioCheckpointFileManager.ConfKey,
+        graft.streaming.NioCheckpointFileManager.ConfValue)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -78,17 +80,27 @@ object StreamProbe {
     sampler.setDaemon(true)
     sampler.start()
     val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly
+    // PROBE_RUNS > 1 repeats each query so the warm-run stage profile is
+    // separable from first-run JIT/codegen/state-store-init cost
+    val probeRuns = sys.env.get("PROBE_RUNS").map(_.toInt).getOrElse(1)
     for (name <- q.split(",").map(_.trim).filter(_.nonEmpty)) {
-      println(s"[probe] ===== $name =====")
-      val t0 = System.nanoTime()
-      val qe = all(name)(spark, dir).queryExecution
-      val n = qe.toRdd.count()
-      println(f"[probe] $name rows=$n wall=${(System.nanoTime()-t0)/1e9}%.2f s")
-      if (sys.env.contains("PROBE_FINAL_PLAN"))
-        println(qe.executedPlan.toString.linesIterator
-          .map("[finalplan] " + _).mkString("\n"))
-      graft.core.Intermediates.release()
-      spark.sqlContext.clearCache()
+      all.get(name) match {
+        case None => println(s"[probe] $name UNKNOWN")
+        case Some(fn) =>
+          for (r <- 1 to probeRuns) {
+            println(s"[probe] ===== $name (run $r/$probeRuns) =====")
+            val t0 = System.nanoTime()
+            val qe = fn(spark, dir).queryExecution
+            val n = qe.toRdd.count()
+            println(f"[probe] $name rows=$n " +
+              f"wall=${(System.nanoTime()-t0)/1e9}%.2f s")
+            if (sys.env.contains("PROBE_FINAL_PLAN"))
+              println(qe.executedPlan.toString.linesIterator
+                .map("[finalplan] " + _).mkString("\n"))
+            graft.core.Intermediates.release()
+            spark.sqlContext.clearCache()
+          }
+      }
     }
     spark.stop()
   }

@@ -98,9 +98,13 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("ShuffledHashJoin"), plan.take(2000))
   }
 
-  test("q_winnow: fingerprint selection is zero-shuffle (no Exchange)") {
+  test("q_winnow: fingerprint selection never hash-shuffles — at most " +
+      "the widen exchange") {
     val plan = planOf("q_winnow")
-    assert(!plan.contains("Exchange"), plan.take(2000))
+    // widen() may insert ONE round-robin repartition on single-row-group
+    // input; the gram/fingerprint chain itself must stay a per-row map
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
 
   test("q_dsir: the <=B-row model tables join by broadcast after AQE") {

@@ -23,6 +23,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config(graft.streaming.NioCheckpointFileManager.ConfKey,
+        graft.streaming.NioCheckpointFileManager.ConfValue)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
