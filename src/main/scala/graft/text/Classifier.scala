@@ -112,11 +112,15 @@ object Classifier {
             .cast(LongType).as("cn"))
         .coalesce(1)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val np = counts.agg(coalesce(sum("cp"), lit(0L)).cast(LongType).as("__np"))
-    val nn = counts.agg(coalesce(sum("cn"), lit(0L)).cast(LongType).as("__nn"))
+    // BOTH class totals in ONE aggregation of the ≤buckets-row counts
+    // table (two separate aggs cost two broadcast-subquery jobs; the
+    // serial job chain is this query family's measured floor)
+    val totals = counts.agg(
+      coalesce(sum("cp"), lit(0L)).cast(LongType).as("__np"),
+      coalesce(sum("cn"), lit(0L)).cast(LongType).as("__nn"))
     def L(x: Column) = LangModel.ratioLog2Fx(x, lit(1L))
     val w = counts
-      .crossJoin(np).crossJoin(nn)
+      .crossJoin(totals)
       .select(col("bucket"),
         ((L(col("cp") + 1) - L(col("__np") + buckets))
           - (L(col("cn") + 1) - L(col("__nn") + buckets))).as("w"))

@@ -15,6 +15,11 @@ object StreamProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config(graft.streaming.NioCheckpointFileManager.ConfKey,
         graft.streaming.NioCheckpointFileManager.ConfValue)
+      // let AQE re-plan INSIDE cached plans: persisted intermediates
+      // otherwise pin tiny tables at the full shuffle-partition count,
+      // and every later pass re-schedules those near-empty tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,6 +39,11 @@ object StreamProbe {
     })
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          println(s"[job] id=${e.jobId} stages=${e.stageIds.mkString(",")} " +
+            s"site=${Option(e.properties)
+              .map(_.getProperty("callSite.short", "?")).getOrElse("?")}")
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val s = e.stageInfo

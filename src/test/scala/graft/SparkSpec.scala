@@ -25,6 +25,11 @@ object SparkSpec {
       .config("spark.sql.adaptive.enabled", "true")
       .config(graft.streaming.NioCheckpointFileManager.ConfKey,
         graft.streaming.NioCheckpointFileManager.ConfValue)
+      // let AQE re-plan INSIDE cached plans: persisted intermediates
+      // otherwise pin tiny tables at the full shuffle-partition count,
+      // and every later pass re-schedules those near-empty tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
