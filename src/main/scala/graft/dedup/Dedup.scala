@@ -549,7 +549,8 @@ object Dedup {
       // is the measured knee).
       val pinned = scala.collection.mutable.Buffer(afterNb)
       var cur = afterNb
-      for (_ <- 1 to 2) {
+      val jumps = 2
+      for (k <- 1 to jumps) {
         val j = cur.as("l")
           .join(cur.select(col("id").as("lid"), col("label").as("llabel"))
             .as("r"), col("l.label") === col("r.lid"), "left")
@@ -559,8 +560,13 @@ object Dedup {
             (col("l.changed") ||
               coalesce(col("llabel"), col("l.label")) < col("l.label"))
               .as("changed"))
-        j.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pinned += j
+        // persist only jumps that are RE-READ (both sides of the next
+        // jump's self-join); the final jump is consumed exactly once by
+        // ckpt(), so caching it would be a pure wasted cache write
+        if (k < jumps) {
+          j.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pinned += j
+        }
         cur = j
       }
       // checkpoint FIRST (with the tiny `changed` flag aboard), then test

@@ -63,15 +63,29 @@ object EditDistance {
     // partition again. The distinct hash key keeps the exchange alive
     // while spreading identically.
     val width = left.sparkSession.sparkContext.defaultParallelism
-    val lv = left.select(col(lCol).as("a")).where(col("a").isNotNull)
-      .distinct()
-      .repartition(width, xxhash64(col("a")))
+    // pin only in the COLLAPSE regime (ADVICE r09): AQE merges post-
+    // shuffle partitions below the advisory byte size, so the single-
+    // task hazard exists only while the estimated input is smaller than
+    // width × advisory. An already-big side skips the extra exchange —
+    // its distinct spreads naturally and stays spread.
+    val advisory = left.sparkSession.conf
+      .get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    val advisoryBytes =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(advisory)
+    def pinIfSmall(df: DataFrame, keys: Column*): DataFrame =
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
+          BigInt(width.toLong) * advisoryBytes)
+        df.repartition(width, keys: _*)
+      else df
+    val lv = pinIfSmall(
+        left.select(col(lCol).as("a")).where(col("a").isNotNull)
+          .distinct(), xxhash64(col("a")))
       .select(col("a"),
         explode(deletionVariants(col("a"), maxDist)).as("__v"))
       .select(col("a"), xxhash64(col("__v")).as("__vh"))
-    val rv = right.select(col(rCol).as("b")).where(col("b").isNotNull)
-      .distinct()
-      .repartition(width, xxhash64(col("b")))
+    val rv = pinIfSmall(
+        right.select(col(rCol).as("b")).where(col("b").isNotNull)
+          .distinct(), xxhash64(col("b")))
       .select(col("b"),
         explode(deletionVariants(col("b"), maxDist)).as("__v"))
       .select(col("b"), xxhash64(col("__v")).as("__vh"))
@@ -79,7 +93,12 @@ object EditDistance {
     // same byte-blindness at the candidate-dedup exchange: the pairs are
     // small but each then pays the levenshtein refine. Pin the exchange
     // to cluster width ourselves — the distinct's aggregate reuses this
-    // exact hash distribution, so it costs no extra shuffle.
+    // exact hash distribution, so it costs no extra shuffle. This pin is
+    // UNCONDITIONAL: a join's size estimate is a row-product guess with
+    // no relation to the actual surviving pairs, so the pinIfSmall guard
+    // (sound on the scanned inputs) would be deciding from noise here —
+    // and this exchange is exactly where the r09 single-task collapse
+    // re-forms if unpinned.
     lv.join(rv, lv("__vh") === rv("__vh") && ordered)
       .select(col("a"), col("b"))
       .repartition(width, col("a"), col("b"))

@@ -14,6 +14,12 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // same engine posture as Bench/Verify so dumped plans match what
+      // the bench executes
+      .config(graft.streaming.NioCheckpointFileManager.ConfKey,
+        graft.streaming.NioCheckpointFileManager.ConfValue)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
