@@ -38,5 +38,15 @@ object Intermediates {
       s
     }
     snapshot.forEach(df => df.unpersist(blocking))
+    // Streaming state-store providers are the OTHER leak at this
+    // boundary: a bounded (AvailableNow) run's providers stay registered
+    // — holding their state maps on heap and a slot in the maintenance
+    // scan — although the temp checkpoint is never revisited. A session
+    // that has run many bounded streams would otherwise accumulate
+    // gigabytes of dead join/dedup state. Unload is cheap and lazy
+    // (providers re-open from their checkpoint on demand), so this is
+    // safe even if a live query were running.
+    org.apache.spark.sql.execution.streaming.state.GraftStateStoreAccess
+      .unloadAllProviders()
   }
 }
